@@ -1,0 +1,49 @@
+"""The pinned BM25 specification (SURVEY.md section 2.9) — single source of truth.
+
+k1 = 1.2, b = 0.75 (north_star). Lucene-style non-negative idf:
+
+    idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d,q) = sum over matching t of idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*|d|/avgdl))
+
+Tie-break ascending doc_id. The same formula is implemented three times in
+this repo — Spark Column expressions (here), numpy (here, for the index fast
+path), and the DuckDB oracle SQL — and the rank-identity tests hold them
+together.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def idf_col(df: Column, n_docs: Column) -> Column:
+    return F.log(F.lit(1.0) + (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5)))
+
+
+def score_col(tf: Column, df: Column, doc_len: Column, n_docs: Column, avgdl: Column) -> Column:
+    idf = idf_col(df, n_docs)
+    norm = tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * doc_len / avgdl)
+    return idf * tf * F.lit(K1 + 1.0) / norm
+
+
+def idf_np(df: np.ndarray | float, n_docs: float) -> np.ndarray:
+    return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def score_np(tf: np.ndarray, idf: float, doc_len: np.ndarray, avgdl: float) -> np.ndarray:
+    """Per-posting BM25 contribution of one term (idf precomputed)."""
+    tf = tf.astype(np.float64)
+    norm = tf + K1 * (1.0 - B + B * doc_len.astype(np.float64) / avgdl)
+    return idf * tf * (K1 + 1.0) / norm
+
+
+def max_block_score(tf: np.ndarray, idf: float, doc_len: np.ndarray, avgdl: float) -> float:
+    """Exact per-block score upper bound for block-max WAND metadata."""
+    if tf.size == 0:
+        return 0.0
+    return float(score_np(tf, idf, doc_len, avgdl).max())

@@ -1,0 +1,47 @@
+"""Tokenizers — JVM built-ins first, vectorized pandas UDF as the alt path.
+
+A3 in SURVEY.md section 2. The default stays entirely inside whole-stage
+codegen (``split``/``lower``/``filter`` built-ins — no Python worker at all);
+the pandas-UDF variant exists because the input_hint pins "vectorized
+pandas/Arrow UDFs" as the API style and it is the hook for richer code-aware
+tokenization later. Both produce identical output on the same mode.
+
+Modes:
+  * ``whitespace`` — split on runs of whitespace (the rank-identity
+    tokenization for the sandbox corpus, whose text is pre-normalized).
+  * ``code`` — lowercase, split on non-[a-z0-9_] runs; keeps identifiers like
+    ``snake_case`` whole (the source-code tokenization of the north_star).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PATTERNS = {"whitespace": r"\s+", "code": r"[^a-z0-9_]+"}
+
+
+def tokens_col(content: Column | str, mode: str = "whitespace") -> Column:
+    """array<string> of non-empty tokens; pure JVM built-ins (preferred path)."""
+    pat = _PATTERNS[mode]
+    col = F.col(content) if isinstance(content, str) else content
+    if mode == "code":
+        col = F.lower(col)
+    arr = F.split(col, pat)
+    return F.filter(arr, lambda t: t != F.lit(""))
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_whitespace_udf(content: pd.Series) -> pd.Series:
+    """Arrow-vectorized alternative to ``tokens_col(..., 'whitespace')``."""
+    return content.str.split()
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_code_udf(content: pd.Series) -> pd.Series:
+    """Arrow-vectorized alternative to ``tokens_col(..., 'code')``."""
+    return content.str.lower().str.split(r"[^a-z0-9_]+", regex=True).map(
+        lambda toks: [t for t in toks if t]
+    )

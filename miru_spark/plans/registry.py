@@ -1,0 +1,91 @@
+"""The driver-facing query/oracle registry.
+
+Every implemented operator from SURVEY.md section 2 registers here as a
+(queries, oracle_sql) pair; the driver executes both sides at sf0.01 and
+compares row-count + schema + order-insensitive value-hash. Column aliases are
+kept identical on both sides by construction.
+
+Floating-point policy: any double-valued aggregate is rounded (both sides) so
+that summation-order differences between Spark and DuckDB cannot flip the
+hash; rounding happens BEFORE any order-by/limit so tie-breaks agree too.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from miru_spark.plans.relational import bm25_oracle_sql, bm25_search_relational
+from miru_spark.schema import read_corpus
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None):
+    _QUERIES[name] = fn
+    if sql is not None:
+        _ORACLES[name] = sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return dict(_ORACLES)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build index on the given corpus, search via block-max WAND, return
+    top-k joined back to the docmap."""
+    from miru_spark.plans.flagship import flagship_search
+
+    return flagship_search(spark, sf_dir)
+
+
+_loaded = False
+
+
+def _ensure_loaded() -> None:
+    global _loaded
+    if _loaded:
+        return
+    _register_bm25()
+    from miru_spark.plans import relational_suite
+
+    relational_suite.register_all(register)
+    from miru_spark.pipeline import suite as pipeline_suite
+
+    pipeline_suite.register_all(register)
+    from miru_spark.plans import index_suite
+
+    index_suite.register_all(register)
+    _loaded = True
+
+
+def _register_bm25() -> None:
+    cases = {
+        "bm25_rel_conj2": (["join", "hash"], "conjunctive"),
+        "bm25_rel_conj3": (["the", "a", "data"], "conjunctive"),
+        "bm25_rel_missing": (["the", "zzz_not_in_vocab"], "disjunctive"),
+        "bm25_rel_disj2": (["join", "dup"], "disjunctive"),
+        "bm25_rel_disj5": (["join", "hash", "dup", "tree", "node"], "disjunctive"),
+        "bm25_rel_rare": (["dup"], "conjunctive"),
+    }
+    for name, (terms, mode) in cases.items():
+        register(
+            name,
+            _mk_bm25(terms, mode),
+            bm25_oracle_sql(terms, mode),
+        )
+
+
+def _mk_bm25(terms: list[str], mode: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return bm25_search_relational(read_corpus(spark, sf_dir), terms, mode=mode)
+
+    return run

@@ -1,0 +1,116 @@
+"""M0 — exhaustive relational BM25, pure DataFrame ops (SURVEY.md section 7).
+
+This is the engine's permanent self-check twin of the binary-index fast path:
+explode -> tf -> df/stats -> BM25 join -> top-k, expressible 1:1 in ANSI SQL
+(the DuckDB oracle). Zero custom code paths; every stage is whole-stage
+codegen + hash aggregates + one broadcast join of the tiny stats.
+
+Scale notes: the tf aggregation shuffles on (doc_id, term) and df on term —
+both partial-aggregated map-side by Spark. ``stats``/``df`` for the handful of
+query terms are broadcast. At query time only the q-terms' tf rows survive the
+first filter, so the join inputs are small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from miru_spark.functions import bm25
+from miru_spark.operators.docmap import normalize_corpus
+
+
+def term_frequencies(normalized: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) — explode tokens, count per (doc, term)."""
+    return (
+        normalized.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+
+
+def doc_lengths(normalized: DataFrame) -> DataFrame:
+    return normalized.select("doc_id", F.col("doc_len").cast("double").alias("dl"))
+
+
+def corpus_stats(dl: DataFrame) -> DataFrame:
+    """Single-row (n_docs, avgdl)."""
+    return dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+
+def doc_freq(tf: DataFrame) -> DataFrame:
+    return tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+
+
+def bm25_search_relational(
+    corpus: DataFrame,
+    terms: list[str],
+    mode: str = "conjunctive",
+    k: int = 10,
+    tokenizer: str = "whitespace",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Top-k BM25 over the corpus, entirely in relational ops.
+
+    Returns (doc_id, score) ordered by score desc, doc_id asc, limit k.
+    ``round_digits`` rounds the score BEFORE ordering so that mathematically
+    tied docs tie-break identically across engines (oracle parity).
+    """
+    terms = list(dict.fromkeys(terms))  # dedupe, keep order
+    norm = normalize_corpus(corpus, tokenizer)
+    tf = term_frequencies(norm)
+    dl = doc_lengths(norm)
+    stats = corpus_stats(dl)
+    df = doc_freq(tf)
+
+    qtf = tf.filter(F.col("term").isin(terms))
+    scored = (
+        qtf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            bm25.score_col(
+                F.col("tf"), F.col("df"), F.col("dl"), F.col("n_docs"), F.col("avgdl")
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"), F.count("*").alias("nmatch"))
+    )
+    if mode == "conjunctive":
+        scored = scored.filter(F.col("nmatch") == len(terms))
+    elif mode != "disjunctive":
+        raise ValueError(f"unknown mode {mode!r}")
+    score = F.round(F.col("score"), round_digits) if round_digits else F.col("score")
+    return (
+        scored.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(
+    terms: list[str], mode: str = "conjunctive", k: int = 10, round_digits: int = 6
+) -> str:
+    """The matching DuckDB ANSI-SQL oracle (FIXTURES.md), same rounding."""
+    terms = list(dict.fromkeys(terms))
+    values = ",".join(f"('{t}')" for t in terms)
+    conj = "WHERE nmatch = (SELECT count(*) FROM q)" if mode == "conjunctive" else ""
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP BY 1,2),
+dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
+df    AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+q(term) AS (VALUES {values}),
+s AS (SELECT tf.doc_id,
+        sum( ln(1+(stats.n-df.df+0.5)/(df.df+0.5))
+             * tf.tf*(1.2+1)/(tf.tf+1.2*(1-0.75+0.75*dl.dl/stats.avgdl)) ) raw_score,
+        count(*) nmatch
+      FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc_id), stats
+      GROUP BY 1)
+SELECT doc_id, round(raw_score, {round_digits}) AS score FROM s {conj}
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()

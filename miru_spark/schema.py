@@ -1,0 +1,82 @@
+"""Canonical corpus schema + adapters from the sandbox ``documents`` table.
+
+The engine's canonical input is the source-code corpus shape pinned by
+BASELINE.json's input_hint:
+
+    (repo:string, path:string, commit:string, lang:string, content:string)
+
+The sandbox stand-in is the driver-generated ``documents`` parquet
+(doc_id:int64, text:string, lang:string, source:string, n_chars:int64 —
+FIXTURES.md). ``corpus_from_documents`` maps it deterministically
+(SURVEY.md section 1.1): repo<-source, path<-'doc_%05d.txt', commit<-'v0',
+content<-text, and carries the pre-assigned ``doc_id`` through (SURVEY.md
+section 1.3: when the input already has a doc_id, use it — this is what makes
+results independent of partitioning/parallelism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+# docmap: one row per indexed document (SURVEY.md section 1.2)
+DOCMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content_sha256", T.StringType(), False),
+        T.StructField("doc_len", T.LongType(), False),
+    ]
+)
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def corpus_from_documents(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) -> canonical corpus + doc_id."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source").alias("repo"),
+        F.format_string("doc_%05d.txt", F.col("doc_id")).alias("path"),
+        F.lit("v0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def read_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_from_documents(read_documents(spark, sf_dir))
+
+
+def assign_doc_ids(corpus: DataFrame) -> DataFrame:
+    """Assign deterministic, order-independent doc_ids where the input has none.
+
+    ``row_number() over (order by repo, path, commit)`` — content-derived and
+    independent of input partitioning, which the two-cluster-size determinism
+    requirement silently demands (SURVEY.md section 1.3). The global sort is a
+    one-time cost at build; at 10^12-file scale this would instead be a
+    per-partition base + local offset over a range-partitioned sort, which
+    Spark's ``zipWithIndex``-style trick expresses — kept simple here because
+    the sandbox corpus ships doc_ids.
+    """
+    if "doc_id" in corpus.columns:
+        return corpus
+    w = Window.orderBy("repo", "path", "commit")
+    return corpus.withColumn("doc_id", F.row_number().over(w).cast("long") - F.lit(1))
