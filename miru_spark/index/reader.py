@@ -1,0 +1,106 @@
+"""Index reader — stats, df lookup, pruned posting fetch.
+
+The posting scan is where "seek" happens in a Spark-native index: the query's
+terms map to term_pref directory partitions (pruned at plan time) plus a
+``term IN (...)`` predicate pushed into the parquet scan (row-group min/max on
+the sorted term column skips within directories). Everything else is tiny
+(stats.json, df rows for <=10 query terms).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from miru_spark.functions import bm25
+from miru_spark.index.format import unpack_block, unpack_chunk
+from miru_spark.index.writer import N_TERM_PREFIX_BUCKETS
+
+
+@dataclass
+class TermPostings:
+    """One term's posting list as an ordered list of chunk rows (driver-side
+    handle; blocks decode lazily inside the WAND loop)."""
+
+    term: str
+    df: float
+    idf: float
+    chunks: list = field(default_factory=list)  # rows sorted by bucket
+
+    @property
+    def max_score(self) -> float:
+        return max((r["max_score"] for r in self.chunks), default=0.0)
+
+
+class IndexReader:
+    def __init__(self, spark: SparkSession, index_path: str):
+        self.spark = spark
+        self.index_path = index_path
+        with open(f"{index_path}/stats.json") as f:
+            self.stats = json.load(f)
+        self.n_docs = int(self.stats["n_docs"])
+        self.avgdl = float(self.stats["avgdl"])
+
+    # -------------------------------------------------------------- scans --
+    def postings_df(self, terms: list[str] | None = None) -> DataFrame:
+        df = self.spark.read.parquet(f"{self.index_path}/postings")
+        if terms is not None:
+            prefs = sorted(
+                {
+                    r["p"]
+                    for r in self.spark.createDataFrame(
+                        [(t,) for t in terms], "term string"
+                    )
+                    .select(
+                        F.pmod(F.xxhash64("term"), F.lit(N_TERM_PREFIX_BUCKETS))
+                        .cast("int")
+                        .alias("p")
+                    )
+                    .collect()
+                }
+            )
+            df = df.filter(F.col("term_pref").isin(prefs) & F.col("term").isin(terms))
+        return df
+
+    def docmap_df(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_path}/docmap")
+
+    def df_df(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_path}/df")
+
+    # ------------------------------------------------------- driver fetch --
+    def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings]:
+        """Collect the (few) chunk rows for the query terms to the driver.
+
+        For a q-term query this is q * n_buckets rows; bounded by
+        target_chunk postings per row. Use plans.search.search_distributed
+        for workloads where even that is too big to collect.
+        """
+        rows = self.postings_df(terms).collect()
+        out: dict[str, TermPostings] = {}
+        for r in sorted(rows, key=lambda r: (r["term"], r["bucket"])):
+            tp = out.get(r["term"])
+            if tp is None:
+                tp = out[r["term"]] = TermPostings(term=r["term"], df=0.0, idf=0.0)
+            tp.chunks.append(r)
+            tp.df += r["df_chunk"]
+        for tp in out.values():
+            tp.idf = float(bm25.idf_np(tp.df, float(self.n_docs)))
+        return out
+
+    def decode_term(self, tp: TermPostings):
+        """Full decode -> (docids, tfs, dls) across chunks (exhaustive path)."""
+        ids, tfs, dls = [], [], []
+        for r in tp.chunks:
+            i, t, d = unpack_chunk(r["blob"], [b.asDict() for b in r["blocks"]], int(r["codec"]))
+            ids.append(i)
+            tfs.append(t)
+            dls.append(d)
+        e = np.empty(0, dtype=np.uint64)
+        if not ids:
+            return e, e.copy(), e.copy()
+        return np.concatenate(ids), np.concatenate(tfs), np.concatenate(dls)

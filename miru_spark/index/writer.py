@@ -1,0 +1,200 @@
+"""A11/A12/A13 — index sink, per-partition checkpoint/resume, build metrics.
+
+On-disk layout (plain parquet + JSON manifest; Iceberg's runtime jar is not
+available offline, so the sink is behind this module's interface and the
+manifest supplies the atomic-commit + lineage role that Iceberg snapshots
+would — SURVEY.md section 7 M8 note):
+
+    index_path/
+      docmap/                parquet, sorted by doc_id
+      segments/              parquet, partitioned by partition_id  (checkpoint)
+      postings/              parquet, partitioned by term_pref = xxhash64(term) % NB
+      df/                    parquet (term, df)
+      stats.json             {n_docs, avgdl, n_tokens, codec, ...}
+      manifest.json          per-logical-partition lineage + metrics, atomic
+
+``term_pref`` directory-partitioning is the "seek to the posting list": a
+query computes its terms' prefixes and Catalyst prunes every other directory
+at scan planning time. NB=64 keeps directory count flat no matter how large
+the vocabulary grows (partitioning by raw term would explode at real-corpus
+vocab sizes).
+
+Checkpoint/resume: the segment stage is the expensive pass over the raw
+corpus, so it is the resume unit. Segments are written partitioned by
+logical partition_id; manifest.json records per-pid status + rowcounts + a
+commutative xxhash64 checksum. A resumed build anti-joins the corpus's pids
+against COMMITTED manifest rows, builds only the missing ones, appends, and
+re-merges. The manifest is written via tmp-file + atomic rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from miru_spark.functions.codecs import CODEC_VARINT
+from miru_spark.operators.docmap import docmap_of, normalize_corpus
+from miru_spark.operators.merge import (
+    DEFAULT_TARGET_CHUNK,
+    corpus_stats_row,
+    merge_segments,
+)
+from miru_spark.operators.segments import build_segments
+
+N_TERM_PREFIX_BUCKETS = 64
+
+
+def term_pref_col(term):
+    return F.pmod(F.xxhash64(term), F.lit(N_TERM_PREFIX_BUCKETS)).cast("int")
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, f"{path}")
+
+
+def read_manifest(index_path: str) -> dict | None:
+    p = f"{index_path}/manifest.json"
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_path: str,
+    num_partitions: int = 16,
+    tokenizer: str = "whitespace",
+    codec: int = CODEC_VARINT,
+    target_chunk: int = DEFAULT_TARGET_CHUNK,
+    resume: bool = False,
+) -> dict:
+    """Full build pipeline (SURVEY.md section 3.1). Returns the manifest."""
+    t0 = time.time()
+    norm = normalize_corpus(corpus, tokenizer).persist()
+    stats = corpus_stats_row(norm)
+    n_docs = stats["n_docs"]
+
+    docs_per_part = max(1, -(-n_docs // num_partitions))
+    committed: set[int] = set()
+    manifest = read_manifest(index_path) if resume else None
+    if manifest and manifest.get("docs_per_part") == docs_per_part and manifest.get(
+        "tokenizer"
+    ) == tokenizer:
+        committed = {
+            int(pid)
+            for pid, seg in manifest.get("partitions", {}).items()
+            if seg.get("status") == "COMMITTED"
+        }
+
+    to_build = norm
+    if committed:
+        to_build = norm.filter(
+            ~((F.col("doc_id") / F.lit(docs_per_part)).cast("long")).isin(
+                [int(p) for p in committed]
+            )
+        )
+
+    seg_path = f"{index_path}/segments"
+    if committed and os.path.isdir(seg_path):
+        # drop partially-written (uncommitted) partition dirs before appending
+        import shutil
+
+        for d in os.listdir(seg_path):
+            if d.startswith("partition_id="):
+                pid = int(d.split("=", 1)[1])
+                if pid not in committed:
+                    shutil.rmtree(f"{seg_path}/{d}", ignore_errors=True)
+    n_new = to_build.count()
+    if n_new > 0:
+        segments_new = build_segments(to_build, num_partitions, n_docs=n_docs)
+        (
+            segments_new.write.mode("append" if committed else "overwrite")
+            .partitionBy("partition_id")
+            .parquet(seg_path)
+        )
+    build_secs = time.time() - t0
+
+    # lineage + metrics per logical partition, from the durable segment files
+    segments = spark.read.parquet(seg_path)
+    part_stats = {
+        str(r["partition_id"]): {
+            "status": "COMMITTED",
+            "n_terms": int(r["n_terms"]),
+            "n_postings": int(r["n_postings"]),
+            "n_tokens": int(r["n_tokens"]),
+            "bytes": int(r["bytes"]),
+            "checksum_xxh64_xor": str(r["checksum"]),
+        }
+        for r in segments.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df_local").alias("n_postings"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.length("blob")).alias("bytes"),
+            F.expr("bit_xor(xxhash64(term, df_local, blob))").alias("checksum"),
+        )
+        .collect()
+    }
+
+    # merge -> final postings, directory-partitioned by term prefix
+    merged = merge_segments(
+        segments,
+        n_docs=n_docs,
+        avgdl=stats["avgdl"],
+        num_partitions=num_partitions,
+        codec=codec,
+        target_chunk=target_chunk,
+    ).withColumn("term_pref", term_pref_col(F.col("term")))
+    merged.write.mode("overwrite").partitionBy("term_pref").parquet(
+        f"{index_path}/postings"
+    )
+
+    # global df + docmap
+    segments.groupBy("term").agg(F.sum("df_local").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/df")
+    docmap_of(norm).repartitionByRange(max(1, num_partitions // 4), "doc_id").sortWithinPartitions(
+        "doc_id"
+    ).write.mode("overwrite").parquet(f"{index_path}/docmap")
+    norm.unpersist()
+
+    total_secs = time.time() - t0
+    stats_out = dict(
+        stats,
+        codec=int(codec),
+        tokenizer=tokenizer,
+        num_partitions=num_partitions,
+        docs_per_part=docs_per_part,
+        target_chunk=int(target_chunk),
+        k1=1.2,
+        b=0.75,
+    )
+    with open(f"{index_path}/stats.json", "w") as f:
+        json.dump(stats_out, f, indent=1, sort_keys=True)
+
+    full_manifest = {
+        "version": 1,
+        "docs_per_part": docs_per_part,
+        "tokenizer": tokenizer,
+        "codec": int(codec),
+        "n_docs": n_docs,
+        "partitions": part_stats,
+        "metrics": {
+            "build_secs": round(total_secs, 3),
+            "segment_secs": round(build_secs, 3),
+            "docs_per_sec": round(n_docs / total_secs, 2) if total_secs else None,
+            "resumed_partitions": sorted(committed),
+            "built_docs": int(n_new),
+        },
+    }
+    _write_manifest(f"{index_path}/manifest.json", full_manifest)
+    return full_manifest

@@ -1,0 +1,136 @@
+"""A7/A8/A9 — salted term-shuffle, segment merge, block-max metadata.
+
+The one shuffle of the build pipeline (segments -> global index) groups by
+term — exactly where hot-term skew bites ("import", "return" in real code, a
+near-uniform 31-term vocab here). AQE's skew handling only splits *join*
+skew, not skewed ``groupBy`` keys, so salting is custom and load-bearing
+(SURVEY.md section 4):
+
+* global df per term is computed first (map-side-combined hash agg);
+* a term's posting list is split into ``S = ceil(df_global / target_chunk)``
+  buckets, ``bucket = partition_id * S // num_partitions`` — CONTIGUOUS
+  logical-partition ranges, so bucket order == docID order and the final
+  index keeps hot terms as multiple self-contained chunk rows instead of one
+  giant row (which at 10^12 files could not even materialize);
+* merge within a (term, bucket) group is an ordered concat of decoded
+  segment runs (logical partitions have disjoint ascending docID ranges),
+  then re-delta + recompress with the final codec.
+
+Group size is bounded by target_chunk regardless of how hot the term is —
+that bounds Python-worker memory in ``applyInPandas``, which is the actual
+scale limit of this stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from miru_spark.functions import bm25
+from miru_spark.functions.codecs import CODEC_VARINT
+from miru_spark.index.format import pack_chunk, seg_unpack
+
+DEFAULT_TARGET_CHUNK = 1 << 17  # postings per final chunk row (~128k)
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("df_chunk", T.LongType(), False),
+        T.StructField("first_docid", T.LongType(), False),
+        T.StructField("last_docid", T.LongType(), False),
+        T.StructField("codec", T.IntegerType(), False),
+        T.StructField("max_score", T.DoubleType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+        T.StructField(
+            "blocks",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("offset", T.LongType(), False),
+                        T.StructField("n", T.LongType(), False),
+                        T.StructField("last_docid", T.LongType(), False),
+                        T.StructField("max_score", T.DoubleType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def merge_segments(
+    segments: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    num_partitions: int,
+    codec: int = CODEC_VARINT,
+    target_chunk: int = DEFAULT_TARGET_CHUNK,
+) -> DataFrame:
+    """segments (term, partition_id, df_local, blob) -> final chunk rows."""
+    # A10-lite: global df per term (broadcast back onto segments).
+    term_df = segments.groupBy("term").agg(F.sum("df_local").alias("df_global"))
+    seg = segments.join(F.broadcast(term_df), "term")
+    # A7: contiguous-range salting for hot terms.
+    n_salts = F.greatest(
+        F.lit(1),
+        F.least(
+            F.lit(num_partitions),
+            F.ceil(F.col("df_global") / F.lit(target_chunk)).cast("int"),
+        ),
+    )
+    seg = seg.withColumn(
+        "bucket",
+        (F.col("partition_id") * n_salts / F.lit(num_partitions)).cast("int"),
+    )
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        bucket = int(pdf["bucket"].iloc[0])
+        df_global = float(pdf["df_global"].iloc[0])
+        pdf = pdf.sort_values("partition_id")
+        ids_l, tf_l, dl_l = [], [], []
+        for blob, n in zip(pdf["blob"], pdf["df_local"]):
+            ids, tfs, dls = seg_unpack(blob, int(n))
+            ids_l.append(ids)
+            tf_l.append(tfs)
+            dl_l.append(dls)
+        docids = np.concatenate(ids_l)
+        tfs = np.concatenate(tf_l)
+        dls = np.concatenate(dl_l)
+        # partitions have disjoint ascending ranges -> concat is sorted
+        idf = float(bm25.idf_np(df_global, float(n_docs)))
+        blob, metas = pack_chunk(docids, tfs, dls, codec=codec, idf=idf, avgdl=avgdl)
+        return pd.DataFrame(
+            {
+                "term": [term],
+                "bucket": [bucket],
+                "df_chunk": [int(docids.size)],
+                "first_docid": [int(docids[0])],
+                "last_docid": [int(docids[-1])],
+                "codec": [codec],
+                "max_score": [max(m["max_score"] for m in metas)],
+                "blob": [blob],
+                "blocks": [metas],
+            }
+        )
+
+    return seg.groupBy("term", "bucket").applyInPandas(merge_fn, CHUNK_SCHEMA)
+
+
+def corpus_stats_row(normalized: DataFrame) -> dict:
+    """A10 — N, avgdl, total tokens (single tiny JVM aggregate)."""
+    row = normalized.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("n_tokens"),
+    ).collect()[0]
+    return {
+        "n_docs": int(row["n_docs"]),
+        "avgdl": float(row["avgdl"]),
+        "n_tokens": int(row["n_tokens"]),
+    }

@@ -1,9 +1,58 @@
-"""Index-path correctness entries: the binary-index BM25 fast path checked
-against the same ANSI-SQL oracle as the relational twin. Populated once the
-index engine (SURVEY.md M2-M5) lands."""
+"""Index-path correctness entries for the driver.
+
+The binary-index fast paths (block-max WAND, galloping intersection, and the
+distributed DataFrame scorer) are checked against the SAME ANSI-SQL BM25
+oracle as the relational twin — proving index build + compression + merge +
+scoring end-to-end, not just the relational reformulation.
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+
+from miru_spark.plans.relational import bm25_oracle_sql
+
+CASES = {
+    "bm25_index_wand_disj2": (["join", "dup"], "disjunctive"),
+    "bm25_index_wand_disj5": (["join", "hash", "dup", "sort", "merge"], "disjunctive"),
+    "bm25_index_conj2": (["join", "hash"], "conjunctive"),
+    "bm25_index_conj3": (["the", "a", "data"], "conjunctive"),
+}
+
+DIST_CASES = {
+    "bm25_index_dist_conj2": (["join", "hash"], "conjunctive"),
+    "bm25_index_dist_disj2": (["the", "dup"], "disjunctive"),
+}
+
+
+def _mk_topk(terms, mode):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_topk
+
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search_topk(reader, terms, mode=mode, k=10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
+def _mk_dist(terms, mode):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_distributed
+
+        reader = ensure_index(spark, sf_dir)
+        return search_distributed(reader, terms, mode=mode, k=10)
+
+    return run
+
 
 def register_all(register) -> None:
-    pass
+    for name, (terms, mode) in CASES.items():
+        register(name, _mk_topk(terms, mode), bm25_oracle_sql(terms, mode))
+    for name, (terms, mode) in DIST_CASES.items():
+        register(name, _mk_dist(terms, mode), bm25_oracle_sql(terms, mode))

@@ -1,0 +1,327 @@
+"""A14-A21 — query serving over the binary index.
+
+Three paths, all rank-identical by construction and by test:
+
+* ``search_topk`` (driver fast path): fetch the query terms' chunk rows
+  (pruned scan), then block-max WAND for disjunctive queries / galloping
+  intersection for conjunctive ones. For 2-10 query terms this touches a
+  handful of bounded rows — at any corpus scale — because hot terms are
+  chunked and WAND never decodes blocks it can prove irrelevant.
+* ``search_exhaustive``: full decode + vectorized numpy scoring; the safety
+  twin used by the BMW==exhaustive property tests.
+* ``search_distributed``: the same scoring as a pure DataFrame plan over the
+  chunk rows (mapInArrow decode -> groupBy(doc_id) -> top-k); the path you run
+  when a query's candidate set is too large to collect (cluster-scale OR of
+  hot terms), and the one the DuckDB oracle checks directly.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from miru_spark.functions import bm25
+from miru_spark.index.format import unpack_block
+from miru_spark.index.reader import IndexReader, TermPostings
+
+_EXHAUSTED = 1 << 62
+_EPS = 1e-12
+
+
+class PostingIterator:
+    """Lazy cursor over one term's chunk rows; decodes one block at a time."""
+
+    __slots__ = (
+        "idf", "avgdl", "term_max", "blk_last", "blk_max", "_blk_src",
+        "bi", "pos", "_ids", "_tfs", "_dls", "exhausted",
+    )
+
+    def __init__(self, tp: TermPostings, avgdl: float):
+        self.idf = tp.idf
+        self.avgdl = avgdl
+        self.term_max = tp.max_score
+        last, mx, src = [], [], []
+        for row in tp.chunks:
+            blob = bytes(row["blob"])
+            codec = int(row["codec"])
+            prev = 0
+            for b in row["blocks"]:
+                m = b.asDict() if hasattr(b, "asDict") else dict(b)
+                last.append(int(m["last_docid"]))
+                mx.append(float(m["max_score"]))
+                src.append((blob, m, prev, codec))
+                prev = int(m["last_docid"])
+        self.blk_last = np.array(last, dtype=np.int64)
+        self.blk_max = np.array(mx, dtype=np.float64)
+        self._blk_src = src
+        self.bi = -1
+        self.pos = 0
+        self._ids = self._tfs = self._dls = None
+        self.exhausted = not src
+        if not self.exhausted:
+            self._load(0)
+
+    def _load(self, bi: int) -> None:
+        blob, meta, prev, codec = self._blk_src[bi]
+        ids, tfs, dls = unpack_block(blob, meta, prev, codec)
+        self._ids = ids.astype(np.int64)
+        self._tfs = tfs
+        self._dls = dls
+        self.bi = bi
+        self.pos = 0
+
+    @property
+    def cur_docid(self) -> int:
+        return _EXHAUSTED if self.exhausted else int(self._ids[self.pos])
+
+    def next(self) -> None:
+        self.pos += 1
+        if self.pos >= self._ids.size:
+            if self.bi + 1 >= len(self._blk_src):
+                self.exhausted = True
+            else:
+                self._load(self.bi + 1)
+
+    def seek(self, target: int) -> None:
+        """Advance to first docid >= target (gallop: block index via
+        searchsorted on last_docids, then within-block searchsorted)."""
+        if self.exhausted or self.cur_docid >= target:
+            return
+        j = int(np.searchsorted(self.blk_last, target))
+        if j >= len(self._blk_src):
+            self.exhausted = True
+            return
+        if j != self.bi:
+            self._load(j)
+        self.pos = int(np.searchsorted(self._ids, target, side="left"))
+        if self.pos >= self._ids.size:  # cannot happen: blk_last[j] >= target
+            self.next()
+
+    def block_bound(self, docid: int) -> tuple[float, int]:
+        """(max_score, last_docid) of the block that would contain docid —
+        WITHOUT decoding it (the shallow pointer of BMW)."""
+        j = int(np.searchsorted(self.blk_last, docid))
+        if j >= len(self._blk_src):
+            return 0.0, _EXHAUSTED
+        return float(self.blk_max[j]), int(self.blk_last[j])
+
+    def score_current(self) -> float:
+        tf = float(self._tfs[self.pos])
+        dl = float(self._dls[self.pos])
+        norm = tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl / self.avgdl)
+        return self.idf * tf * (bm25.K1 + 1.0) / norm
+
+
+def _topk_sorted(heap: list[tuple[float, int]], k: int) -> list[tuple[int, float]]:
+    best = sorted(heap, key=lambda t: (-t[0], -t[1]))[:k]
+    return [(-negid, score) for score, negid in best]
+
+
+def wand_topk(iters: list[PostingIterator], k: int) -> list[tuple[int, float]]:
+    """Block-max WAND (Ding & Suel 2011) over per-term lazy iterators.
+
+    Heap entries are (score, -doc_id); ties on score are won by the smaller
+    doc_id, which the ascending iteration order makes automatic. Skipping
+    with ``ub <= theta`` is tie-safe once the heap is full because any future
+    doc has a larger doc_id than every heap entry and so loses exact ties.
+    """
+    heap: list[tuple[float, int]] = []
+    iters = [it for it in iters if not it.exhausted]
+    while iters:
+        iters = [it for it in iters if not it.exhausted]
+        if not iters:
+            break
+        iters.sort(key=lambda it: it.cur_docid)
+        theta = heap[0][0] if len(heap) >= k else -np.inf
+        acc = 0.0
+        pivot_idx = -1
+        for i, it in enumerate(iters):
+            acc += it.term_max
+            if acc > theta - _EPS:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break
+        pivot = iters[pivot_idx].cur_docid
+        if pivot >= _EXHAUSTED:
+            break
+        if iters[0].cur_docid == pivot:
+            bounds = [it.block_bound(pivot) for it in iters[: pivot_idx + 1]]
+            ub = sum(b[0] for b in bounds)
+            if len(heap) >= k and ub <= theta - _EPS:
+                nxt = min(b[1] for b in bounds) + 1
+                if pivot_idx + 1 < len(iters):
+                    nxt = min(nxt, iters[pivot_idx + 1].cur_docid)
+                nxt = max(nxt, pivot + 1)
+                for it in iters[: pivot_idx + 1]:
+                    it.seek(nxt)
+                continue
+            score = 0.0
+            for it in iters:
+                if it.cur_docid == pivot:
+                    score += it.score_current()
+            entry = (score, -pivot)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+            for it in iters:
+                if it.cur_docid == pivot:
+                    it.next()
+        else:
+            for it in iters[:pivot_idx]:
+                it.seek(pivot)
+    return _topk_sorted(heap, k)
+
+
+def conjunctive_topk(iters: list[PostingIterator], k: int) -> list[tuple[int, float]]:
+    """Galloping k-list intersection driven by the rarest term (A16)."""
+    if not iters or any(it.exhausted for it in iters):
+        return []
+    heap: list[tuple[float, int]] = []
+    iters = sorted(iters, key=lambda it: it.blk_last.size)  # rarest first
+    lead = iters[0]
+    while not lead.exhausted:
+        docid = lead.cur_docid
+        matched = True
+        for it in iters[1:]:
+            it.seek(docid)
+            if it.exhausted:
+                return _topk_sorted(heap, k)
+            if it.cur_docid != docid:
+                lead.seek(it.cur_docid)
+                matched = False
+                break
+        if not matched:
+            continue
+        score = sum(it.score_current() for it in iters)
+        entry = (score, -docid)
+        if len(heap) < k:
+            heapq.heappush(heap, entry)
+        elif entry > heap[0]:
+            heapq.heapreplace(heap, entry)
+        lead.next()
+    return _topk_sorted(heap, k)
+
+
+# ----------------------------------------------------------- entry points --
+
+def search_topk(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    k: int = 10,
+) -> list[tuple[int, float]]:
+    terms = list(dict.fromkeys(terms))
+    tps = reader.fetch_terms(terms)
+    iters = [PostingIterator(tps[t], reader.avgdl) for t in terms if t in tps]
+    if mode == "conjunctive":
+        if len(iters) < len(terms):
+            return []  # a term matches nothing -> empty intersection
+        return conjunctive_topk(iters, k)
+    if mode == "disjunctive":
+        return wand_topk(iters, k)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def search_exhaustive(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    k: int = 10,
+) -> list[tuple[int, float]]:
+    """Decode-everything scoring (vectorized numpy); the WAND safety twin."""
+    terms = list(dict.fromkeys(terms))
+    tps = reader.fetch_terms(terms)
+    if mode == "conjunctive" and len(tps) < len(terms):
+        return []
+    per_term = []
+    for t in terms:
+        if t not in tps:
+            continue
+        ids, tfs, dls = reader.decode_term(tps[t])
+        scores = bm25.score_np(tfs, tps[t].idf, dls, reader.avgdl)
+        per_term.append((ids.astype(np.int64), scores))
+    if not per_term:
+        return []
+    all_ids = np.concatenate([p[0] for p in per_term])
+    all_scores = np.concatenate([p[1] for p in per_term])
+    uids, inv = np.unique(all_ids, return_inverse=True)
+    agg = np.zeros(uids.size)
+    np.add.at(agg, inv, all_scores)
+    if mode == "conjunctive":
+        cnt = np.zeros(uids.size, dtype=np.int64)
+        np.add.at(cnt, inv, 1)
+        keep = cnt == len(per_term)
+        uids, agg = uids[keep], agg[keep]
+    order = np.lexsort((uids, -agg))[:k]
+    return [(int(uids[i]), float(agg[i])) for i in order]
+
+
+def search_distributed(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Pure-DataFrame scoring over chunk rows (scatter-gather top-k).
+
+    Plan: pruned postings scan -> mapInArrow chunk decode+score (one Arrow
+    batch of (doc_id, contrib) rows per chunk) -> hash agg by doc_id ->
+    rounded order-by + limit. Shuffles only the per-doc partial scores of
+    matching docs.
+    """
+    terms = list(dict.fromkeys(terms))
+    n_docs = float(reader.n_docs)
+    avgdl = float(reader.avgdl)
+    chunks = reader.postings_df(terms)
+    # global df per term (sum over chunk rows), joined back (tiny, broadcast)
+    term_df = chunks.groupBy("term").agg(F.sum("df_chunk").alias("df_global"))
+    chunks = chunks.join(F.broadcast(term_df), "term")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("contrib", T.DoubleType()),
+        ]
+    )
+
+    def score_chunks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from miru_spark.index.format import unpack_chunk
+
+        for batch in batches:
+            tbl = batch.to_pylist()
+            for row in tbl:
+                ids, tfs, dls = unpack_chunk(
+                    row["blob"], row["blocks"], int(row["codec"])
+                )
+                idf = float(bm25.idf_np(float(row["df_global"]), n_docs))
+                contrib = bm25.score_np(tfs, idf, dls, avgdl)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids.astype(np.int64)),
+                        pa.array(contrib),
+                    ],
+                    names=["doc_id", "contrib"],
+                )
+
+    scored = chunks.mapInArrow(score_chunks, out_schema)
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"), F.count("*").alias("nmatch")
+    )
+    if mode == "conjunctive":
+        agg = agg.filter(F.col("nmatch") == len(terms))
+    score = F.round(F.col("score"), round_digits) if round_digits else F.col("score")
+    return (
+        agg.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
