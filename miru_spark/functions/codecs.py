@@ -29,11 +29,20 @@ CODEC_PFOR = 2
 # ---------------------------------------------------------------- varint ----
 
 def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array into a byte stream."""
+    return varint_encode_with_lengths(values)[0]
+
+
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array -> (byte stream, per-value byte lengths).
+
+    The lengths array lets callers compute byte offsets of arbitrary value
+    positions (block boundaries) without re-scanning the stream."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.size
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
+    if v.max() < 128:  # dense-gap fast path: every value is one byte
+        return v.astype(np.uint8).tobytes(), np.ones(n, dtype=np.int64)
     # bytes needed per value: ceil(bit_length / 7), min 1
     nbits = np.zeros(n, dtype=np.int64)
     tmp = v.copy()
@@ -53,7 +62,7 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = (v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)
         cont = (nbits[mask] - 1 > b).astype(np.uint8) << 7
         out[starts[mask] + b] = byte.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), nbits
 
 
 def varint_decode(buf: bytes | memoryview | np.ndarray, offset: int = 0, count: int | None = None):
@@ -66,6 +75,9 @@ def varint_decode(buf: bytes | memoryview | np.ndarray, offset: int = 0, count: 
     raw = raw[offset:]
     if raw.size == 0:
         return np.empty(0, dtype=np.uint64), 0
+    if count is not None and raw.size >= count and not (raw[:count] & 0x80).any():
+        # all-single-byte fast path (dense gaps / small tfs)
+        return raw[:count].astype(np.uint64), count
     terminal = (raw & 0x80) == 0
     ends = np.flatnonzero(terminal)  # index of last byte of each value
     if count is not None:

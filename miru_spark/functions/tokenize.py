@@ -21,6 +21,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _PATTERNS = {"whitespace": r"\s+", "code": r"[^a-z0-9_]+"}
+_TOKEN_PATTERNS = {"whitespace": r"\S+", "code": r"[a-z0-9_]+"}
+
+
+def doc_len_col(content: Column | str, mode: str = "whitespace") -> Column:
+    """Token count WITHOUT materializing the token array — one regexp_count
+    pass. Exactly equals ``size(tokens_col(content, mode))``; used where only
+    the length is needed (docmap pass)."""
+    col = F.col(content) if isinstance(content, str) else content
+    if mode == "code":
+        col = F.lower(col)
+    return F.regexp_count(col, F.lit(_TOKEN_PATTERNS[mode])).cast("long")
 
 
 def tokens_col(content: Column | str, mode: str = "whitespace") -> Column:

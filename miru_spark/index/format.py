@@ -44,6 +44,7 @@ from miru_spark.functions.codecs import (
     pfor_encode,
     varint_decode,
     varint_encode,
+    varint_encode_with_lengths,
 )
 
 BLOCK_SIZE = 128
@@ -51,28 +52,22 @@ BLOCK_SIZE = 128
 
 @dataclass
 class BlockMeta:
-    offset: int
+    off_g: int  # absolute byte offset of this block's gaps in the blob
+    off_t: int  # ... tfs
+    off_d: int  # ... doc_lens
     n: int
     last_docid: int
     max_score: float
 
     def as_dict(self) -> dict:
         return {
-            "offset": self.offset,
+            "off_g": self.off_g,
+            "off_t": self.off_t,
+            "off_d": self.off_d,
             "n": self.n,
             "last_docid": self.last_docid,
             "max_score": self.max_score,
         }
-
-
-def _enc(values: np.ndarray, codec: int) -> bytes:
-    return varint_encode(values) if codec == CODEC_VARINT else pfor_encode(values)
-
-
-def _dec(blob, offset: int, n: int, codec: int):
-    if codec == CODEC_VARINT:
-        return varint_decode(blob, offset, count=n)
-    return pfor_decode(blob, offset)
 
 
 def pack_chunk(
@@ -85,49 +80,97 @@ def pack_chunk(
 ) -> tuple[bytes, list[dict]]:
     """Ascending absolute docIDs (+tf, +doc_len) -> (blob, block metadata).
 
-    ``idf``/``avgdl`` fill in the exact per-block BM25 max-score bound; pass
-    None at segment stage (scores need global stats, only known post-merge).
+    Blob = three whole-chunk streams [gaps][tfs][doc_lens]; per-block byte
+    offsets into each stream are recorded in the metadata, so single blocks
+    decode independently while the encode itself is ONE vectorized pass per
+    stream (no per-block Python loop — this runs in the merge reducers over
+    every posting of the corpus). A block's first gap is the delta from the
+    previous block's last docID, which is just the plain np.diff value, so
+    blocked and unblocked delta streams are bit-identical.
+
+    ``idf``/``avgdl`` fill in the exact per-block BM25 max-score bound
+    (vectorized score + ``np.maximum.reduceat``); pass None when global stats
+    are not yet known.
     """
     assert docids.size == tfs.size == dls.size
-    parts: list[bytes] = []
-    metas: list[dict] = []
-    offset = 0
-    base = 0
-    for s in range(0, docids.size, BLOCK_SIZE):
-        ids = docids[s : s + BLOCK_SIZE]
-        btf = tfs[s : s + BLOCK_SIZE]
-        bdl = dls[s : s + BLOCK_SIZE]
-        gaps = delta_encode(ids, base=base)
-        blk = _enc(gaps, codec) + _enc(btf.astype(np.uint64), codec) + _enc(
-            bdl.astype(np.uint64), codec
-        )
-        max_score = (
-            bm25.max_block_score(btf, idf, bdl, avgdl) if idf is not None else 0.0
-        )
-        metas.append(
-            BlockMeta(offset, int(ids.size), int(ids[-1]), max_score).as_dict()
-        )
-        parts.append(blk)
-        offset += len(blk)
-        base = int(ids[-1])
-    return b"".join(parts), metas
+    nvals = docids.size
+    if nvals == 0:
+        return b"", []
+    gaps = delta_encode(np.ascontiguousarray(docids, dtype=np.uint64))
+    tfs_u = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dls_u = np.ascontiguousarray(dls, dtype=np.uint64)
+    block_starts = np.arange(0, nvals, BLOCK_SIZE, dtype=np.int64)
+    block_ends = np.minimum(block_starts + BLOCK_SIZE, nvals)
+
+    if codec == CODEC_VARINT:
+        g_buf, g_len = varint_encode_with_lengths(gaps)
+        t_buf, t_len = varint_encode_with_lengths(tfs_u)
+        d_buf, d_len = varint_encode_with_lengths(dls_u)
+        g_off = np.concatenate(([0], np.cumsum(g_len)))[block_starts]
+        t_off = np.concatenate(([0], np.cumsum(t_len)))[block_starts]
+        d_off = np.concatenate(([0], np.cumsum(d_len)))[block_starts]
+    else:  # PFOR: self-describing per-block payloads appended per region
+        g_parts, t_parts, d_parts = [], [], []
+        g_off_l, t_off_l, d_off_l = [], [], []
+        go = to = do = 0
+        for s, e in zip(block_starts, block_ends):
+            g_off_l.append(go); t_off_l.append(to); d_off_l.append(do)
+            g = pfor_encode(gaps[s:e]); t = pfor_encode(tfs_u[s:e]); d = pfor_encode(dls_u[s:e])
+            g_parts.append(g); t_parts.append(t); d_parts.append(d)
+            go += len(g); to += len(t); do += len(d)
+        g_buf = b"".join(g_parts); t_buf = b"".join(t_parts); d_buf = b"".join(d_parts)
+        g_off, t_off, d_off = g_off_l, t_off_l, d_off_l
+
+    base_t = len(g_buf)
+    base_d = base_t + len(t_buf)
+    if idf is not None:
+        scores = bm25.score_np(tfs_u, idf, dls_u, avgdl)
+        bmax = np.maximum.reduceat(scores, block_starts)
+    else:
+        bmax = np.zeros(block_starts.size)
+    last = np.ascontiguousarray(docids, dtype=np.int64)[block_ends - 1]
+    metas = [
+        BlockMeta(
+            int(g_off[i]),
+            base_t + int(t_off[i]),
+            base_d + int(d_off[i]),
+            int(block_ends[i] - block_starts[i]),
+            int(last[i]),
+            float(bmax[i]),
+        ).as_dict()
+        for i in range(block_starts.size)
+    ]
+    return g_buf + t_buf + d_buf, metas
+
+
+def _dec(blob, offset: int, n: int, codec: int):
+    if codec == CODEC_VARINT:
+        return varint_decode(blob, offset, count=n)
+    return pfor_decode(blob, offset)
 
 
 def unpack_block(blob, meta: dict, prev_last_docid: int, codec: int):
     """Decode one block -> (docids, tfs, dls) as uint64 arrays."""
-    off = int(meta["offset"])
     n = int(meta["n"])
-    gaps, used = _dec(blob, off, n, codec)
-    off += used
-    tfs, used = _dec(blob, off, n, codec)
-    off += used
-    dls, _ = _dec(blob, off, n, codec)
+    gaps, _ = _dec(blob, int(meta["off_g"]), n, codec)
+    tfs, _ = _dec(blob, int(meta["off_t"]), n, codec)
+    dls, _ = _dec(blob, int(meta["off_d"]), n, codec)
     docids = delta_decode(gaps, base=prev_last_docid)
     return docids, tfs, dls
 
 
 def unpack_chunk(blob, metas: list[dict], codec: int):
-    """Decode a whole chunk -> (docids, tfs, dls)."""
+    """Decode a whole chunk -> (docids, tfs, dls); for varint this is one
+    vectorized decode per stream."""
+    if not metas:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e.copy(), e.copy()
+    total = sum(int(m["n"]) for m in metas)
+    if codec == CODEC_VARINT:
+        gaps, _ = varint_decode(blob, int(metas[0]["off_g"]), count=total)
+        tfs, _ = varint_decode(blob, int(metas[0]["off_t"]), count=total)
+        dls, _ = varint_decode(blob, int(metas[0]["off_d"]), count=total)
+        return delta_decode(gaps), tfs, dls
     ids_l, tf_l, dl_l = [], [], []
     prev = 0
     for m in metas:
@@ -136,9 +179,6 @@ def unpack_chunk(blob, metas: list[dict], codec: int):
         tf_l.append(tfs)
         dl_l.append(dls)
         prev = int(m["last_docid"])
-    if not ids_l:
-        e = np.empty(0, dtype=np.uint64)
-        return e, e.copy(), e.copy()
     return np.concatenate(ids_l), np.concatenate(tf_l), np.concatenate(dl_l)
 
 

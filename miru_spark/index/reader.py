@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from miru_spark.functions import bm25
 from miru_spark.index.format import unpack_block, unpack_chunk
-from miru_spark.index.writer import N_TERM_PREFIX_BUCKETS
+from miru_spark.index.writer import term_pref_py
 
 
 @dataclass
@@ -49,20 +49,7 @@ class IndexReader:
     def postings_df(self, terms: list[str] | None = None) -> DataFrame:
         df = self.spark.read.parquet(f"{self.index_path}/postings")
         if terms is not None:
-            prefs = sorted(
-                {
-                    r["p"]
-                    for r in self.spark.createDataFrame(
-                        [(t,) for t in terms], "term string"
-                    )
-                    .select(
-                        F.pmod(F.xxhash64("term"), F.lit(N_TERM_PREFIX_BUCKETS))
-                        .cast("int")
-                        .alias("p")
-                    )
-                    .collect()
-                }
-            )
+            prefs = sorted({term_pref_py(t) for t in terms})
             df = df.filter(F.col("term_pref").isin(prefs) & F.col("term").isin(terms))
         return df
 
@@ -74,13 +61,26 @@ class IndexReader:
 
     # ------------------------------------------------------- driver fetch --
     def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings]:
-        """Collect the (few) chunk rows for the query terms to the driver.
-
-        For a q-term query this is q * n_buckets rows; bounded by
-        target_chunk postings per row. Use plans.search.search_distributed
-        for workloads where even that is too big to collect.
+        """Fetch the (few) chunk rows for the query terms — WITHOUT a Spark
+        job: a direct pyarrow dataset read of only the pruned term_pref
+        directories with a pushed-down ``term IN`` filter. This is the
+        low-latency serving path (p50 is milliseconds, not a Spark job);
+        at cluster scale the same read hits only the matching parquet
+        files+row-groups via their term min/max stats. Use
+        plans.search.search_distributed when a query's chunk rows are too
+        big to hold on one node.
         """
-        rows = self.postings_df(terms).collect()
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        prefs = sorted({term_pref_py(t) for t in terms})
+        dset = pads.dataset(
+            f"{self.index_path}/postings", format="parquet", partitioning="hive"
+        )
+        tbl = dset.to_table(
+            filter=pc.field("term_pref").isin(prefs) & pc.field("term").isin(terms)
+        )
+        rows = tbl.to_pylist()
         out: dict[str, TermPostings] = {}
         for r in sorted(rows, key=lambda r: (r["term"], r["bucket"])):
             tp = out.get(r["term"])
@@ -96,7 +96,10 @@ class IndexReader:
         """Full decode -> (docids, tfs, dls) across chunks (exhaustive path)."""
         ids, tfs, dls = [], [], []
         for r in tp.chunks:
-            i, t, d = unpack_chunk(r["blob"], [b.asDict() for b in r["blocks"]], int(r["codec"]))
+            metas = [
+                b.asDict() if hasattr(b, "asDict") else dict(b) for b in r["blocks"]
+            ]
+            i, t, d = unpack_chunk(r["blob"], metas, int(r["codec"]))
             ids.append(i)
             tfs.append(t)
             dls.append(d)

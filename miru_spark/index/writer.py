@@ -37,19 +37,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from miru_spark.functions.codecs import CODEC_VARINT
-from miru_spark.operators.docmap import docmap_of, normalize_corpus
-from miru_spark.operators.merge import (
-    DEFAULT_TARGET_CHUNK,
-    corpus_stats_row,
-    merge_segments,
-)
+from miru_spark.operators.docmap import docmap_direct
+from miru_spark.operators.merge import DEFAULT_TARGET_CHUNK, merge_segments
 from miru_spark.operators.segments import build_segments
 
 N_TERM_PREFIX_BUCKETS = 64
 
 
 def term_pref_col(term):
-    return F.pmod(F.xxhash64(term), F.lit(N_TERM_PREFIX_BUCKETS)).cast("int")
+    """crc32(term) % NB — chosen because zlib.crc32 computes the identical
+    value driver-side, letting the query path prune partitions without
+    launching a Spark job."""
+    return F.pmod(F.crc32(term.cast("binary")), F.lit(N_TERM_PREFIX_BUCKETS)).cast(
+        "int"
+    )
+
+
+def term_pref_py(term: str) -> int:
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % N_TERM_PREFIX_BUCKETS
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
@@ -79,9 +86,24 @@ def build_index(
 ) -> dict:
     """Full build pipeline (SURVEY.md section 3.1). Returns the manifest."""
     t0 = time.time()
-    norm = normalize_corpus(corpus, tokenizer).persist()
-    stats = corpus_stats_row(norm)
-    n_docs = stats["n_docs"]
+    timings: dict[str, float] = {}
+
+    def mark(name: str, since: list[float]) -> None:
+        now = time.time()
+        timings[name] = round(now - since[0], 3)
+        since[0] = now
+
+    tick = [t0]
+    # No persist of a normalized corpus: this pipeline is memory-bandwidth-
+    # bound, and materializing a tokens+sha cache costs more traffic than the
+    # two cheap passes it would save. Pass 1 (segments) shuffles raw content
+    # by logical partition and tokenizes post-shuffle; pass 2 (docmap) is a
+    # shuffle-free projection. Corpus stats derive from segment aggregates.
+    from miru_spark.schema import assign_doc_ids
+
+    corpus = assign_doc_ids(corpus)
+    n_docs = corpus.count()  # parquet rowcount pushdown: metadata-only
+    mark("normalize_stats", tick)
 
     docs_per_part = max(1, -(-n_docs // num_partitions))
     committed: set[int] = set()
@@ -95,9 +117,9 @@ def build_index(
             if seg.get("status") == "COMMITTED"
         }
 
-    to_build = norm
+    to_build = corpus
     if committed:
-        to_build = norm.filter(
+        to_build = corpus.filter(
             ~((F.col("doc_id") / F.lit(docs_per_part)).cast("long")).isin(
                 [int(p) for p in committed]
             )
@@ -113,14 +135,18 @@ def build_index(
                 pid = int(d.split("=", 1)[1])
                 if pid not in committed:
                     shutil.rmtree(f"{seg_path}/{d}", ignore_errors=True)
-    n_new = to_build.count()
+    n_new = to_build.count() if committed else n_docs
+    mark("resume_filter_count", tick)
     if n_new > 0:
-        segments_new = build_segments(to_build, num_partitions, n_docs=n_docs)
+        segments_new = build_segments(
+            to_build, num_partitions, n_docs=n_docs, tokenizer=tokenizer
+        )
         (
             segments_new.write.mode("append" if committed else "overwrite")
             .partitionBy("partition_id")
             .parquet(seg_path)
         )
+    mark("segments_write", tick)
     build_secs = time.time() - t0
 
     # lineage + metrics per logical partition, from the durable segment files
@@ -144,6 +170,10 @@ def build_index(
         )
         .collect()
     }
+    n_tokens = sum(p["n_tokens"] for p in part_stats.values())
+    avgdl = n_tokens / max(n_docs, 1)
+    stats = {"n_docs": n_docs, "avgdl": avgdl, "n_tokens": n_tokens}
+    mark("manifest_agg", tick)
 
     # merge -> final postings, directory-partitioned by term prefix
     merged = merge_segments(
@@ -157,15 +187,18 @@ def build_index(
     merged.write.mode("overwrite").partitionBy("term_pref").parquet(
         f"{index_path}/postings"
     )
+    mark("merge_write", tick)
 
     # global df + docmap
     segments.groupBy("term").agg(F.sum("df_local").alias("df")).write.mode(
         "overwrite"
     ).parquet(f"{index_path}/df")
-    docmap_of(norm).repartitionByRange(max(1, num_partitions // 4), "doc_id").sortWithinPartitions(
-        "doc_id"
-    ).write.mode("overwrite").parquet(f"{index_path}/docmap")
-    norm.unpersist()
+    # pass 2: docmap — shuffle-free projection (sha256 in Arrow workers,
+    # doc_len via one regexp_count), written as scanned
+    docmap_direct(corpus, tokenizer).write.mode("overwrite").parquet(
+        f"{index_path}/docmap"
+    )
+    mark("df_docmap_write", tick)
 
     total_secs = time.time() - t0
     stats_out = dict(
@@ -192,6 +225,7 @@ def build_index(
             "build_secs": round(total_secs, 3),
             "segment_secs": round(build_secs, 3),
             "docs_per_sec": round(n_docs / total_secs, 2) if total_secs else None,
+            "stage_secs": timings,
             "resumed_partitions": sorted(committed),
             "built_docs": int(n_new),
         },

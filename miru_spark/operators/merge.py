@@ -50,7 +50,9 @@ CHUNK_SCHEMA = T.StructType(
             T.ArrayType(
                 T.StructType(
                     [
-                        T.StructField("offset", T.LongType(), False),
+                        T.StructField("off_g", T.LongType(), False),
+                        T.StructField("off_t", T.LongType(), False),
+                        T.StructField("off_d", T.LongType(), False),
                         T.StructField("n", T.LongType(), False),
                         T.StructField("last_docid", T.LongType(), False),
                         T.StructField("max_score", T.DoubleType(), False),

@@ -23,7 +23,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
+
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,73 +52,130 @@ _ARROW_SEGMENT = pa.schema(
 )
 
 
-def _build_segments(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    """One call per Spark partition. Accumulate exploded (pid, term, doc)
-    counts across batches, then emit one row per (pid, term)."""
-    frames: list[pd.DataFrame] = []
-    for batch in batches:
-        tokens = batch.column("tokens")
-        if isinstance(tokens, pa.ChunkedArray):
-            tokens = tokens.combine_chunks()
-        flat = tokens.flatten()
-        # token i belongs to the row whose list covers position i
-        offsets = np.asarray(tokens.offsets)
-        counts = np.diff(offsets)
-        doc_ids = np.repeat(np.asarray(batch.column("doc_id")), counts)
-        pids = np.repeat(np.asarray(batch.column("partition_id")), counts)
-        dls = np.repeat(np.asarray(batch.column("doc_len")), counts)
-        frames.append(
-            pd.DataFrame(
-                {
-                    "pid": pids,
-                    "term": flat.to_pandas(),
-                    "doc_id": doc_ids,
-                    "dl": dls,
-                }
-            )
-        )
-    if not frames:
-        yield pa.RecordBatch.from_pylist([], schema=_ARROW_SEGMENT)
-        return
-    tok = pd.concat(frames, ignore_index=True)
-    tf = (
-        tok.groupby(["pid", "term", "doc_id"], sort=True)
-        .agg(tf=("dl", "size"), dl=("dl", "first"))
-        .reset_index()
-    )
-    rows: dict[str, list] = {"term": [], "partition_id": [], "df_local": [], "n_tokens": [], "blob": []}
-    # per (pid, term): docids already ascending thanks to sort=True groupby
-    for (pid, term), g in tf.groupby(["pid", "term"], sort=True):
-        docids = g["doc_id"].to_numpy(dtype=np.uint64)
-        tfs = g["tf"].to_numpy(dtype=np.uint64)
-        dls_a = g["dl"].to_numpy(dtype=np.uint64)
-        rows["term"].append(term)
-        rows["partition_id"].append(int(pid))
-        rows["df_local"].append(int(docids.size))
-        rows["n_tokens"].append(int(tfs.sum()))
-        rows["blob"].append(seg_pack(docids, tfs, dls_a))
-    yield pa.RecordBatch.from_pydict(rows, schema=_ARROW_SEGMENT)
+def _make_segment_builder(docs_per_part: int):
+    def _build_segments(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        """One call per Spark partition. Fully vectorized: Arrow
+        dictionary-encodes tokens to int32 codes, then one numpy lexsort +
+        run-length pass replaces any hash-based groupby (no object-dtype
+        pandas in the hot path — this stage touches every token of the
+        corpus)."""
+        tok_chunks: list[pa.Array] = []
+        docid_per_tok: list[np.ndarray] = []
+        doc_chunks: list[np.ndarray] = []
+        dl_chunks: list[np.ndarray] = []
+        for batch in batches:
+            tokens = batch.column("tokens")
+            if isinstance(tokens, pa.ChunkedArray):
+                tokens = tokens.combine_chunks()
+            counts = np.diff(np.asarray(tokens.offsets))
+            d = np.asarray(batch.column("doc_id"))
+            tok_chunks.append(tokens.flatten())
+            docid_per_tok.append(np.repeat(d, counts))
+            doc_chunks.append(d)
+            dl_chunks.append(np.asarray(batch.column("doc_len")))
+        if not tok_chunks:
+            yield pa.RecordBatch.from_pylist([], schema=_ARROW_SEGMENT)
+            return
+        dict_arr = pa.chunked_array(tok_chunks).combine_chunks().dictionary_encode()
+        codes = np.asarray(dict_arr.indices)  # int32 — keep narrow, this stage
+        doc_ids = np.concatenate(docid_per_tok)  # is memory-bandwidth-bound
+        terms = dict_arr.dictionary.to_pylist()
+        # per-doc doc_len lookup table (sorted by doc_id) — doc_len is NOT
+        # materialized per token
+        doc_u = np.concatenate(doc_chunks)
+        dl_u = np.concatenate(dl_chunks)
+        du_order = np.argsort(doc_u)
+        doc_u, dl_u = doc_u[du_order], dl_u[du_order]
+
+        lo = int(doc_ids.min())
+        span = int(doc_ids.max()) - lo + 1
+        n_codes = int(codes.max()) + 1
+        nbins = n_codes * span
+        if nbins <= max(4 * doc_ids.size, 1 << 22):
+            # bincount path: O(n + bins), no sort at all. Bin order is
+            # code-major then doc ascending — exactly posting order.
+            key = codes.astype(np.int64) * span + (doc_ids - lo)
+            counts_b = np.bincount(key, minlength=nbins)
+            nz = np.flatnonzero(counts_b)
+            tf = counts_b[nz]
+            p_code = nz // span
+            p_doc = nz % span + lo
+        else:
+            # general path: one fused-key argsort (or 2-key lexsort) +
+            # run-length. Sorting by (code, doc_id) suffices: pid is
+            # monotone in doc_id, so pid runs stay contiguous per code.
+            if nbins < (1 << 62):
+                order = np.argsort(
+                    codes.astype(np.int64) * span + (doc_ids - lo), kind="stable"
+                )
+            else:
+                order = np.lexsort((doc_ids, codes))
+            codes_s, doc_s = codes[order], doc_ids[order]
+            change = np.empty(doc_s.size, dtype=bool)
+            change[0] = True
+            np.logical_or(np.diff(doc_s) != 0, np.diff(codes_s) != 0, out=change[1:])
+            starts = np.flatnonzero(change)
+            tf = np.diff(np.append(starts, doc_s.size))
+            p_doc, p_code = doc_s[starts], codes_s[starts].astype(np.int64)
+        p_pid = p_doc // docs_per_part
+        p_dl = dl_u[np.searchsorted(doc_u, p_doc)]
+        # posting-list boundaries at any (code, pid) change
+        pchange = np.empty(p_doc.size, dtype=bool)
+        pchange[0] = True
+        np.logical_or(np.diff(p_code) != 0, np.diff(p_pid) != 0, out=pchange[1:])
+        pl_starts = np.flatnonzero(pchange)
+        pl_ends = np.append(pl_starts[1:], p_doc.size)
+
+        rows: dict[str, list] = {
+            "term": [], "partition_id": [], "df_local": [], "n_tokens": [], "blob": [],
+        }
+        for s, e in zip(pl_starts, pl_ends):
+            docids = p_doc[s:e].astype(np.uint64)
+            tfs = tf[s:e].astype(np.uint64)
+            rows["term"].append(terms[p_code[s]])
+            rows["partition_id"].append(int(p_pid[s]))
+            rows["df_local"].append(int(e - s))
+            rows["n_tokens"].append(int(tfs.sum()))
+            rows["blob"].append(seg_pack(docids, tfs, p_dl[s:e].astype(np.uint64)))
+        yield pa.RecordBatch.from_pydict(rows, schema=_ARROW_SEGMENT)
+
+    return _build_segments
 
 
 def build_segments(
-    normalized: DataFrame, num_partitions: int, n_docs: int | None = None
+    corpus_with_ids: DataFrame,
+    num_partitions: int,
+    n_docs: int,
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
-    """normalized corpus (doc_id, tokens, doc_len, ...) -> segment rows.
+    """corpus (doc_id, content, ...) -> segment rows.
 
     ``partition_id = doc_id // ceil(n_docs / num_partitions)`` — deterministic,
-    contiguous, ordered. Physically repartitions by pid so each logical
-    partition's postings are built by a single task (locality for the
-    checkpoint unit), but correctness does not depend on it.
+    contiguous, ordered. The ONE shuffle of this stage moves raw ``content``
+    (2-3x smaller than materialized token arrays); tokenization happens
+    post-shuffle, pipelined into the Arrow crossing, so token arrays never
+    hit the shuffle files or a cache — this stage is memory-bandwidth-bound
+    and bytes moved is the scaling ceiling.
+
+    Hash-partitioned on pid (NOT range: the range partitioner's sampling
+    pass would re-scan the whole corpus including content). Choose
+    ``num_partitions`` of ~4x the core count: hash collisions then average
+    out across task waves instead of creating stragglers, and the
+    checkpoint/resume unit gets finer. Correctness never depends on physical
+    partitioning — the builder groups by pid internally.
     """
-    if n_docs is None:
-        n_docs = normalized.count()
+    from miru_spark.functions.tokenize import tokens_col
+
     docs_per_part = max(1, -(-n_docs // num_partitions))
-    with_pid = normalized.select(
+    with_pid = corpus_with_ids.select(
         "doc_id",
         (F.col("doc_id") / F.lit(docs_per_part)).cast("long").alias("partition_id"),
-        "tokens",
-        "doc_len",
+        "content",
     )
-    return with_pid.repartition(num_partitions, "partition_id").mapInArrow(
-        _build_segments, SEGMENT_SCHEMA
+    toks = tokens_col("content", tokenizer)
+    return (
+        with_pid.repartition(num_partitions, "partition_id")
+        .select("doc_id", toks.alias("tokens"))
+        .withColumn("doc_len", F.size("tokens").cast("long"))
+        .mapInArrow(_make_segment_builder(docs_per_part), SEGMENT_SCHEMA)
     )

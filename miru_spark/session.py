@@ -54,3 +54,28 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, n: int | None = None) -> None:
+    """Pre-fork one Arrow-capable Python worker per core so the first real
+    vectorized stage doesn't pay n concurrent numpy/pandas imports (a real
+    effect at local[32]; on a cluster each executor warms independently)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    if n is None:
+        n = spark.sparkContext.defaultParallelism
+
+    def _touch(it):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        yield from it
+
+    (
+        spark.range(n * 4, numPartitions=n)
+        .withColumn("x", F.col("id") * 2)
+        .mapInArrow(_touch, "id long, x long")
+        .count()
+    )
