@@ -1,0 +1,332 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all Spark-first (SURVEY.md's training-data mandate):
+
+* exact      — hash-groupBy on content sha256; one shuffle of (hash, doc_id).
+* ngram      — exact token-3-gram Jaccard via a shingle self-join;
+               quadratic in co-shingled docs, the small-scale ground truth.
+* minhash    — MinHash + LSH banding: per-doc signatures (vectorized
+               ``np.minimum.reduceat`` over xxhash64 shingle hashes), band
+               buckets, candidate pairs, exact-Jaccard verification of
+               candidates only. The 100TB-scale path: no quadratic stage
+               ever materializes; bucket sizes bound the pair blow-up.
+* simhash    — 64-bit SimHash fingerprints (vectorized bit-sum), banded into
+               four 16-bit chunks for candidate generation, verified by
+               ``bit_count(xor)`` hamming distance — JVM-side popcount.
+
+Shingle definition shared by all tiers: token 3-grams joined by one space,
+docs with <3 tokens excluded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MINHASH_PERMS = 64
+MINHASH_BANDS = 16  # x 4 rows/band
+_MERSENNE = (1 << 61) - 1
+
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4  # 16 bits each
+
+
+def tokens(col):
+    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+
+def shingles_col(toks):
+    """array of token-3-gram strings (0-based Spark array indexing)."""
+    idx = F.sequence(F.lit(0), F.size(toks) - 3)
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2])
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles_col(tokens(F.col(text_col)))).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------ exact --
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical docs: (keep_doc_id, n_dups, doc_ids)."""
+    h = F.sha2(F.col(text_col), 256)
+    return (
+        docs.select(h.alias("h"), F.col("doc_id"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the smallest doc_id per identical content."""
+    from pyspark.sql.window import Window
+
+    h = F.sha2(F.col(text_col), 256)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        docs.withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("h", "rk")
+    )
+
+
+# ------------------------------------------------------------ exact jaccard --
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, round_digits: int = 6
+) -> DataFrame:
+    """All doc pairs with token-3-gram Jaccard >= threshold (exact).
+
+    Shingle self-join — the ground-truth twin for MinHash. Quadratic in
+    docs-per-shingle; at scale use ``minhash_lsh_pairs`` (this operator's
+    own verify stage reuses the same Jaccard definition).
+    """
+    sh = doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", F.round(jac, round_digits).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_oracle_sql(threshold: float = 0.5, round_digits: int = 6) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                      for i in range(1, len(ts) - 1)]) AS shingle
+       FROM toks WHERE len(ts) >= 3),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), {round_digits}) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), {round_digits}) >= {threshold}
+ORDER BY doc_a, doc_b
+""".strip()
+
+
+# ---------------------------------------------------------------- minhash --
+
+def _perm_coeffs(n_perms: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_perms, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n_perms, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame, n_perms: int = MINHASH_PERMS, seed: int = 42
+) -> DataFrame:
+    """(doc_id, sig: array<long>[n_perms]) — xxhash64 shingle hashes JVM-side,
+    then vectorized per-doc minima over all permutations via
+    ``np.minimum.reduceat`` in coarse applyInPandas groups (no per-doc task,
+    no per-row Python)."""
+    a_co, b_co = _perm_coeffs(n_perms, seed)
+    sh = doc_shingles(docs).select(
+        "doc_id", F.xxhash64("shingle").alias("h"), F.pmod(F.col("doc_id"), F.lit(64)).alias("grp")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def sigs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
+        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
+        doc_ids = doc[starts]
+        rows = np.empty((doc_ids.size, a_co.size), dtype=np.int64)
+        for j in range(a_co.size):
+            hv = (a_co[j] * h + b_co[j]) % np.uint64(_MERSENNE)
+            rows[:, j] = np.minimum.reduceat(hv, starts).astype(np.int64)
+        return pd.DataFrame({"doc_id": doc_ids, "sig": list(rows)})
+
+    return sh.groupBy("grp").applyInPandas(sigs, out_schema)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_perms: int = MINHASH_PERMS,
+    n_bands: int = MINHASH_BANDS,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    Stages: signatures -> band buckets (xxhash64 of band slice, JVM-side) ->
+    same-bucket candidate pairs (distinct) -> exact Jaccard on candidates
+    ONLY (shingle-set join restricted by a semi-join). Output identical to
+    ``ngram_jaccard_pairs`` restricted to LSH-recalled pairs.
+    """
+    rows_per_band = n_perms // n_bands
+    sig = minhash_signatures(docs, n_perms, seed)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda band: F.xxhash64(
+                    band, F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band_idx", "bucket"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification restricted to candidates
+    sh = doc_shingles(docs)
+    cand_docs = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select("doc_b")
+    ).distinct()
+    sh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("doc_b"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, round_digits).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------- simhash --
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint:long) — 64-bit SimHash over tf-weighted xxhash64
+    token hashes; bit sums vectorized per coarse group."""
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .select(
+            "doc_id",
+            F.xxhash64("term").alias("h"),
+            "tf",
+            F.pmod(F.col("doc_id"), F.lit(64)).alias("grp"),
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("fingerprint", T.LongType()),
+        ]
+    )
+
+    def fp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
+        w = pdf["tf"].to_numpy(dtype=np.float64)
+        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.float64
+        )
+        contrib = (bits * 2.0 - 1.0) * w[:, None]
+        sums = np.add.reduceat(contrib, starts, axis=0)
+        fps = (sums > 0).astype(np.uint64)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        vals = (fps * weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
+        return pd.DataFrame({"doc_id": doc[starts], "fingerprint": vals})
+
+    return tf.groupBy("grp").applyInPandas(fp, out_schema)
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs sharing any 16-bit fingerprint chunk, verified with
+    JVM-side ``bit_count(a ^ b) <= max_hamming``."""
+    fp = simhash_fingerprints(docs)
+    chunks = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_CHUNKS - 1}), "
+                "c -> shiftright(fingerprint, c * 16) & 65535)"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    x, y = chunks.alias("x"), chunks.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.expr("bit_count(x.fingerprint ^ y.fingerprint)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,8 +1,199 @@
-"""Training-data pipeline operator suite: dedup, similarity search, text
-analysis, multimodal plumbing. Populated as operators land."""
+"""Driver registry entries for the training-data pipeline operators.
+
+Oracle-checked where ANSI SQL can express the semantics (exact dedup, exact
+n-gram Jaccard, brute-force cosine, quality features, frame sampling);
+rows-only for the randomized-but-seeded approximate structures (MinHash,
+SimHash, LSH, IVF) whose guarantees are covered by dedicated pytest
+properties instead (recall vs the exact twin, determinism across runs).
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+# ---- dedup ----------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    from miru_spark.pipeline.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf)).select(
+        "keep_doc_id", "n_docs"
+    ).orderBy("keep_doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+FROM documents GROUP BY sha256(text) HAVING COUNT(*) > 1 ORDER BY keep_doc_id
+"""
+
+
+def q_dedup_exact_keep(spark, sf):
+    from miru_spark.pipeline.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf)).select("doc_id").orderBy("doc_id")
+
+
+SQL_DEDUP_EXACT_KEEP = """
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rk
+  FROM documents
+) WHERE rk = 1 ORDER BY doc_id
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    from miru_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.12)
+
+
+def sql_dedup_ngram_jaccard():
+    from miru_spark.pipeline.dedup import ngram_jaccard_oracle_sql
+
+    return ngram_jaccard_oracle_sql(threshold=0.12)
+
+
+def q_dedup_minhash(spark, sf):
+    from miru_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf), threshold=0.12)
+
+
+def q_dedup_simhash(spark, sf):
+    from miru_spark.pipeline.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf), max_hamming=10)
+
+
+# ---- similarity -----------------------------------------------------------
+
+_QUERY_VEC: dict[str, list[float]] = {}
+
+
+def _query_vec(spark, sf) -> list[float]:
+    if sf not in _QUERY_VEC:
+        row = _emb(spark, sf).filter(F.col("vec_id") == 0).collect()[0]
+        _QUERY_VEC[sf] = [float(x) for x in row["embedding"]]
+    return _QUERY_VEC[sf]
+
+
+# query vector = vec_id 0's embedding, resolved inside the SQL itself so the
+# oracle stays a static string for any sf_dir
+SQL_ANN_BRUTE = """
+SELECT vec_id,
+       ROUND(list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cos
+FROM embeddings ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_ann_brute(spark, sf):
+    from miru_spark.pipeline.similarity import cosine_topk_bruteforce
+
+    return cosine_topk_bruteforce(_emb(spark, sf), _query_vec(spark, sf), k=10)
+
+
+def sql_ann_brute(spark, sf):
+    from miru_spark.pipeline.similarity import cosine_topk_oracle_sql
+
+    return cosine_topk_oracle_sql(_query_vec(spark, sf), k=10)
+
+
+def q_cosine_pairs(spark, sf):
+    from miru_spark.pipeline.similarity import cosine_near_pairs
+
+    return cosine_near_pairs(_emb(spark, sf), threshold=0.5)
+
+
+def q_ann_lsh(spark, sf):
+    from miru_spark.pipeline.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
+
+
+def q_ann_ivf(spark, sf):
+    from miru_spark.pipeline.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
+
+
+# ---- text analysis --------------------------------------------------------
+
+def q_text_quality(spark, sf):
+    from miru_spark.pipeline.textqual import text_quality
+
+    return text_quality(_docs(spark, sf))
+
+
+def q_token_stats(spark, sf):
+    from miru_spark.pipeline.textqual import token_stats
+
+    return token_stats(_docs(spark, sf))
+
+
+def q_lang_id(spark, sf):
+    from miru_spark.pipeline.textqual import lang_id
+
+    return lang_id(_docs(spark, sf)).orderBy("doc_id")
+
+
+def q_winnow_pairs(spark, sf):
+    from miru_spark.pipeline.textqual import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(_docs(spark, sf), min_shared=2)
+
+
+# ---- multimodal -----------------------------------------------------------
+
+def q_media_features(spark, sf):
+    from miru_spark.pipeline.multimodal import extract_features, synthesize_media
+
+    return (
+        extract_features(synthesize_media(_docs(spark, sf)))
+        .select("media_id", "width", "height", "mean_px")
+        .orderBy("media_id")
+    )
+
+
+def q_frame_sample(spark, sf):
+    from miru_spark.pipeline.multimodal import frame_sample, videos_from_events
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return frame_sample(videos_from_events(ev), every_k=10)
+
+
+def sql_frame_sample():
+    from miru_spark.pipeline.multimodal import frame_sample_oracle_sql
+
+    return frame_sample_oracle_sql(every_k=10)
+
 
 def register_all(register) -> None:
-    pass
+    from miru_spark.pipeline.textqual import TOKEN_STATS_SQL, text_quality_oracle_sql
+    from miru_spark.pipeline.similarity import cosine_near_pairs_oracle_sql
+
+    register("pipe_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT)
+    register("pipe_dedup_exact_keep", q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP)
+    register("pipe_dedup_ngram_jaccard", q_dedup_ngram_jaccard, sql_dedup_ngram_jaccard())
+    register("pipe_dedup_minhash_lsh", q_dedup_minhash, None)
+    register("pipe_dedup_simhash", q_dedup_simhash, None)
+    register("pipe_ann_cosine_brute", q_ann_brute, SQL_ANN_BRUTE)
+    register("pipe_cosine_near_pairs", q_cosine_pairs, cosine_near_pairs_oracle_sql(0.5))
+    register("pipe_ann_lsh", q_ann_lsh, None)
+    register("pipe_ann_ivf", q_ann_ivf, None)
+    register("pipe_text_quality", q_text_quality, text_quality_oracle_sql())
+    register("pipe_token_stats", q_token_stats, TOKEN_STATS_SQL)
+    register("pipe_lang_id", q_lang_id, None)
+    register("pipe_winnow_pairs", q_winnow_pairs, None)
+    register("pipe_media_features", q_media_features, None)
+    register("pipe_frame_sample", q_frame_sample, sql_frame_sample())

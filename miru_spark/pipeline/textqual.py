@@ -1,0 +1,183 @@
+"""Text analysis operators: quality scoring, token stats, language ID,
+document fingerprinting (winnowing).
+
+Quality metrics stay entirely in JVM built-ins (regexp_count / length /
+split) — SQL-oracle-checkable. Language ID and winnowing are vectorized
+pandas UDFs (rows-only checks + dedicated pytest properties).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STOPWORDS = ("the", "a")  # the corpus's function words (highest-df terms)
+
+
+def text_quality(docs: DataFrame, round_digits: int = 6) -> DataFrame:
+    """Per-doc quality features + a pinned composite score, all built-ins."""
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_tokens = F.regexp_count(text, F.lit(r"\S+"))
+    n_stop = sum(
+        (F.regexp_count(text, F.lit(rf"\b{w}\b")) for w in STOPWORDS),
+        F.lit(0),
+    )
+    n_digits = F.regexp_count(text, F.lit(r"[0-9]"))
+    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    avg_tok_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars minus spaces
+    stop_ratio = n_stop / n_tokens
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(n_digits / n_chars * 10.0, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(n_punct / n_chars * 10.0, F.lit(1.0))) * 0.1
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_tok_len, round_digits).alias("avg_token_len"),
+        F.round(stop_ratio, round_digits).alias("stopword_ratio"),
+        F.round(score, round_digits).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def text_quality_oracle_sql(round_digits: int = 6) -> str:
+    stop_expr = " + ".join(
+        rf"len(regexp_extract_all(text, '\b{w}\b'))" for w in STOPWORDS
+    )
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         {stop_expr} AS n_stop,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+  FROM documents)
+SELECT doc_id, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND((n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE), {round_digits}) AS avg_token_len,
+       ROUND(n_stop / CAST(n_tokens AS DOUBLE), {round_digits}) AS stopword_ratio,
+       ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4
+             + LEAST(n_stop / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.3
+             + (1.0 - LEAST(n_digits / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.2
+             + (1.0 - LEAST(n_punct / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.1,
+             {round_digits}) AS quality_score
+FROM feats ORDER BY doc_id
+""".strip()
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Corpus token-count histogram in buckets of 10 tokens."""
+    n_tokens = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    return (
+        docs.select((F.floor(n_tokens / 10) * 10).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+TOKEN_STATS_SQL = r"""
+SELECT CAST(FLOOR(len(regexp_extract_all(text, '\S+')) / 10) * 10 AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY bucket ORDER BY bucket
+"""
+
+
+# ------------------------------------------------------------- language ID --
+
+# character-trigram profiles per language; tiny pinned tables (a real system
+# ships learned profiles — same plumbing, richer data)
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "ing", " th", "he "),
+    "de": ("der", "sch", "ein", "ich", "und"),
+    "es": ("que", "ión", " de", "los", "nte"),
+    "fr": ("les", "ent", " de", "ion", "que"),
+    "zh": ("的", "是", "了", "在", "有"),
+}
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, confidence) via n-gram-profile hit rates —
+    vectorized pandas str ops, one pass per profile."""
+    profiles = _LANG_PROFILES
+
+    @F.pandas_udf("pred_lang string, confidence double")
+    def lid(text: pd.Series) -> pd.DataFrame:
+        lower = text.str.lower()
+        n = lower.str.len().clip(lower=1)
+        scores = {}
+        for lang, grams in profiles.items():
+            s = None
+            for g in grams:
+                c = lower.str.count(__import__("re").escape(g))
+                s = c if s is None else s + c
+            scores[lang] = s / n
+        M = pd.DataFrame(scores)
+        pred = M.idxmax(axis=1)
+        conf = M.max(axis=1)
+        pred = pred.where(conf > 0, "unknown")
+        return pd.DataFrame({"pred_lang": pred, "confidence": conf.round(6)})
+
+    return docs.select("doc_id", lid(F.col(text_col)).alias("r")).select(
+        "doc_id", "r.pred_lang", "r.confidence"
+    )
+
+
+# ------------------------------------------------------------- winnowing ---
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 4, window: int = 5
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 — the
+    classic MOSS scheme): rolling hash of k-grams of tokens, keep the min
+    hash of every ``window`` consecutive k-gram hashes, dedupe. Vectorized:
+    sliding-window minimum via a strided reshape per doc."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def winnow(text: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for t in text:
+            toks = t.split()
+            if len(toks) < k:
+                out.append([])
+                continue
+            hashes = np.array(
+                [
+                    zlib.crc32(" ".join(toks[i : i + k]).encode())
+                    for i in range(len(toks) - k + 1)
+                ],
+                dtype=np.int64,
+            )
+            if hashes.size <= window:
+                out.append([int(hashes.min())])
+                continue
+            sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
+            mins = sw.min(axis=1)
+            out.append(sorted(set(int(x) for x in mins)))
+        return pd.Series(out)
+
+    return docs.select("doc_id", winnow(F.col("text")).alias("fingerprints"))
+
+
+def winnow_overlap_pairs(docs: DataFrame, min_shared: int = 2) -> DataFrame:
+    """Doc pairs sharing >= min_shared winnowed fingerprints (plagiarism-
+    detection join shape: explode -> equi-join on fingerprint)."""
+    fps = winnow_fingerprints(docs).select(
+        "doc_id", F.explode("fingerprints").alias("fp")
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )

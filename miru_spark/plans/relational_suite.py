@@ -1,12 +1,663 @@
 """Tier-B relational operator suite (SURVEY.md section 2, B1-B26).
 
-Each entry exercises one relational operator the engine itself uses somewhere
-in the index pipeline, expressed over the driver's TPC-H-ish tables, with an
-exactly-matching DuckDB oracle. Populated incrementally.
+One driver-checked query per relational operator family the engine itself
+uses somewhere in the index pipeline, over the TPC-H-ish driver tables, each
+with an exactly-matching DuckDB oracle.
+
+Floating-point protocol for aggregates (summation order differs between
+engines): round each row's money expression to 4 digits — money inputs have <=2
+decimals, so products of two of them have <=4 and the round is exact identity
+recovery, never a half-case — sum as DECIMAL(18,4) (exact,
+order-independent), cast the total back to double
+(exactly representable — totals << 2^53). Both sides compute bit-identical
+results. Plain double sums are never compared directly.
 """
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-def register_all(register) -> None:  # populated as operators land
-    pass
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def money_sum(col):
+    """Order-independent exact sum of a money expression (see module doc)."""
+    return F.sum(F.round(col, 4).cast("decimal(18,4)")).cast("double")
+
+
+MONEY_SUM_SQL = "CAST(SUM(CAST(ROUND({expr}, 4) AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# B1 projection / column ops
+def q_b01_projection(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 3).alias(
+                "revenue"
+            ),
+        )
+        .filter(F.col("l_orderkey") < 100)
+    )
+
+
+SQL_B01 = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 3) AS revenue
+FROM lineitem WHERE l_orderkey < 100
+"""
+
+
+# B2 filter / predicates
+def q_b02_filter(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount").between(0.02, 0.09))
+        & (F.col("l_quantity") < 24)
+        & F.col("l_returnflag").isin("A", "R")
+    ).agg(F.count("*").alias("n"), money_sum(F.col("l_extendedprice")).alias("total"))
+
+
+SQL_B02 = f"""
+SELECT COUNT(*) AS n, {MONEY_SUM_SQL.format(expr="l_extendedprice")} AS total
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 24
+  AND l_returnflag IN ('A', 'R')
+"""
+
+
+# B3 inner equi-join
+def q_b03_inner_join(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_B03 = f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       {MONEY_SUM_SQL.format(expr="o_totalprice")} AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# B4 broadcast join
+def q_b04_broadcast_join(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum("l_quantity").cast("double").alias("qty"))
+        .orderBy("p_brand")
+    )
+
+
+SQL_B04 = """
+SELECT p_brand, CAST(SUM(l_quantity) AS DOUBLE) AS qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+# B5 left outer join
+def q_b05_outer_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+SQL_B05 = """
+SELECT n_orders, COUNT(*) AS n_customers FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY n_orders ORDER BY n_orders
+"""
+
+
+# B6 left semi / left anti join
+def q_b06_semi_anti(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("with_orders").alias("kind"), "n")
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("without_orders").alias("kind"), "n")
+    return with_orders.unionByName(without)
+
+
+SQL_B06 = """
+SELECT 'with_orders' AS kind, COUNT(*) AS n FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'without_orders' AS kind, COUNT(*) AS n FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# B7 theta / non-equi join condition
+def q_b07_theta_join(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    return (
+        li.join(
+            F.broadcast(p),
+            (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size),
+        )
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+        .orderBy("p_brand")
+    )
+
+
+SQL_B07 = """
+SELECT p_brand, COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+# B8 hash aggregate (TPC-H Q1 shape)
+def q_b08_hash_agg(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_B08 = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       {MONEY_SUM_SQL.format(expr="l_extendedprice")} AS sum_base_price,
+       {MONEY_SUM_SQL.format(expr="l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# B9 distinct / count distinct
+def q_b09_distinct(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    ).orderBy("l_returnflag")
+
+
+SQL_B09 = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# B10 approx count distinct (non-deterministic vs oracle -> rows-only)
+def q_b10_approx_distinct(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    )
+
+
+# B11 rollup
+def q_b11_rollup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("__ALL__")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("__ALL__")).alias("l_linestatus"),
+            "n",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_B11 = """
+SELECT COALESCE(l_returnflag, '__ALL__') AS l_returnflag,
+       COALESCE(l_linestatus, '__ALL__') AS l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# B12 window ranking
+def q_b12_window_rank(spark, sf):
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_custkey", "rk", "o_orderkey")
+        .orderBy("o_custkey", "rk")
+        .limit(500)
+    )
+
+
+SQL_B12 = """
+SELECT o_custkey, rk, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 2 ORDER BY o_custkey, rk LIMIT 500
+"""
+
+
+# B13 window analytic (lag + frame)
+def q_b13_window_lag(spark, sf):
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("prev_price", F.lag("o_totalprice").over(w))
+        .withColumn(
+            "run_cnt",
+            F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("prev_price").isNotNull() & (F.col("o_custkey") < 200))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("prev_price", 3).alias("prev_price"),
+            "run_cnt",
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+SQL_B13 = """
+SELECT o_custkey, o_orderkey, ROUND(prev_price, 3) AS prev_price, run_cnt FROM (
+  SELECT o_custkey, o_orderkey,
+         LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS prev_price,
+         COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt
+  FROM orders
+) WHERE prev_price IS NOT NULL AND o_custkey < 200
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# B14 sort / limit top-k
+def q_b14_topk(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 3).alias("o_totalprice"))
+        .limit(25)
+    )
+
+
+SQL_B14 = """
+SELECT o_orderkey, ROUND(o_totalprice, 3) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+
+# B15 union / intersect / except
+def q_b15_set_ops(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    hi = li.filter(F.col("l_quantity") >= 45).select("l_suppkey")
+    lo = li.filter(F.col("l_quantity") <= 5).select("l_suppkey")
+    both = hi.intersect(lo).select(F.lit("both").alias("kind"), "l_suppkey")
+    only_hi = hi.distinct().exceptAll(lo.distinct()).select(
+        F.lit("only_hi").alias("kind"), "l_suppkey"
+    )
+    return both.unionByName(only_hi).orderBy("kind", "l_suppkey")
+
+
+SQL_B15 = """
+SELECT 'both' AS kind, l_suppkey FROM
+  (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 45
+   INTERSECT
+   SELECT l_suppkey FROM lineitem WHERE l_quantity <= 5)
+UNION ALL
+SELECT 'only_hi' AS kind, l_suppkey FROM
+  (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_quantity >= 45
+   EXCEPT
+   SELECT DISTINCT l_suppkey FROM lineitem WHERE l_quantity <= 5)
+ORDER BY kind, l_suppkey
+"""
+
+
+# B16 explode / unnest (the tokenize surface)
+def q_b16_explode(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+    )
+
+
+SQL_B16 = """
+SELECT term, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+) WHERE term <> '' GROUP BY term ORDER BY n DESC, term ASC
+"""
+
+
+# B17 string functions
+def q_b17_strings(spark, sf):
+    c = _t(spark, sf, "customer")
+    return (
+        c.filter(F.col("c_name").like("%1%"))
+        .select(
+            "c_custkey",
+            F.upper(F.col("c_mktsegment")).alias("seg_upper"),
+            F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+            F.length(F.col("c_name")).alias("name_len"),
+            F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        )
+        .orderBy("c_custkey")
+        .limit(300)
+    )
+
+
+SQL_B17 = """
+SELECT c_custkey, UPPER(c_mktsegment) AS seg_upper,
+       SUBSTRING(c_name, 1, 8) AS name_prefix,
+       LENGTH(c_name) AS name_len,
+       CONCAT_WS('|', c_mktsegment, c_name) AS joined
+FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey LIMIT 300
+"""
+
+
+# B18 hash functions (sha2 <-> DuckDB sha256; xxhash64 is rows-only elsewhere)
+def q_b18_sha(spark, sf):
+    c = _t(spark, sf, "customer")
+    return (
+        c.select("c_custkey", F.sha2(F.col("c_name"), 256).alias("h"))
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+SQL_B18 = """
+SELECT c_custkey, sha256(c_name) AS h FROM customer ORDER BY c_custkey LIMIT 100
+"""
+
+
+# B19 math functions (the BM25 formula surface)
+def q_b19_math(spark, sf):
+    p = _t(spark, sf, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.round(F.log(F.lit(1.0) + F.col("p_retailprice")), 6).alias("log_price"),
+            F.round(F.pow(F.col("p_size").cast("double"), 1.5), 6).alias("size_pow"),
+            F.round(
+                F.col("p_retailprice") / (F.col("p_size") + F.lit(0.5)), 6
+            ).alias("ratio"),
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+    )
+
+
+SQL_B19 = """
+SELECT p_partkey, ROUND(LN(1.0 + p_retailprice), 6) AS log_price,
+       ROUND(POW(CAST(p_size AS DOUBLE), 1.5), 6) AS size_pow,
+       ROUND(p_retailprice / (p_size + 0.5), 6) AS ratio
+FROM part ORDER BY p_partkey LIMIT 500
+"""
+
+
+# B20 date/time functions (events corpus)
+def q_b20_dates(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), money_sum(F.col("value")).alias("total_value"))
+        .orderBy("day", "event_type")
+    )
+
+
+SQL_B20 = f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n, {MONEY_SUM_SQL.format(expr="value")} AS total_value
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+
+# B21 array functions
+def q_b21_arrays(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.array_contains(toks, "dup").alias("has_dup"),
+            F.size(F.array_distinct(toks)).alias("n_unique"),
+        )
+        .orderBy("doc_id")
+        .limit(400)
+    )
+
+
+SQL_B21 = """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+       list_contains(list_filter(string_split(text, ' '), t -> t <> ''), 'dup') AS has_dup,
+       len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS n_unique
+FROM documents ORDER BY doc_id LIMIT 400
+"""
+
+
+# B22 json functions (events.props)
+def q_b22_json(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        )
+        .filter(F.col("k").isNotNull() & (F.col("k") % 10 == 0))
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+SQL_B22 = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+  AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0
+ORDER BY event_id LIMIT 500
+"""
+
+
+# B23 scalar pandas UDF (Arrow-vectorized tokenize alt path)
+def q_b23_pandas_udf(spark, sf):
+    from miru_spark.functions.tokenize import tokenize_whitespace_udf
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.size(tokenize_whitespace_udf(F.col("text"))).alias("n_tokens"))
+        .orderBy("doc_id")
+        .limit(400)
+    )
+
+
+SQL_B23 = """
+SELECT doc_id, len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+FROM documents ORDER BY doc_id LIMIT 400
+"""
+
+
+# B24 grouped-map applyInPandas
+def q_b24_apply_in_pandas(spark, sf):
+    import pandas as pd
+
+    d = _t(spark, sf, "documents")
+
+    def per_lang(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "total_chars": [int(pdf["n_chars"].sum())],
+                "max_chars": [int(pdf["n_chars"].max())],
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("total_chars", T.LongType()),
+            T.StructField("max_chars", T.LongType()),
+        ]
+    )
+    return d.groupBy("lang").applyInPandas(per_lang, schema).orderBy("lang")
+
+
+SQL_B24 = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# B25 mapInArrow
+def q_b25_map_in_arrow(spark, sf):
+    import pyarrow as pa
+
+    d = _t(spark, sf, "documents")
+
+    def stats(batches):
+        for b in batches:
+            tbl = b.to_pandas()
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": tbl["doc_id"],
+                    "text_len": tbl["text"].str.len().astype("int64"),
+                }
+            )
+
+    return (
+        d.select("doc_id", "text")
+        .mapInArrow(stats, "doc_id long, text_len long")
+        .orderBy("doc_id")
+        .limit(400)
+    )
+
+
+SQL_B25 = """
+SELECT doc_id, LENGTH(text) AS text_len FROM documents ORDER BY doc_id LIMIT 400
+"""
+
+
+# B26 grouped-agg pandas UDAF
+def q_b26_grouped_agg_udaf(spark, sf):
+    # annotation-free lambda: `from __future__ import annotations` stringifies
+    # hints, which pandas_udf's signature inference can't resolve
+    weighted_avg = F.pandas_udf(
+        lambda v, w: float(round((v * w).sum() / w.sum(), 6)),
+        "double",
+        F.PandasUDFType.GROUPED_AGG,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            weighted_avg(
+                F.round(F.col("l_extendedprice"), 4), F.col("l_quantity")
+            ).alias("wavg_price")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# rows-only: pandas UDAF accumulates in float64 with pandas' own summation
+# order; checked for row count + schema, plus a tolerance test in pytest.
+
+
+QUERIES = {
+    "rel_b01_projection": (q_b01_projection, SQL_B01),
+    "rel_b02_filter": (q_b02_filter, SQL_B02),
+    "rel_b03_inner_join": (q_b03_inner_join, SQL_B03),
+    "rel_b04_broadcast_join": (q_b04_broadcast_join, SQL_B04),
+    "rel_b05_outer_join": (q_b05_outer_join, SQL_B05),
+    "rel_b06_semi_anti": (q_b06_semi_anti, SQL_B06),
+    "rel_b07_theta_join": (q_b07_theta_join, SQL_B07),
+    "rel_b08_hash_agg": (q_b08_hash_agg, SQL_B08),
+    "rel_b09_distinct": (q_b09_distinct, SQL_B09),
+    "rel_b10_approx_distinct": (q_b10_approx_distinct, None),
+    "rel_b11_rollup": (q_b11_rollup, SQL_B11),
+    "rel_b12_window_rank": (q_b12_window_rank, SQL_B12),
+    "rel_b13_window_lag": (q_b13_window_lag, SQL_B13),
+    "rel_b14_topk": (q_b14_topk, SQL_B14),
+    "rel_b15_set_ops": (q_b15_set_ops, SQL_B15),
+    "rel_b16_explode": (q_b16_explode, SQL_B16),
+    "rel_b17_strings": (q_b17_strings, SQL_B17),
+    "rel_b18_sha": (q_b18_sha, SQL_B18),
+    "rel_b19_math": (q_b19_math, SQL_B19),
+    "rel_b20_dates": (q_b20_dates, SQL_B20),
+    "rel_b21_arrays": (q_b21_arrays, SQL_B21),
+    "rel_b22_json": (q_b22_json, SQL_B22),
+    "rel_b23_pandas_udf": (q_b23_pandas_udf, SQL_B23),
+    "rel_b24_apply_in_pandas": (q_b24_apply_in_pandas, SQL_B24),
+    "rel_b25_map_in_arrow": (q_b25_map_in_arrow, SQL_B25),
+    "rel_b26_grouped_agg_udaf": (q_b26_grouped_agg_udaf, None),
+}
+
+
+def register_all(register) -> None:
+    for name, (fn, sql) in QUERIES.items():
+        register(name, fn, sql)
