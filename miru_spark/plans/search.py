@@ -152,6 +152,14 @@ def wand_topk(iters: list[PostingIterator], k: int) -> list[tuple[int, float]]:
         pivot = iters[pivot_idx].cur_docid
         if pivot >= _EXHAUSTED:
             break
+        # extend the pivot group across iterators tied at the pivot docid:
+        # they contribute to the pivot doc's score, so the block-max upper
+        # bound must include them or skipping is unsafe
+        while (
+            pivot_idx + 1 < len(iters)
+            and iters[pivot_idx + 1].cur_docid == pivot
+        ):
+            pivot_idx += 1
         if iters[0].cur_docid == pivot:
             bounds = [it.block_bound(pivot) for it in iters[: pivot_idx + 1]]
             ub = sum(b[0] for b in bounds)

@@ -15,6 +15,32 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def index_path(spark, tmp_path_factory):
+    from miru_spark.functions.codecs import CODEC_VARINT
+    from miru_spark.index.writer import build_index
+    from miru_spark.schema import read_corpus
+
+    p = str(tmp_path_factory.mktemp("idx") / "sf0001")
+    # small target_chunk so hot terms genuinely split across buckets
+    build_index(
+        spark,
+        read_corpus(spark, SF_DIR),
+        p,
+        num_partitions=8,
+        codec=CODEC_VARINT,
+        target_chunk=64,
+    )
+    return p
+
+
+@pytest.fixture(scope="session")
+def reader(spark, index_path):
+    from miru_spark.index.reader import IndexReader
+
+    return IndexReader(spark, index_path)
+
+
+@pytest.fixture(scope="session")
 def duck():
     import duckdb
 

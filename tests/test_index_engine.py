@@ -24,26 +24,6 @@ QUERIES = [
 ]
 
 
-@pytest.fixture(scope="session")
-def index_path(spark, tmp_path_factory):
-    p = str(tmp_path_factory.mktemp("idx") / "sf0001")
-    # small target_chunk so hot terms genuinely split across buckets
-    build_index(
-        spark,
-        read_corpus(spark, SF_DIR),
-        p,
-        num_partitions=8,
-        codec=CODEC_VARINT,
-        target_chunk=64,
-    )
-    return p
-
-
-@pytest.fixture(scope="session")
-def reader(spark, index_path):
-    return IndexReader(spark, index_path)
-
-
 def _oracle(duck, terms, mode, k=10):
     return [
         (d, s) for d, s in duck.execute(bm25_oracle_sql(terms, mode, k=k)).fetchall()

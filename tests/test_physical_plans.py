@@ -1,0 +1,86 @@
+"""Physical-plan assertions — the ``.explain`` evidence that the engine's
+plans survive scale-up (SURVEY.md section 4):
+
+* the pruned postings scan actually prunes term_pref directory partitions
+  AND pushes the ``term IN`` filter into the parquet scan;
+* corpus scans push predicates and prune columns (ReadSchema shrinks);
+* the tiny sides of the BM25 relational join are broadcast, not shuffled;
+* the relational path keeps whole-stage codegen spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from miru_spark.index.reader import IndexReader
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_postings_scan_prunes_partitions_and_pushes_term_filter(spark, index_path):
+    reader = IndexReader(spark, index_path)
+    df = reader.postings_df(["join", "hash"])
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    # the term_pref filter must land in PartitionFilters (directory pruning),
+    # and the term IN filter must be pushed to the parquet reader
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "term_pref" in pf
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "term" in pushed and "In(term" in pushed
+
+
+def test_corpus_scan_pushdown_and_column_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .filter(F.col("l_orderkey") < 100)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "LessThan(l_orderkey,100)" in plan
+    schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" in schema and "l_quantity" in schema
+    assert "l_comment" not in schema and "l_extendedprice" not in schema
+
+
+def test_bm25_relational_broadcasts_stats(spark):
+    from miru_spark.plans.relational import bm25_search_relational
+    from miru_spark.schema import read_corpus
+
+    df = bm25_search_relational(read_corpus(spark, SF_DIR), ["join", "hash"])
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_whole_stage_codegen_on_scan_filter(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 10)
+        .select("l_orderkey")
+    )
+    # non-AQE leaf plan: codegen stages print as "*(n)" spans
+    raw = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in raw
+
+
+def test_search_distributed_broadcasts_term_df(spark, index_path):
+    from miru_spark.plans.search import search_distributed
+
+    reader = IndexReader(spark, index_path)
+    df = search_distributed(reader, ["join", "hash"], mode="conjunctive")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_docmap_scan_reads_only_needed_columns(spark, index_path):
+    reader = IndexReader(spark, index_path)
+    df = reader.docmap_df().select("doc_id", "doc_len")
+    plan = _plan(df)
+    schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "content_sha256" not in schema
