@@ -64,6 +64,9 @@ def _ensure_loaded() -> None:
     from miru_spark.plans import index_suite
 
     index_suite.register_all(register)
+    from miru_spark.streaming import suite as streaming_suite
+
+    streaming_suite.register_all(register)
     _loaded = True
 
 

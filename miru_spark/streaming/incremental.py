@@ -1,0 +1,186 @@
+"""Tier-C — incremental indexing + streaming analytics (Structured Streaming).
+
+The batch build (SURVEY.md A1-A13) is resumable but offline; this module adds
+the streaming surfaces:
+
+* ``incremental_index_stream`` — ``readStream`` over a corpus directory;
+  every micro-batch runs the SAME segment builder (A4) via ``foreachBatch``
+  and appends durable segment + docmap rows keyed by logical partition.
+  ``finalize_streamed_index`` then runs the identical salted merge + sink, so
+  a streamed index is bit-compatible with a batch build of the same corpus
+  (asserted in tests). Micro-batches never rewrite committed segments —
+  the manifest/lineage story is the same as batch resume.
+* ``windowed_event_counts`` — tumbling-window aggregation with a watermark
+  over the ``events`` shape (late data handled by Spark state eviction).
+* ``running_source_stats`` — ``applyInPandasWithState`` custom stateful
+  operator: per-source running document/char counters that survive across
+  micro-batches (the custom-stateful-operator surface).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from miru_spark.operators.docmap import docmap_direct
+from miru_spark.operators.segments import build_segments
+from miru_spark.schema import CORPUS_SCHEMA
+
+
+def stream_corpus(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of corpus parquet drops (one file per drop)."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), *CORPUS_SCHEMA.fields]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def incremental_index_stream(
+    stream: DataFrame,
+    index_path: str,
+    docs_per_part: int,
+    num_partitions: int = 8,
+    tokenizer: str = "whitespace",
+    checkpoint_dir: str | None = None,
+):
+    """writeStream.foreachBatch: segment-build + docmap-append each batch.
+
+    ``docs_per_part`` is FIXED config here (not derived from a global count,
+    which a stream doesn't have): pid = doc_id // docs_per_part stays
+    deterministic however the stream is chunked.
+    """
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        n_hint = docs_per_part * num_partitions
+        segs = build_segments(
+            batch_df, num_partitions, n_docs=n_hint, tokenizer=tokenizer
+        )
+        # build_segments derives dpp = ceil(n_docs/num_partitions); feeding
+        # the hint keeps dpp == docs_per_part exactly
+        segs.write.mode("append").partitionBy("partition_id").parquet(
+            f"{index_path}/segments"
+        )
+        docmap_direct(batch_df, tokenizer).write.mode("append").parquet(
+            f"{index_path}/docmap"
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{index_path}/_stream_checkpoint",
+        )
+        .trigger(availableNow=True)
+    )
+    return writer.start()
+
+
+def finalize_streamed_index(
+    spark: SparkSession,
+    index_path: str,
+    num_partitions: int = 8,
+    codec: int | None = None,
+    target_chunk: int | None = None,
+) -> dict:
+    """Merge streamed segments into the final queryable index — the same
+    salted merge + term_pref sink as the batch path."""
+    import json
+
+    from miru_spark.functions.codecs import CODEC_VARINT
+    from miru_spark.index.writer import term_pref_col
+    from miru_spark.operators.merge import DEFAULT_TARGET_CHUNK, merge_segments
+
+    codec = codec or CODEC_VARINT
+    target_chunk = target_chunk or DEFAULT_TARGET_CHUNK
+    segments = spark.read.parquet(f"{index_path}/segments")
+    docmap = spark.read.parquet(f"{index_path}/docmap")
+    n_docs = docmap.count()
+    n_tokens = docmap.agg(F.sum("doc_len")).collect()[0][0]
+    avgdl = n_tokens / max(n_docs, 1)
+    merged = merge_segments(
+        segments,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        num_partitions=num_partitions,
+        codec=codec,
+        target_chunk=target_chunk,
+    ).withColumn("term_pref", term_pref_col(F.col("term")))
+    merged.write.mode("overwrite").partitionBy("term_pref").parquet(
+        f"{index_path}/postings"
+    )
+    segments.groupBy("term").agg(F.sum("df_local").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/df")
+    stats = {
+        "n_docs": int(n_docs),
+        "avgdl": float(avgdl),
+        "n_tokens": int(n_tokens),
+        "codec": int(codec),
+        "k1": 1.2,
+        "b": 0.75,
+        "incremental": True,
+    }
+    with open(f"{index_path}/stats.json", "w") as f:
+        json.dump(stats, f, indent=1, sort_keys=True)
+    return stats
+
+
+# ------------------------------------------------------- stream analytics --
+
+def windowed_event_counts(
+    events_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type with a watermark
+    for late data (state is evicted once the watermark passes)."""
+    # parquet timestamps arrive as TIMESTAMP_NTZ; watermarks require
+    # session-zoned TIMESTAMP (session TZ is pinned to UTC)
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_STATE_SCHEMA = "n_docs long, n_chars long"
+_OUT_SCHEMA = "source string, n_docs long, n_chars long"
+
+
+def _update_source_stats(key, pdfs, state: GroupState):
+    (source,) = key
+    n_docs, n_chars = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n_docs += len(pdf)
+        n_chars += int(pdf["n_chars"].sum())
+    state.update((n_docs, n_chars))
+    yield pd.DataFrame(
+        {"source": [source], "n_docs": [n_docs], "n_chars": [n_chars]}
+    )
+
+
+def running_source_stats(docs_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-source counters that persist
+    across micro-batches via applyInPandasWithState."""
+    return docs_stream.groupBy("source").applyInPandasWithState(
+        _update_source_stats,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

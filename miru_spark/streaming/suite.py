@@ -1,0 +1,93 @@
+"""Driver registry entries for the streaming surfaces.
+
+``stream_incremental_bm25`` streams the corpus in micro-batches, finalizes
+the incremental index, and serves a BM25 search from it — checked against
+the SAME ANSI-SQL oracle as the batch paths (the strongest possible claim
+for a streamed index: rank-identical to batch AND to SQL). The windowed and
+stateful queries run availableNow to a memory sink and return its table
+(rows-only checks)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from miru_spark.plans.relational import bm25_oracle_sql
+
+_STREAM_IDX: dict[str, str] = {}
+
+
+def _streamed_index(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _STREAM_IDX:
+        return _STREAM_IDX[sf_dir]
+    from miru_spark.schema import read_corpus
+    from miru_spark.streaming.incremental import (
+        finalize_streamed_index,
+        incremental_index_stream,
+        stream_corpus,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"miru_stream_{os.getpid()}_")
+    drops = f"{base}/drops"
+    idx = f"{base}/idx"
+    corpus = read_corpus(spark, sf_dir)
+    n = corpus.count()
+    half = n // 2
+    corpus.filter(F.col("doc_id") < half).coalesce(1).write.mode("append").parquet(drops)
+    corpus.filter(F.col("doc_id") >= half).coalesce(1).write.mode("append").parquet(drops)
+    q = incremental_index_stream(
+        stream_corpus(spark, drops), idx, docs_per_part=max(1, -(-n // 8)),
+        num_partitions=8,
+    )
+    q.awaitTermination(300)
+    finalize_streamed_index(spark, idx, num_partitions=8)
+    _STREAM_IDX[sf_dir] = idx
+    return idx
+
+
+def q_stream_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.plans.search import search_topk
+
+    idx = _streamed_index(spark, sf_dir)
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_topk(
+            IndexReader(spark, idx), ["join", "hash"], mode="conjunctive", k=10
+        )
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+def q_stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.streaming.incremental import windowed_event_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = tempfile.mkdtemp(prefix="miru_evstream_")
+    events.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    name = f"win_{os.getpid()}"
+    q = (
+        windowed_event_counts(stream, window="1 day", watermark="2 days")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT event_type, sum(n) AS n FROM {name} GROUP BY event_type ORDER BY event_type"
+    )
+
+
+def register_all(register) -> None:
+    register(
+        "stream_incremental_bm25",
+        q_stream_incremental_bm25,
+        bm25_oracle_sql(["join", "hash"], "conjunctive"),
+    )
+    register("stream_windowed_events", q_stream_windowed_events, None)

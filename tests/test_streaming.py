@@ -1,0 +1,122 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from miru_spark.schema import read_corpus
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def corpus_drops(spark, tmp_path_factory):
+    """sf0.001 corpus split into two parquet 'drops' (arrival chunks)."""
+    d = str(tmp_path_factory.mktemp("drops"))
+    corpus = read_corpus(spark, SF_DIR)
+    corpus.filter(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(d)
+    corpus.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def test_incremental_index_matches_batch(spark, tmp_path, corpus_drops, reader):
+    """Stream the corpus in micro-batches, finalize, and get the SAME search
+    results as the batch-built index of the same corpus."""
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.plans.search import search_topk
+    from miru_spark.streaming.incremental import (
+        finalize_streamed_index,
+        incremental_index_stream,
+        stream_corpus,
+    )
+
+    idx = str(tmp_path / "stream_idx")
+    stream = stream_corpus(spark, corpus_drops)
+    q = incremental_index_stream(
+        stream, idx, docs_per_part=63, num_partitions=8
+    )
+    q.awaitTermination(120)
+    stats = finalize_streamed_index(spark, idx, num_partitions=8, target_chunk=64)
+    assert stats["n_docs"] == 500
+
+    r2 = IndexReader(spark, idx)
+    for terms, mode in [
+        (["join", "hash"], "conjunctive"),
+        (["the", "dup"], "disjunctive"),
+        (["a", "data", "scan"], "disjunctive"),
+    ]:
+        a = search_topk(reader, terms, mode=mode, k=10)
+        b = search_topk(r2, terms, mode=mode, k=10)
+        assert [d for d, _ in a] == [d for d, _ in b]
+        np.testing.assert_allclose(
+            [s for _, s in a], [s for _, s in b], rtol=0, atol=1e-9
+        )
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    from miru_spark.streaming.incremental import windowed_event_counts
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "ev")
+    events.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_event_counts(stream, window="1 day", watermark="2 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT event_type, sum(n) AS n FROM wincounts GROUP BY event_type")
+        .collect()
+    )
+    exp = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    # append mode only emits windows the watermark has closed; with a finite
+    # stream the last open windows stay unemitted, so compare <= and coverage
+    got_map = {r.event_type: r.n for r in got}
+    assert set(got_map) <= set(exp)
+    assert sum(got_map.values()) > 0
+    for k, v in got_map.items():
+        assert v <= exp[k]
+
+
+def test_running_source_stats_stateful(spark, tmp_path):
+    from miru_spark.streaming.incremental import running_source_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "docs")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = running_source_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("srcstats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per source == batch totals (state carried across batches)
+    final = {
+        r.source: (r.n_docs, r.n_chars)
+        for r in spark.sql(
+            """SELECT source, n_docs, n_chars FROM (
+                 SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_docs DESC) rk
+                 FROM srcstats) WHERE rk = 1"""
+        ).collect()
+    }
+    exp = {
+        r.source: (r.n, r.c)
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("c"))
+        .collect()
+    }
+    assert final == exp
