@@ -221,18 +221,61 @@ def conjunctive_topk(iters: list[PostingIterator], k: int) -> list[tuple[int, fl
 
 # ----------------------------------------------------------- entry points --
 
+# below this many total postings, one vectorized numpy pass beats the
+# skip-capable iterator walk (Lucene makes the same small-query tradeoff)
+EXHAUSTIVE_CUTOFF = 1 << 16
+
+
+def parse_query(query: str) -> tuple[list[str], str]:
+    """A14 — ``"a AND b"`` / ``"a OR b"`` / bare term list -> (terms, mode).
+
+    AND anywhere makes the query conjunctive; OR alone makes it
+    disjunctive; a bare whitespace list defaults to conjunctive. Operators
+    are case-sensitive uppercase (lowercase and/or are corpus terms)."""
+    toks = query.split()
+    has_and = "AND" in toks
+    has_or = "OR" in toks
+    if has_and and has_or:
+        raise ValueError("mixed AND/OR queries are not supported")
+    terms = [t for t in toks if t not in ("AND", "OR")]
+    return terms, ("disjunctive" if has_or else "conjunctive")
+
+
+def search(
+    reader: IndexReader, query: str, k: int = 10
+) -> list[tuple[int, float]]:
+    """Parse-and-search convenience wrapper: ``search(r, "join AND hash")``."""
+    terms, mode = parse_query(query)
+    return search_topk(reader, terms, mode=mode, k=k)
+
+
 def search_topk(
     reader: IndexReader,
     terms: list[str],
     mode: str = "conjunctive",
     k: int = 10,
+    strategy: str = "auto",
 ) -> list[tuple[int, float]]:
+    """Serve one query from the binary index (driver fast path).
+
+    Hybrid strategy (``auto``): tiny candidate sets take the fully-
+    vectorized exhaustive decoder; larger ones take block-max WAND
+    (disjunctive) or galloping intersection (conjunctive). Both produce
+    identical rankings (fuzz-tested), so the switch is purely a latency
+    decision. ``strategy`` in {auto, wand, exhaustive} forces a path
+    (tests use this to pin WAND).
+    """
     terms = list(dict.fromkeys(terms))
     tps = reader.fetch_terms(terms)
+    if mode == "conjunctive" and len(tps) < len(terms):
+        return []  # a term matches nothing -> empty intersection
+    total_postings = sum(tp.df for tp in tps.values())
+    if strategy == "exhaustive" or (
+        strategy == "auto" and total_postings <= EXHAUSTIVE_CUTOFF
+    ):
+        return _exhaustive_from_tps(reader, tps, terms, mode, k)
     iters = [PostingIterator(tps[t], reader.avgdl) for t in terms if t in tps]
     if mode == "conjunctive":
-        if len(iters) < len(terms):
-            return []  # a term matches nothing -> empty intersection
         return conjunctive_topk(iters, k)
     if mode == "disjunctive":
         return wand_topk(iters, k)
@@ -250,6 +293,10 @@ def search_exhaustive(
     tps = reader.fetch_terms(terms)
     if mode == "conjunctive" and len(tps) < len(terms):
         return []
+    return _exhaustive_from_tps(reader, tps, terms, mode, k)
+
+
+def _exhaustive_from_tps(reader, tps, terms, mode, k) -> list[tuple[int, float]]:
     per_term = []
     for t in terms:
         if t not in tps:

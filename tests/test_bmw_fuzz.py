@@ -39,7 +39,7 @@ def _cases():
     "terms,mode,k", _cases(), ids=[f"{i}" for i in range(len(_cases()))]
 )
 def test_wand_equals_exhaustive_fuzz(reader, terms, mode, k):
-    fast = search_topk(reader, terms, mode=mode, k=k)
+    fast = search_topk(reader, terms, mode=mode, k=k, strategy="wand")
     ex = search_exhaustive(reader, terms, mode=mode, k=k)
     assert [d for d, _ in fast] == [d for d, _ in ex]
     np.testing.assert_allclose(

@@ -22,7 +22,7 @@ with open("tests/golden/bm25_sf0.001.json") as f:
     "case", GOLDEN, ids=[f"{'+'.join(c['terms'])}-{c['mode'][:4]}" for c in GOLDEN]
 )
 def test_golden_fast_path(reader, case):
-    got = search_topk(reader, case["terms"], mode=case["mode"], k=case["k"])
+    got = search_topk(reader, case["terms"], mode=case["mode"], k=case["k"], strategy="wand")
     got = [[d, round(s, 6)] for d, s in got]
     assert got == case["expected"]
 

@@ -32,14 +32,14 @@ def _oracle(duck, terms, mode, k=10):
 
 @pytest.mark.parametrize("terms,mode", QUERIES, ids=lambda x: str(x))
 def test_fast_path_matches_oracle(reader, duck, terms, mode):
-    got = search_topk(reader, terms, mode=mode, k=10)
+    got = search_topk(reader, terms, mode=mode, k=10, strategy="wand")
     got_rounded = [(d, round(s, 6)) for d, s in got]
     assert got_rounded == _oracle(duck, terms, mode)
 
 
 @pytest.mark.parametrize("terms,mode", QUERIES, ids=lambda x: str(x))
 def test_bmw_equals_exhaustive(reader, terms, mode):
-    fast = search_topk(reader, terms, mode=mode, k=10)
+    fast = search_topk(reader, terms, mode=mode, k=10, strategy="wand")
     ex = search_exhaustive(reader, terms, mode=mode, k=10)
     assert [d for d, _ in fast] == [d for d, _ in ex]
     np.testing.assert_allclose(
