@@ -187,6 +187,17 @@ def build_index(
     merged.write.mode("overwrite").partitionBy("term_pref").parquet(
         f"{index_path}/postings"
     )
+    post = spark.read.parquet(f"{index_path}/postings").agg(
+        F.count("*").alias("chunks"),
+        F.sum("df_chunk").alias("postings"),
+        F.sum(F.length("blob")).alias("bytes"),
+    ).collect()[0]
+    compression = {
+        "n_chunks": int(post["chunks"]),
+        "n_postings": int(post["postings"]),
+        "postings_bytes": int(post["bytes"]),
+        "bytes_per_posting": round(post["bytes"] / max(post["postings"], 1), 3),
+    }
     mark("merge_write", tick)
 
     # global df + docmap
@@ -226,6 +237,7 @@ def build_index(
             "segment_secs": round(build_secs, 3),
             "docs_per_sec": round(n_docs / total_secs, 2) if total_secs else None,
             "stage_secs": timings,
+            "compression": compression,
             "resumed_partitions": sorted(committed),
             "built_docs": int(n_new),
         },

@@ -8,6 +8,8 @@ pandas UDFs (rows-only checks + dedicated pytest properties).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -115,7 +117,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         for lang, grams in profiles.items():
             s = None
             for g in grams:
-                c = lower.str.count(__import__("re").escape(g))
+                c = lower.str.count(re.escape(g))
                 s = c if s is None else s + c
             scores[lang] = s / n
         M = pd.DataFrame(scores)

@@ -158,6 +158,26 @@ def windowed_event_counts(
     )
 
 
+def sessionized_user_activity(
+    events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 days"
+) -> DataFrame:
+    """Session windows per user: events within ``gap`` of each other merge
+    into one session (``session_window`` — the dynamic-window streaming op)."""
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 _STATE_SCHEMA = "n_docs long, n_chars long"
 _OUT_SCHEMA = "source string, n_docs long, n_chars long"
 

@@ -120,3 +120,29 @@ def test_running_source_stats_stateful(spark, tmp_path):
         .collect()
     }
     assert final == exp
+
+
+def test_session_windows(spark, tmp_path):
+    from miru_spark.streaming.incremental import sessionized_user_activity
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "sess")
+    events.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = sessionized_user_activity(stream, gap="6 hours", watermark="10 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) n, sum(n_events) tot FROM sessions").collect()[0]
+    # closed sessions only (append mode); they must cover most events and
+    # every session must respect the gap invariant start <= end
+    assert got.n > 0 and got.tot > 0
+    bad = spark.sql(
+        "SELECT count(*) c FROM sessions WHERE session_end < session_start"
+    ).collect()[0].c
+    assert bad == 0
