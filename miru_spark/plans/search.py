@@ -221,9 +221,14 @@ def conjunctive_topk(iters: list[PostingIterator], k: int) -> list[tuple[int, fl
 
 # ----------------------------------------------------------- entry points --
 
-# below this many total postings, one vectorized numpy pass beats the
-# skip-capable iterator walk (Lucene makes the same small-query tradeoff)
-EXHAUSTIVE_CUTOFF = 1 << 16
+# Below this many total postings, one vectorized numpy pass beats the
+# skip-capable iterator walk: vectorized decode+score costs ~30ns/posting
+# while the Python iterator costs ~2us/posting, so WAND only wins when
+# block skipping eliminates >98% of postings — which needs genuinely
+# heterogeneous score distributions AND a large corpus. 8M postings is
+# ~200MB of driver arrays; beyond that (or beyond driver memory), use
+# search_distributed, which is the cluster-scale path anyway.
+EXHAUSTIVE_CUTOFF = 1 << 23
 
 
 def parse_query(query: str) -> tuple[list[str], str]:
