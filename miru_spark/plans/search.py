@@ -374,6 +374,23 @@ def search_distributed(
                 )
 
     scored = chunks.mapInArrow(score_chunks, out_schema)
+    if mode == "conjunctive" and len(terms) > 1:
+        # rarest-term pre-filter: conjunctive hits are a subset of the
+        # rarest term's postings, so semi-join every term's contributions
+        # against those candidates BEFORE the aggregation — the groupBy
+        # shuffle then carries only potential matches instead of the full
+        # union of hot terms' postings (the selective-query scale path;
+        # broadcast when the rare side is small).
+        dfs = {r["term"]: r["df_global"] for r in term_df.collect()}
+        rare = min(dfs, key=dfs.get)
+        cand = (
+            chunks.filter(F.col("term") == rare)
+            .mapInArrow(score_chunks, out_schema)
+            .select("doc_id")
+        )
+        if dfs[rare] <= 5_000_000:
+            cand = F.broadcast(cand)
+        scored = scored.join(cand, "doc_id", "left_semi")
     agg = scored.groupBy("doc_id").agg(
         F.sum("contrib").alias("score"), F.count("*").alias("nmatch")
     )
