@@ -42,7 +42,8 @@ def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     if n == 0:
         return b"", np.empty(0, dtype=np.int64)
     if v.max() < 128:  # dense-gap fast path: every value is one byte
-        return v.astype(np.uint8).tobytes(), np.ones(n, dtype=np.int64)
+        ones = np.broadcast_to(np.ones(1, dtype=np.int64), n)  # no 8B*n alloc
+        return v.astype(np.uint8).tobytes(), ones
     # bytes needed per value: ceil(bit_length / 7), min 1
     nbits = np.zeros(n, dtype=np.int64)
     tmp = v.copy()
