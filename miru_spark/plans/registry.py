@@ -85,6 +85,22 @@ def _register_bm25() -> None:
             _mk_bm25(terms, mode),
             bm25_oracle_sql(terms, mode),
         )
+    from miru_spark.plans.relational import (
+        bm25_phrase_oracle_sql,
+        bm25_phrase_search,
+    )
+
+    def _mk_phrase(phrase):
+        def run(spark, sf_dir):
+            return bm25_phrase_search(read_corpus(spark, sf_dir), phrase)
+
+        return run
+
+    for name, phrase in {
+        "bm25_phrase2": "the a",
+        "bm25_phrase3": "data the table",
+    }.items():
+        register(name, _mk_phrase(phrase), bm25_phrase_oracle_sql(phrase))
 
 
 def _mk_bm25(terms: list[str], mode: str):

@@ -91,6 +91,47 @@ def bm25_search_relational(
     )
 
 
+def bm25_phrase_search(
+    corpus: DataFrame,
+    phrase: str,
+    k: int = 10,
+    tokenizer: str = "whitespace",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact-phrase search: BM25-rank (by the phrase's terms, conjunctive)
+    only the docs that contain the exact token sequence.
+
+    Candidate generation is the conjunctive BM25 path (cheap, index-able);
+    the phrase containment check is a token-boundary-safe substring filter
+    on the candidates' content — the verify step a positional index would
+    replace at scale. SQL-expressible, so oracle-checked.
+    """
+    terms = phrase.split()
+    scored = bm25_search_relational(
+        corpus, terms, mode="conjunctive", k=1 << 30, tokenizer=tokenizer,
+        round_digits=round_digits,
+    )
+    padded = F.concat(F.lit(" "), F.col("content"), F.lit(" "))
+    matches = corpus.filter(padded.contains(f" {phrase} ")).select("doc_id")
+    return (
+        scored.join(F.broadcast(matches), "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_phrase_oracle_sql(phrase: str, k: int = 10, round_digits: int = 6) -> str:
+    terms = phrase.split()
+    inner = bm25_oracle_sql(terms, "conjunctive", k=1 << 30, round_digits=round_digits)
+    return f"""
+WITH ranked AS ({inner})
+SELECT doc_id, score FROM ranked
+WHERE doc_id IN (SELECT doc_id FROM documents
+                 WHERE contains(' ' || text || ' ', ' {phrase} '))
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def bm25_oracle_sql(
     terms: list[str], mode: str = "conjunctive", k: int = 10, round_digits: int = 6
 ) -> str:
