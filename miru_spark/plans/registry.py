@@ -16,7 +16,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from miru_spark.plans.relational import bm25_oracle_sql, bm25_search_relational
+from miru_spark.plans.relational import (
+    bm25_oracle_sql,
+    bm25_phrase_oracle_sql,
+    bm25_phrase_search,
+    bm25_search_relational,
+)
 from miru_spark.schema import read_corpus
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -85,11 +90,6 @@ def _register_bm25() -> None:
             _mk_bm25(terms, mode),
             bm25_oracle_sql(terms, mode),
         )
-    from miru_spark.plans.relational import (
-        bm25_phrase_oracle_sql,
-        bm25_phrase_search,
-    )
-
     def _mk_phrase(phrase):
         def run(spark, sf_dir):
             return bm25_phrase_search(read_corpus(spark, sf_dir), phrase)

@@ -59,6 +59,8 @@ def bm25_search_relational(
     tied docs tie-break identically across engines (oracle parity).
     """
     terms = list(dict.fromkeys(terms))  # dedupe, keep order
+    if not terms:
+        raise ValueError("empty term list")
     norm = normalize_corpus(corpus, tokenizer)
     tf = term_frequencies(norm)
     dl = doc_lengths(norm)
@@ -83,12 +85,15 @@ def bm25_search_relational(
         scored = scored.filter(F.col("nmatch") == len(terms))
     elif mode != "disjunctive":
         raise ValueError(f"unknown mode {mode!r}")
-    score = F.round(F.col("score"), round_digits) if round_digits else F.col("score")
-    return (
-        scored.select("doc_id", score.alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
+    score = (
+        F.round(F.col("score"), round_digits)
+        if round_digits is not None
+        else F.col("score")
     )
+    out = scored.select("doc_id", score.alias("score"))
+    if k is None:  # unsorted candidate set (internal callers sort once later)
+        return out
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def bm25_phrase_search(
@@ -106,28 +111,48 @@ def bm25_phrase_search(
     on the candidates' content — the verify step a positional index would
     replace at scale. SQL-expressible, so oracle-checked.
     """
+    from miru_spark.functions.tokenize import tokens_col
+
     terms = phrase.split()
+    if not terms:
+        raise ValueError("empty phrase")
+    needle = " " + " ".join(terms) + " "
     scored = bm25_search_relational(
-        corpus, terms, mode="conjunctive", k=1 << 30, tokenizer=tokenizer,
+        corpus, terms, mode="conjunctive", k=None, tokenizer=tokenizer,
         round_digits=round_digits,
     )
-    padded = F.concat(F.lit(" "), F.col("content"), F.lit(" "))
-    matches = corpus.filter(padded.contains(f" {phrase} ")).select("doc_id")
+    # verify on the TOKENIZED sequence (not raw text) so the check follows
+    # the tokenizer's boundary semantics exactly — '\t'/multi-space/cased
+    # content matches iff its token sequence contains the phrase's tokens
+    norm_text = F.concat(
+        F.lit(" "), F.array_join(tokens_col("content", tokenizer), " "), F.lit(" ")
+    )
+    matches = corpus.filter(norm_text.contains(needle)).select("doc_id")
     return (
-        scored.join(F.broadcast(matches), "doc_id")
+        scored.join(matches, "doc_id")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
 
 
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
 def bm25_phrase_oracle_sql(phrase: str, k: int = 10, round_digits: int = 6) -> str:
     terms = phrase.split()
+    if not terms:
+        raise ValueError("empty phrase")
+    needle = _sql_quote(" " + " ".join(terms) + " ")
     inner = bm25_oracle_sql(terms, "conjunctive", k=1 << 30, round_digits=round_digits)
     return f"""
 WITH ranked AS ({inner})
 SELECT doc_id, score FROM ranked
-WHERE doc_id IN (SELECT doc_id FROM documents
-                 WHERE contains(' ' || text || ' ', ' {phrase} '))
+WHERE doc_id IN (
+  SELECT doc_id FROM documents
+  WHERE contains(' ' || array_to_string(list_filter(string_split(text, ' '),
+                                                    t -> t <> ''), ' ') || ' ',
+                 '{needle}'))
 ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
@@ -137,7 +162,9 @@ def bm25_oracle_sql(
 ) -> str:
     """The matching DuckDB ANSI-SQL oracle (FIXTURES.md), same rounding."""
     terms = list(dict.fromkeys(terms))
-    values = ",".join(f"('{t}')" for t in terms)
+    if not terms:
+        raise ValueError("empty term list")
+    values = ",".join("('" + t.replace("'", "''") + "')" for t in terms)
     conj = "WHERE nmatch = (SELECT count(*) FROM q)" if mode == "conjunctive" else ""
     return f"""
 WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
