@@ -74,6 +74,10 @@ def varint_decode(buf: bytes | memoryview | np.ndarray, offset: int = 0, count: 
     """
     raw = np.frombuffer(buf, dtype=np.uint8)
     raw = raw[offset:]
+    if count is not None:
+        # bound the scan: a value is at most 10 varint bytes, so per-block
+        # decode stays O(block), not O(remaining blob) (the WAND hot path)
+        raw = raw[: count * 10]
     if raw.size == 0:
         return np.empty(0, dtype=np.uint64), 0
     if count is not None and raw.size >= count and not (raw[:count] & 0x80).any():

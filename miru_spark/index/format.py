@@ -75,8 +75,9 @@ def pack_chunk(
     tfs: np.ndarray,
     dls: np.ndarray,
     codec: int = CODEC_VARINT,
-    idf: float | None = None,
-    avgdl: float | None = None,
+    *,
+    idf: float,
+    avgdl: float,
 ) -> tuple[bytes, list[dict]]:
     """Ascending absolute docIDs (+tf, +doc_len) -> (blob, block metadata).
 
@@ -88,9 +89,9 @@ def pack_chunk(
     previous block's last docID, which is just the plain np.diff value, so
     blocked and unblocked delta streams are bit-identical.
 
-    ``idf``/``avgdl`` fill in the exact per-block BM25 max-score bound
-    (vectorized score + ``np.maximum.reduceat``); pass None when global stats
-    are not yet known.
+    ``idf``/``avgdl`` are REQUIRED: a chunk without exact per-block max-score
+    bounds would make block-max WAND silently return wrong results (term_max
+    0 ends pivot selection), so there is deliberately no escape hatch.
     """
     assert docids.size == tfs.size == dls.size
     nvals = docids.size
@@ -123,11 +124,8 @@ def pack_chunk(
 
     base_t = len(g_buf)
     base_d = base_t + len(t_buf)
-    if idf is not None:
-        scores = bm25.score_np(tfs_u, idf, dls_u, avgdl)
-        bmax = np.maximum.reduceat(scores, block_starts)
-    else:
-        bmax = np.zeros(block_starts.size)
+    scores = bm25.score_np(tfs_u, idf, dls_u, avgdl)
+    bmax = np.maximum.reduceat(scores, block_starts)
     last = np.ascontiguousarray(docids, dtype=np.int64)[block_ends - 1]
     metas = [
         BlockMeta(

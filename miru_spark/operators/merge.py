@@ -74,27 +74,41 @@ def merge_segments(
     target_chunk: int = DEFAULT_TARGET_CHUNK,
 ) -> DataFrame:
     """segments (term, partition_id, df_local, blob) -> final chunk rows."""
+    from pyspark.sql.window import Window
+
     # A10-lite: global df per term (broadcast back onto segments).
     term_df = segments.groupBy("term").agg(F.sum("df_local").alias("df_global"))
     seg = segments.join(F.broadcast(term_df), "term")
-    # A7: contiguous-range salting for hot terms.
-    n_salts = F.greatest(
-        F.lit(1),
-        F.least(
-            F.lit(num_partitions),
-            F.ceil(F.col("df_global") / F.lit(target_chunk)).cast("int"),
-        ),
+    # A7: POSITIONAL salting — bucket by the term's cumulative posting count
+    # over logical partitions, so every bucket holds ~target_chunk postings
+    # even when a term's occurrences cluster in a few pids (a
+    # pid-PROPORTIONAL split would put them all in one reducer group).
+    # Bucket boundaries fall only BETWEEN pids: pid = doc_id // dpp makes
+    # pid docID ranges disjoint and ordered, so buckets stay contiguous
+    # ascending docID ranges no matter how many segment rows a pid
+    # accumulated (incremental appends); intra-bucket interleaving is
+    # re-sorted in merge_fn. Group size <= target_chunk + docs_per_part.
+    pid_df = segments.groupBy("term", "partition_id").agg(
+        F.sum("df_local").alias("pid_df")
     )
-    seg = seg.withColumn(
-        "bucket",
-        (F.col("partition_id") * n_salts / F.lit(num_partitions)).cast("int"),
+    w = (
+        Window.partitionBy("term")
+        .orderBy("partition_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    pid_bucket = pid_df.select(
+        "term",
+        "partition_id",
+        (F.coalesce(F.sum("pid_df").over(w), F.lit(0)) / F.lit(target_chunk))
+        .cast("int")
+        .alias("bucket"),
+    )
+    seg = seg.join(pid_bucket, ["term", "partition_id"])
 
     def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
         bucket = int(pdf["bucket"].iloc[0])
         df_global = float(pdf["df_global"].iloc[0])
-        pdf = pdf.sort_values("partition_id")
         ids_l, tf_l, dl_l = [], [], []
         for blob, n in zip(pdf["blob"], pdf["df_local"]):
             ids, tfs, dls = seg_unpack(blob, int(n))
@@ -104,7 +118,13 @@ def merge_segments(
         docids = np.concatenate(ids_l)
         tfs = np.concatenate(tf_l)
         dls = np.concatenate(dl_l)
-        # partitions have disjoint ascending ranges -> concat is sorted
+        # Segment rows usually arrive with disjoint ascending pid ranges, but
+        # the incremental path can append SEVERAL rows per (term, pid) across
+        # micro-batches with arbitrary relative order — always re-sort by
+        # docid (near-sorted input, cheap) rather than trust row order.
+        order = np.argsort(docids, kind="stable")
+        if not np.array_equal(order, np.arange(order.size)):
+            docids, tfs, dls = docids[order], tfs[order], dls[order]
         idf = float(bm25.idf_np(df_global, float(n_docs)))
         blob, metas = pack_chunk(docids, tfs, dls, codec=codec, idf=idf, avgdl=avgdl)
         return pd.DataFrame(

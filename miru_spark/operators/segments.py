@@ -73,13 +73,18 @@ def _make_segment_builder(docs_per_part: int):
             docid_per_tok.append(np.repeat(d, counts))
             doc_chunks.append(d)
             dl_chunks.append(np.asarray(batch.column("doc_len")))
-        if not tok_chunks:
+        if not tok_chunks or sum(len(c) for c in tok_chunks) == 0:
+            # partition of zero docs, or docs that all tokenize to nothing
             yield pa.RecordBatch.from_pylist([], schema=_ARROW_SEGMENT)
             return
-        dict_arr = pa.chunked_array(tok_chunks).combine_chunks().dictionary_encode()
-        codes = np.asarray(dict_arr.indices)  # int32 — keep narrow, this stage
+        # dictionary-encode per chunk then unify: avoids combine_chunks()'s
+        # int32-offset 2GB-per-partition ceiling on the flattened strings
+        dict_ca = pa.chunked_array(tok_chunks).dictionary_encode().unify_dictionaries()
+        codes = np.concatenate(  # int32 — keep narrow, this stage
+            [np.asarray(c.indices) for c in dict_ca.chunks]
+        )
         doc_ids = np.concatenate(docid_per_tok)  # is memory-bandwidth-bound
-        terms = dict_arr.dictionary.to_pylist()
+        terms = dict_ca.chunk(0).dictionary.to_pylist()
         # per-doc doc_len lookup table (sorted by doc_id) — doc_len is NOT
         # materialized per token
         doc_u = np.concatenate(doc_chunks)

@@ -270,6 +270,10 @@ def search_topk(
     decision. ``strategy`` in {auto, wand, exhaustive} forces a path
     (tests use this to pin WAND).
     """
+    if mode not in ("conjunctive", "disjunctive"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if k <= 0:
+        return []
     terms = list(dict.fromkeys(terms))
     tps = reader.fetch_terms(terms)
     if mode == "conjunctive" and len(tps) < len(terms):
@@ -294,6 +298,10 @@ def search_exhaustive(
     k: int = 10,
 ) -> list[tuple[int, float]]:
     """Decode-everything scoring (vectorized numpy); the WAND safety twin."""
+    if mode not in ("conjunctive", "disjunctive"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if k <= 0:
+        return []
     terms = list(dict.fromkeys(terms))
     tps = reader.fetch_terms(terms)
     if mode == "conjunctive" and len(tps) < len(terms):
@@ -382,11 +390,32 @@ def search_distributed(
         # union of hot terms' postings (the selective-query scale path;
         # broadcast when the rare side is small).
         dfs = {r["term"]: r["df_global"] for r in term_df.collect()}
+        if not dfs:  # no query term exists in the index
+            return reader.spark.createDataFrame([], "doc_id long, score double")
         rare = min(dfs, key=dfs.get)
-        cand = (
-            chunks.filter(F.col("term") == rare)
-            .mapInArrow(score_chunks, out_schema)
-            .select("doc_id")
+
+        def ids_only(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            # candidates need doc_ids only — skip tf/dl decode and scoring
+            from miru_spark.functions.codecs import varint_decode
+            from miru_spark.index.format import delta_decode, unpack_chunk
+
+            for batch in batches:
+                for row in batch.to_pylist():
+                    if int(row["codec"]) == 1:  # varint: gaps stream only
+                        total = sum(int(m["n"]) for m in row["blocks"])
+                        off = int(row["blocks"][0]["off_g"]) if row["blocks"] else 0
+                        gaps, _ = varint_decode(row["blob"], off, count=total)
+                        ids = delta_decode(gaps)
+                    else:
+                        ids, _, _ = unpack_chunk(
+                            row["blob"], row["blocks"], int(row["codec"])
+                        )
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(ids.astype(np.int64))], names=["doc_id"]
+                    )
+
+        cand = chunks.filter(F.col("term") == rare).mapInArrow(
+            ids_only, T.StructType([T.StructField("doc_id", T.LongType())])
         )
         if dfs[rare] <= 5_000_000:
             cand = F.broadcast(cand)
