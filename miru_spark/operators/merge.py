@@ -88,22 +88,19 @@ def merge_segments(
     # ascending docID ranges no matter how many segment rows a pid
     # accumulated (incremental appends); intra-bucket interleaving is
     # re-sorted in merge_fn. Group size <= target_chunk + docs_per_part.
-    pid_df = segments.groupBy("term", "partition_id").agg(
-        F.sum("df_local").alias("pid_df")
-    )
+    # RANGE frame on the pid VALUE: sums df of all rows with pid strictly
+    # below the current row's pid, so every row of a pid shares one prefix —
+    # pid-level bucketing in a single window, no extra groupBy+join stage.
     w = (
         Window.partitionBy("term")
         .orderBy("partition_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
-    pid_bucket = pid_df.select(
-        "term",
-        "partition_id",
-        (F.coalesce(F.sum("pid_df").over(w), F.lit(0)) / F.lit(target_chunk))
-        .cast("int")
-        .alias("bucket"),
+    seg = seg.withColumn(
+        "bucket",
+        (F.coalesce(F.sum("df_local").over(w), F.lit(0)) / F.lit(target_chunk))
+        .cast("int"),
     )
-    seg = seg.join(pid_bucket, ["term", "partition_id"])
 
     def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
