@@ -147,7 +147,15 @@ def pfor_encode(values: np.ndarray) -> bytes:
                 break
         exc_mask = bl > width
         exc_pos = np.flatnonzero(exc_mask).astype(np.uint64)
-        low = blk & ((np.uint64(1) << np.uint64(width)) - np.uint64(1)) if width else np.zeros_like(blk)
+        if width == 0:
+            low = np.zeros_like(blk)
+        elif width >= 64:
+            # 1<<64 is undefined (wraps to 1 on x86) — values >= 2^63 store raw
+            low = blk
+        else:
+            low = blk & ((np.uint64(1) << np.uint64(width)) - np.uint64(1))
+        # width == max bit length when exceptions exist is impossible at
+        # width >= 64 (no value has >64 bits), so this shift stays defined
         high = blk[exc_mask] >> np.uint64(width)
         parts.append(bytes([width, int(exc_pos.size)]))
         parts.append(_pack_bits(low, width))
@@ -168,27 +176,55 @@ def _bit_lengths(v: np.ndarray) -> np.ndarray:
 
 
 def pfor_decode(buf: bytes | memoryview | np.ndarray, offset: int = 0):
-    """Decode PFOR stream -> (uint64 array, bytes consumed from offset)."""
+    """Decode PFOR stream -> (uint64 array, bytes consumed from offset).
+
+    Two passes: a cheap header walk records (width, data offset) per block and
+    decodes the tiny (<=16-entry) exception varints; the bit-unpack — the
+    actual work — then runs ONCE per distinct width over all same-width blocks
+    stacked into a matrix (one ``unpackbits`` + one shift-accumulate), instead
+    of a per-128-block Python iteration. Round-1 measured the per-block loop
+    70x slower than varint on dense gaps; batching removes that gap.
+    """
     raw = np.frombuffer(buf, dtype=np.uint8)[offset:]
     header, used = varint_decode(raw, 0, count=1)
     n = int(header[0])
     pos = used
     out = np.empty(n, dtype=np.uint64)
+    groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    exc_fixups: list[tuple[np.ndarray, np.ndarray, int]] = []
     done = 0
-    while done < n:
+    while done < n:  # header walk: O(1) per block (+ tiny exception varints)
         blk_n = min(PFOR_BLOCK, n - done)
         width = int(raw[pos]); n_exc = int(raw[pos + 1]); pos += 2
         packed_bytes = (blk_n * width + 7) // 8
-        vals = _unpack_bits(raw[pos : pos + packed_bytes], blk_n, width)
+        groups.setdefault((width, blk_n), []).append((pos, done))
         pos += packed_bytes
-        exc_pos, used = varint_decode(raw, pos, count=n_exc)
-        pos += used
-        high, used = varint_decode(raw, pos, count=n_exc)
-        pos += used
         if n_exc:
-            vals[exc_pos.astype(np.int64)] |= high << np.uint64(width)
-        out[done : done + blk_n] = vals
+            exc_pos, used = varint_decode(raw, pos, count=n_exc)
+            pos += used
+            high, used = varint_decode(raw, pos, count=n_exc)
+            pos += used
+            exc_fixups.append((done + exc_pos.astype(np.int64), high, width))
         done += blk_n
+    for (width, blk_n), blks in groups.items():
+        if width == 0:
+            for _, out_pos in blks:
+                out[out_pos : out_pos + blk_n] = 0
+            continue
+        packed_bytes = (blk_n * width + 7) // 8
+        data_pos = np.array([p for p, _ in blks], dtype=np.int64)
+        out_pos = np.array([o for _, o in blks], dtype=np.int64)
+        gather = data_pos[:, None] + np.arange(packed_bytes, dtype=np.int64)
+        bits = np.unpackbits(raw[gather], axis=1, count=blk_n * width)
+        bits = bits.reshape(len(blks), blk_n, width)
+        vals = np.zeros((len(blks), blk_n), dtype=np.uint64)
+        for w in range(width):  # MSB-first shift-accumulate, <=64 passes
+            vals <<= np.uint64(1)
+            vals |= bits[:, :, w]
+        scatter = out_pos[:, None] + np.arange(blk_n, dtype=np.int64)
+        out[scatter.ravel()] = vals.ravel()
+    for idx, high, width in exc_fixups:
+        out[idx] |= high << np.uint64(width)
     return out, pos
 
 

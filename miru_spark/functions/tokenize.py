@@ -44,6 +44,16 @@ def tokens_col(content: Column | str, mode: str = "whitespace") -> Column:
     return F.filter(arr, lambda t: t != F.lit(""))
 
 
+def tokenize_py(text: str, mode: str = "whitespace") -> list[str]:
+    """Driver-side twin of ``tokens_col`` for normalizing QUERY text (phrases,
+    term lists) with the same semantics the content was indexed under."""
+    import re
+
+    if mode == "code":
+        text = text.lower()
+    return [t for t in re.split(_PATTERNS[mode], text) if t]
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def tokenize_whitespace_udf(content: pd.Series) -> pd.Series:
     """Arrow-vectorized alternative to ``tokens_col(..., 'whitespace')``."""

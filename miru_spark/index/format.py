@@ -21,9 +21,18 @@ block is three back-to-back compressed integer streams:
   or CODEC_PFOR (v2, self-describing blocks).
 
 Per-block metadata (kept as an array<struct> DataFrame column next to the
-blob — SURVEY.md A9): byte offset, n postings, last docID, and the exact BM25
-max-score upper bound (double, NOT float32 — a rounded-down bound would make
-block-max WAND skip unsafely).
+blob — SURVEY.md A9): byte offsets, n postings, last docID, and IMPACTS —
+the Pareto frontier of the block's (tf, doc_len) pairs (max-tf/min-dl
+non-dominated set, the design Lucene calls per-block impacts). BM25's
+per-posting score is increasing in tf and decreasing in dl for ANY
+(idf, avgdl), so the frontier contains the block's argmax posting for any
+corpus statistics: the query path computes the exact block-max upper bound
+from <= IMPACT_CAP (tf, dl) pairs at query time with CURRENT stats.
+
+Storing impacts instead of a baked max_score makes every chunk row
+STATS-FREE: incremental index appends that change n_docs/avgdl/df leave
+untouched chunks valid (and byte-identical on disk), which is what makes
+the delta-merge finalize possible.
 
 All functions are pure numpy; they run inside Arrow-vectorized UDFs.
 """
@@ -48,6 +57,7 @@ from miru_spark.functions.codecs import (
 )
 
 BLOCK_SIZE = 128
+IMPACT_CAP = 16  # max stored (tf, dl) frontier pairs per block
 
 
 @dataclass
@@ -57,7 +67,8 @@ class BlockMeta:
     off_d: int  # ... doc_lens
     n: int
     last_docid: int
-    max_score: float
+    i_tf: list  # impact frontier: tf ascending ...
+    i_dl: list  # ... with dl ascending (pairwise non-dominated)
 
     def as_dict(self) -> dict:
         return {
@@ -66,8 +77,46 @@ class BlockMeta:
             "off_d": self.off_d,
             "n": self.n,
             "last_docid": self.last_docid,
-            "max_score": self.max_score,
+            "i_tf": self.i_tf,
+            "i_dl": self.i_dl,
         }
+
+
+def impact_frontier(tfs: np.ndarray, dls: np.ndarray, cap: int = IMPACT_CAP):
+    """Pareto frontier of (tf, dl) pairs: keep points with no other point of
+    tf' >= tf and dl' <= dl. Returned sorted ascending in BOTH tf and dl.
+
+    If the frontier exceeds ``cap``, consecutive runs are merged into the
+    dominating synthetic point (max tf of run, min dl of run) — still a safe
+    (>=) upper-bound set, just looser."""
+    if np.asarray(tfs).size == 0:
+        return [], []
+    order = np.lexsort((-tfs.astype(np.int64), dls.astype(np.int64)))
+    s_tf = np.asarray(tfs, dtype=np.int64)[order]
+    keep = np.empty(s_tf.size, dtype=bool)
+    cm = np.maximum.accumulate(s_tf)
+    keep[0] = True
+    keep[1:] = s_tf[1:] > cm[:-1]
+    f_tf = s_tf[keep]
+    f_dl = np.asarray(dls, dtype=np.int64)[order][keep]
+    if f_tf.size > cap:
+        cuts = np.linspace(0, f_tf.size, cap + 1).astype(np.int64)
+        # runs are ascending in tf and dl: run max-tf = last, min-dl = first
+        f_tf = f_tf[cuts[1:] - 1]
+        f_dl = f_dl[cuts[:-1]]
+    return f_tf.tolist(), f_dl.tolist()
+
+
+def impact_bound(i_tf, i_dl, idf: float, avgdl: float) -> float:
+    """Exact (or capped-safe) block-max BM25 upper bound from stored impacts
+    under CURRENT corpus stats. Tiny lists — plain Python beats numpy here."""
+    k1, b = bm25.K1, bm25.B
+    best = 0.0
+    for tf, dl in zip(i_tf, i_dl):
+        s = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        if s > best:
+            best = s
+    return idf * best
 
 
 def pack_chunk(
@@ -75,11 +124,9 @@ def pack_chunk(
     tfs: np.ndarray,
     dls: np.ndarray,
     codec: int = CODEC_VARINT,
-    *,
-    idf: float,
-    avgdl: float,
-) -> tuple[bytes, list[dict]]:
-    """Ascending absolute docIDs (+tf, +doc_len) -> (blob, block metadata).
+) -> tuple[bytes, list[dict], tuple[list, list]]:
+    """Ascending absolute docIDs (+tf, +doc_len) -> (blob, block metadata,
+    chunk-level impact frontier).
 
     Blob = three whole-chunk streams [gaps][tfs][doc_lens]; per-block byte
     offsets into each stream are recorded in the metadata, so single blocks
@@ -89,14 +136,14 @@ def pack_chunk(
     previous block's last docID, which is just the plain np.diff value, so
     blocked and unblocked delta streams are bit-identical.
 
-    ``idf``/``avgdl`` are REQUIRED: a chunk without exact per-block max-score
-    bounds would make block-max WAND silently return wrong results (term_max
-    0 ends pivot selection), so there is deliberately no escape hatch.
+    Metadata carries per-block (tf, dl) impact frontiers instead of baked
+    scores — see the module docstring — so NO corpus statistics enter the
+    chunk representation.
     """
     assert docids.size == tfs.size == dls.size
     nvals = docids.size
     if nvals == 0:
-        return b"", []
+        return b"", [], ([], [])
     gaps = delta_encode(np.ascontiguousarray(docids, dtype=np.uint64))
     tfs_u = np.ascontiguousarray(tfs, dtype=np.uint64)
     dls_u = np.ascontiguousarray(dls, dtype=np.uint64)
@@ -124,21 +171,30 @@ def pack_chunk(
 
     base_t = len(g_buf)
     base_d = base_t + len(t_buf)
-    scores = bm25.score_np(tfs_u, idf, dls_u, avgdl)
-    bmax = np.maximum.reduceat(scores, block_starts)
     last = np.ascontiguousarray(docids, dtype=np.int64)[block_ends - 1]
-    metas = [
-        BlockMeta(
-            int(g_off[i]),
-            base_t + int(t_off[i]),
-            base_d + int(d_off[i]),
-            int(block_ends[i] - block_starts[i]),
-            int(last[i]),
-            float(bmax[i]),
-        ).as_dict()
-        for i in range(block_starts.size)
-    ]
-    return g_buf + t_buf + d_buf, metas
+    tfs_i = tfs_u.astype(np.int64)
+    dls_i = dls_u.astype(np.int64)
+    metas = []
+    for i in range(block_starts.size):
+        s, e = block_starts[i], block_ends[i]
+        i_tf, i_dl = impact_frontier(tfs_i[s:e], dls_i[s:e])
+        metas.append(
+            BlockMeta(
+                int(g_off[i]),
+                base_t + int(t_off[i]),
+                base_d + int(d_off[i]),
+                int(e - s),
+                int(last[i]),
+                i_tf,
+                i_dl,
+            ).as_dict()
+        )
+    # chunk-level frontier = frontier of the union of block frontiers
+    c_tf, c_dl = impact_frontier(
+        np.array([t for m in metas for t in m["i_tf"]], dtype=np.int64),
+        np.array([d for m in metas for d in m["i_dl"]], dtype=np.int64),
+    )
+    return g_buf + t_buf + d_buf, metas, (c_tf, c_dl)
 
 
 def _dec(blob, offset: int, n: int, codec: int):

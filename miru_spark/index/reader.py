@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from miru_spark.functions import bm25
-from miru_spark.index.format import unpack_block, unpack_chunk
+from miru_spark.index.format import impact_bound, unpack_block, unpack_chunk
 from miru_spark.index.writer import term_pref_py
 
 
@@ -31,9 +31,13 @@ class TermPostings:
     idf: float
     chunks: list = field(default_factory=list)  # rows sorted by bucket
 
-    @property
-    def max_score(self) -> float:
-        return max((r["max_score"] for r in self.chunks), default=0.0)
+    def max_score(self, avgdl: float) -> float:
+        """Term-max upper bound under CURRENT stats, from the chunks' stored
+        (tf, dl) impact frontiers (stats-free on disk)."""
+        return max(
+            (impact_bound(r["i_tf"], r["i_dl"], self.idf, avgdl) for r in self.chunks),
+            default=0.0,
+        )
 
 
 class IndexReader:

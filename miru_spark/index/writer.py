@@ -177,12 +177,7 @@ def build_index(
 
     # merge -> final postings, directory-partitioned by term prefix
     merged = merge_segments(
-        segments,
-        n_docs=n_docs,
-        avgdl=stats["avgdl"],
-        num_partitions=num_partitions,
-        codec=codec,
-        target_chunk=target_chunk,
+        segments, codec=codec, target_chunk=target_chunk
     ).withColumn("term_pref", term_pref_col(F.col("term")))
     merged.write.mode("overwrite").partitionBy("term_pref").parquet(
         f"{index_path}/postings"

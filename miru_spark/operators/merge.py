@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from miru_spark.functions import bm25
 from miru_spark.functions.codecs import CODEC_VARINT
 from miru_spark.index.format import pack_chunk, seg_unpack
 
@@ -43,7 +42,8 @@ CHUNK_SCHEMA = T.StructType(
         T.StructField("first_docid", T.LongType(), False),
         T.StructField("last_docid", T.LongType(), False),
         T.StructField("codec", T.IntegerType(), False),
-        T.StructField("max_score", T.DoubleType(), False),
+        T.StructField("i_tf", T.ArrayType(T.LongType()), False),
+        T.StructField("i_dl", T.ArrayType(T.LongType()), False),
         T.StructField("blob", T.BinaryType(), False),
         T.StructField(
             "blocks",
@@ -55,7 +55,8 @@ CHUNK_SCHEMA = T.StructType(
                         T.StructField("off_d", T.LongType(), False),
                         T.StructField("n", T.LongType(), False),
                         T.StructField("last_docid", T.LongType(), False),
-                        T.StructField("max_score", T.DoubleType(), False),
+                        T.StructField("i_tf", T.ArrayType(T.LongType()), False),
+                        T.StructField("i_dl", T.ArrayType(T.LongType()), False),
                     ]
                 )
             ),
@@ -67,18 +68,18 @@ CHUNK_SCHEMA = T.StructType(
 
 def merge_segments(
     segments: DataFrame,
-    n_docs: int,
-    avgdl: float,
-    num_partitions: int,
     codec: int = CODEC_VARINT,
     target_chunk: int = DEFAULT_TARGET_CHUNK,
 ) -> DataFrame:
-    """segments (term, partition_id, df_local, blob) -> final chunk rows."""
+    """segments (term, partition_id, df_local, blob) -> final chunk rows.
+
+    Chunk rows are STATS-FREE (impact frontiers, not baked max scores — see
+    index/format.py), so the merge needs NO corpus statistics: the same
+    reducer output stays valid as n_docs/avgdl/df evolve, which is what lets
+    the incremental finalize re-merge only touched terms.
+    """
     from pyspark.sql.window import Window
 
-    # A10-lite: global df per term (broadcast back onto segments).
-    term_df = segments.groupBy("term").agg(F.sum("df_local").alias("df_global"))
-    seg = segments.join(F.broadcast(term_df), "term")
     # A7: POSITIONAL salting — bucket by the term's cumulative posting count
     # over logical partitions, so every bucket holds ~target_chunk postings
     # even when a term's occurrences cluster in a few pids (a
@@ -96,7 +97,7 @@ def merge_segments(
         .orderBy("partition_id")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    seg = seg.withColumn(
+    seg = segments.withColumn(
         "bucket",
         (F.coalesce(F.sum("df_local").over(w), F.lit(0)) / F.lit(target_chunk))
         .cast("int"),
@@ -105,7 +106,6 @@ def merge_segments(
     def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
         bucket = int(pdf["bucket"].iloc[0])
-        df_global = float(pdf["df_global"].iloc[0])
         ids_l, tf_l, dl_l = [], [], []
         for blob, n in zip(pdf["blob"], pdf["df_local"]):
             ids, tfs, dls = seg_unpack(blob, int(n))
@@ -122,8 +122,7 @@ def merge_segments(
         order = np.argsort(docids, kind="stable")
         if not np.array_equal(order, np.arange(order.size)):
             docids, tfs, dls = docids[order], tfs[order], dls[order]
-        idf = float(bm25.idf_np(df_global, float(n_docs)))
-        blob, metas = pack_chunk(docids, tfs, dls, codec=codec, idf=idf, avgdl=avgdl)
+        blob, metas, (c_tf, c_dl) = pack_chunk(docids, tfs, dls, codec=codec)
         return pd.DataFrame(
             {
                 "term": [term],
@@ -132,7 +131,8 @@ def merge_segments(
                 "first_docid": [int(docids[0])],
                 "last_docid": [int(docids[-1])],
                 "codec": [codec],
-                "max_score": [max(m["max_score"] for m in metas)],
+                "i_tf": [c_tf],
+                "i_dl": [c_dl],
                 "blob": [blob],
                 "blocks": [metas],
             }

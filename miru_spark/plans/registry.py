@@ -17,10 +17,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from miru_spark.plans.relational import (
+    CorpusModel,
+    bm25_from_model,
     bm25_oracle_sql,
     bm25_phrase_oracle_sql,
     bm25_phrase_search,
-    bm25_search_relational,
 )
 from miru_spark.schema import read_corpus
 
@@ -56,9 +57,21 @@ _loaded = False
 
 
 def _ensure_loaded() -> None:
+    """Registration order == the order the driver runs entries in, and the
+    driver's run has a time cap: the product paths (binary index, streaming)
+    register FIRST so a cap can never truncate them out of the correctness
+    record; the cheap relational/pipeline entries follow. (Round-1 lesson:
+    index/streaming registered last and the driver file truncated mid-index.)
+    """
     global _loaded
     if _loaded:
         return
+    from miru_spark.plans import index_suite
+
+    index_suite.register_all(register)
+    from miru_spark.streaming import suite as streaming_suite
+
+    streaming_suite.register_all(register)
     _register_bm25()
     from miru_spark.plans import relational_suite
 
@@ -66,13 +79,18 @@ def _ensure_loaded() -> None:
     from miru_spark.pipeline import suite as pipeline_suite
 
     pipeline_suite.register_all(register)
-    from miru_spark.plans import index_suite
-
-    index_suite.register_all(register)
-    from miru_spark.streaming import suite as streaming_suite
-
-    streaming_suite.register_all(register)
     _loaded = True
+
+
+_MODELS: dict[str, CorpusModel] = {}
+
+
+def corpus_model(spark: SparkSession, sf_dir: str) -> CorpusModel:
+    """Per-corpus cached tf/dl/stats/df — every relational bm25_* entry reuses
+    one persisted explode/groupBy instead of recomputing per query."""
+    if sf_dir not in _MODELS:
+        _MODELS[sf_dir] = CorpusModel(read_corpus(spark, sf_dir)).persist()
+    return _MODELS[sf_dir]
 
 
 def _register_bm25() -> None:
@@ -92,7 +110,10 @@ def _register_bm25() -> None:
         )
     def _mk_phrase(phrase):
         def run(spark, sf_dir):
-            return bm25_phrase_search(read_corpus(spark, sf_dir), phrase)
+            return bm25_phrase_search(
+                read_corpus(spark, sf_dir), phrase,
+                model=corpus_model(spark, sf_dir),
+            )
 
         return run
 
@@ -105,6 +126,6 @@ def _register_bm25() -> None:
 
 def _mk_bm25(terms: list[str], mode: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return bm25_search_relational(read_corpus(spark, sf_dir), terms, mode=mode)
+        return bm25_from_model(corpus_model(spark, sf_dir), terms, mode=mode)
 
     return run

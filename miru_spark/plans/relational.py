@@ -44,15 +44,40 @@ def doc_freq(tf: DataFrame) -> DataFrame:
     return tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
 
 
-def bm25_search_relational(
-    corpus: DataFrame,
+class CorpusModel:
+    """The derived tf/dl/stats/df tables of one corpus — the expensive part
+    of every relational BM25 query, computed once and reusable.
+
+    ``persist()`` caches tf and dl (the only corpus-sized tables; stats and
+    df are term-cardinality aggregates over them) so a batch of queries pays
+    the explode/groupBy shuffle once instead of per query."""
+
+    def __init__(self, corpus: DataFrame, tokenizer: str = "whitespace"):
+        norm = normalize_corpus(corpus, tokenizer)
+        self.tf = term_frequencies(norm)
+        self.dl = doc_lengths(norm)
+        self.stats = corpus_stats(self.dl)
+        self.df = doc_freq(self.tf)
+        self._persisted = False
+
+    def persist(self) -> "CorpusModel":
+        if not self._persisted:
+            self.tf = self.tf.persist()
+            self.dl = self.dl.persist()
+            self.tf.count()  # materialize now; dl shares the scan lineage
+            self.dl.count()
+            self._persisted = True
+        return self
+
+
+def bm25_from_model(
+    model: CorpusModel,
     terms: list[str],
     mode: str = "conjunctive",
-    k: int = 10,
-    tokenizer: str = "whitespace",
+    k: int | None = 10,
     round_digits: int | None = 6,
 ) -> DataFrame:
-    """Top-k BM25 over the corpus, entirely in relational ops.
+    """Top-k BM25 over a prepared :class:`CorpusModel`.
 
     Returns (doc_id, score) ordered by score desc, doc_id asc, limit k.
     ``round_digits`` rounds the score BEFORE ordering so that mathematically
@@ -61,11 +86,7 @@ def bm25_search_relational(
     terms = list(dict.fromkeys(terms))  # dedupe, keep order
     if not terms:
         raise ValueError("empty term list")
-    norm = normalize_corpus(corpus, tokenizer)
-    tf = term_frequencies(norm)
-    dl = doc_lengths(norm)
-    stats = corpus_stats(dl)
-    df = doc_freq(tf)
+    tf, dl, stats, df = model.tf, model.dl, model.stats, model.df
 
     qtf = tf.filter(F.col("term").isin(terms))
     scored = (
@@ -96,12 +117,28 @@ def bm25_search_relational(
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def bm25_search_relational(
+    corpus: DataFrame,
+    terms: list[str],
+    mode: str = "conjunctive",
+    k: int | None = 10,
+    tokenizer: str = "whitespace",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """One-shot form of :func:`bm25_from_model` (model built inline)."""
+    return bm25_from_model(
+        CorpusModel(corpus, tokenizer), terms, mode=mode, k=k,
+        round_digits=round_digits,
+    )
+
+
 def bm25_phrase_search(
     corpus: DataFrame,
     phrase: str,
     k: int = 10,
     tokenizer: str = "whitespace",
     round_digits: int = 6,
+    model: CorpusModel | None = None,
 ) -> DataFrame:
     """Exact-phrase search: BM25-rank (by the phrase's terms, conjunctive)
     only the docs that contain the exact token sequence.
@@ -111,15 +148,19 @@ def bm25_phrase_search(
     on the candidates' content — the verify step a positional index would
     replace at scale. SQL-expressible, so oracle-checked.
     """
-    from miru_spark.functions.tokenize import tokens_col
+    from miru_spark.functions.tokenize import tokenize_py, tokens_col
 
-    terms = phrase.split()
+    # run the phrase through the SAME tokenizer as the content: with
+    # tokenizer='code' a raw .split() would keep case/punctuation the content
+    # tokens never carry, silently matching nothing
+    terms = tokenize_py(phrase, tokenizer)
     if not terms:
         raise ValueError("empty phrase")
     needle = " " + " ".join(terms) + " "
-    scored = bm25_search_relational(
-        corpus, terms, mode="conjunctive", k=None, tokenizer=tokenizer,
-        round_digits=round_digits,
+    if model is None:
+        model = CorpusModel(corpus, tokenizer)
+    scored = bm25_from_model(
+        model, terms, mode="conjunctive", k=None, round_digits=round_digits
     )
     # verify on the TOKENIZED sequence (not raw text) so the check follows
     # the tokenizer's boundary semantics exactly — '\t'/multi-space/cased

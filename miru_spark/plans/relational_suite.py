@@ -567,8 +567,9 @@ def q_b24_apply_in_pandas(spark, sf):
 
 
 SQL_B24 = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-       MAX(n_chars) AS max_chars
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 

@@ -44,9 +44,11 @@ class PostingIterator:
     )
 
     def __init__(self, tp: TermPostings, avgdl: float):
+        from miru_spark.index.format import impact_bound
+
         self.idf = tp.idf
         self.avgdl = avgdl
-        self.term_max = tp.max_score
+        self.term_max = tp.max_score(avgdl)
         last, mx, src = [], [], []
         for row in tp.chunks:
             blob = bytes(row["blob"])
@@ -55,7 +57,8 @@ class PostingIterator:
             for b in row["blocks"]:
                 m = b.asDict() if hasattr(b, "asDict") else dict(b)
                 last.append(int(m["last_docid"]))
-                mx.append(float(m["max_score"]))
+                # block-max bound from stored impacts under current stats
+                mx.append(impact_bound(m["i_tf"], m["i_dl"], self.idf, avgdl))
                 src.append((blob, m, prev, codec))
                 prev = int(m["last_docid"])
         self.blk_last = np.array(last, dtype=np.int64)

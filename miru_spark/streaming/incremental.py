@@ -19,6 +19,8 @@ the streaming surfaces:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,6 +60,12 @@ def incremental_index_stream(
     """
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a micro-batch can re-run after a
+        # failure/restart with the SAME batch_id and (file source +
+        # checkpointed offsets) the same rows. Writes are therefore keyed by
+        # batch_id and overwrite their own directory — a retry replaces its
+        # previous partial/duplicate output instead of appending doubled
+        # postings/docmap rows (which would silently inflate df and n_docs).
         if batch_df.isEmpty():
             return
         n_hint = docs_per_part * num_partitions
@@ -66,11 +74,11 @@ def incremental_index_stream(
         )
         # build_segments derives dpp = ceil(n_docs/num_partitions); feeding
         # the hint keeps dpp == docs_per_part exactly
-        segs.write.mode("append").partitionBy("partition_id").parquet(
-            f"{index_path}/segments"
+        segs.write.mode("overwrite").partitionBy("partition_id").parquet(
+            f"{index_path}/segments/batch={batch_id}"
         )
-        docmap_direct(batch_df, tokenizer).write.mode("append").parquet(
-            f"{index_path}/docmap"
+        docmap_direct(batch_df, tokenizer).write.mode("overwrite").parquet(
+            f"{index_path}/docmap/batch={batch_id}"
         )
 
     writer = (
@@ -92,7 +100,19 @@ def finalize_streamed_index(
     target_chunk: int | None = None,
 ) -> dict:
     """Merge streamed segments into the final queryable index — the same
-    salted merge + term_pref sink as the batch path."""
+    salted merge + term_pref sink as the batch path.
+
+    DELTA-MERGE: chunk rows are stats-free (impact frontiers, index/format.py),
+    so a chunk stays valid as n_docs/avgdl/df grow. A re-finalize after new
+    micro-batches therefore re-merges ONLY the terms those batches touched:
+    term_pref directories containing no touched term are left untouched on
+    disk (byte-identical), and within touched directories the untouched
+    terms' existing chunk rows are carried over unchanged. Cost is
+    O(postings of touched terms) + O(touched directories), not O(index).
+    Corpus stats are recomputed from the docmap (cheap aggregates) and live
+    only in stats.json. Merged batch ids are recorded in _merged.json so a
+    crashed finalize re-runs its delta idempotently.
+    """
     import json
 
     from miru_spark.functions.codecs import CODEC_VARINT
@@ -103,23 +123,57 @@ def finalize_streamed_index(
     target_chunk = target_chunk or DEFAULT_TARGET_CHUNK
     segments = spark.read.parquet(f"{index_path}/segments")
     docmap = spark.read.parquet(f"{index_path}/docmap")
-    n_docs = docmap.count()
-    n_tokens = docmap.agg(F.sum("doc_len")).collect()[0][0]
-    avgdl = n_tokens / max(n_docs, 1)
-    merged = merge_segments(
-        segments,
-        n_docs=n_docs,
-        avgdl=avgdl,
-        num_partitions=num_partitions,
-        codec=codec,
-        target_chunk=target_chunk,
-    ).withColumn("term_pref", term_pref_col(F.col("term")))
-    merged.write.mode("overwrite").partitionBy("term_pref").parquet(
-        f"{index_path}/postings"
-    )
+    post_path = f"{index_path}/postings"
+    merged_meta = f"{index_path}/_merged.json"
+
+    batches = sorted(r[0] for r in segments.select("batch").distinct().collect())
+    prev_batches: list = []
+    if os.path.exists(merged_meta):
+        with open(merged_meta) as f:
+            prev_batches = json.load(f).get("merged_batches", [])
+    new_batches = [b for b in batches if b not in prev_batches]
+
+    if prev_batches and new_batches and os.path.isdir(post_path):
+        # ---- delta path: re-merge only terms the new batches touched ----
+        touched_terms = (
+            segments.filter(F.col("batch").isin(new_batches))
+            .select("term")
+            .distinct()
+        )
+        touched_seg = segments.join(touched_terms, "term", "left_semi")
+        merged_new = merge_segments(
+            touched_seg, codec=codec, target_chunk=target_chunk
+        ).withColumn("term_pref", term_pref_col(F.col("term")))
+        prefs = sorted(
+            r[0]
+            for r in touched_terms.select(
+                term_pref_col(F.col("term")).alias("p")
+            )
+            .distinct()
+            .collect()
+        )
+        carried = (
+            spark.read.parquet(post_path)
+            .filter(F.col("term_pref").isin(prefs))
+            .join(touched_terms, "term", "left_anti")
+        )
+        out = merged_new.unionByName(carried.select(*merged_new.columns))
+        # materialize BEFORE overwriting the directory we just read from
+        out = out.localCheckpoint(eager=True)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out.write.mode("overwrite").partitionBy("term_pref").parquet(post_path)
+    elif new_batches or not os.path.isdir(post_path):
+        merged = merge_segments(
+            segments, codec=codec, target_chunk=target_chunk
+        ).withColumn("term_pref", term_pref_col(F.col("term")))
+        merged.write.mode("overwrite").partitionBy("term_pref").parquet(post_path)
+
     segments.groupBy("term").agg(F.sum("df_local").alias("df")).write.mode(
         "overwrite"
     ).parquet(f"{index_path}/df")
+    n_docs = docmap.count()
+    n_tokens = docmap.agg(F.sum("doc_len")).collect()[0][0]
+    avgdl = n_tokens / max(n_docs, 1)
     stats = {
         "n_docs": int(n_docs),
         "avgdl": float(avgdl),
@@ -131,6 +185,8 @@ def finalize_streamed_index(
     }
     with open(f"{index_path}/stats.json", "w") as f:
         json.dump(stats, f, indent=1, sort_keys=True)
+    with open(merged_meta, "w") as f:
+        json.dump({"merged_batches": batches}, f)
     return stats
 
 

@@ -70,11 +70,14 @@ def q_stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.coalesce(2).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
     name = f"win_{os.getpid()}"
+    # complete mode, not append: on a FINITE availableNow run, append emits
+    # only windows already past the watermark when the stream ends, silently
+    # dropping the last ~watermark of events; complete flushes every window
     q = (
         windowed_event_counts(stream, window="1 day", watermark="2 days")
         .writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )
