@@ -154,17 +154,61 @@ def _perm_coeffs(n_perms: int, seed: int = 42):
     return a, b
 
 
+def _ragged(pdf_col) -> tuple[np.ndarray, np.ndarray]:
+    """pandas Series of list<long> -> (flat uint64 array, per-row lengths)."""
+    vals = pdf_col.to_numpy()
+    lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=len(vals))
+    flat = (
+        np.concatenate(vals).astype(np.int64).astype(np.uint64)
+        if lens.sum()
+        else np.empty(0, dtype=np.uint64)
+    )
+    return flat, lens
+
+
+def _bounded_slices(lens: np.ndarray, max_items: int):
+    """(row_start, row_end) ranges whose total flat items stay <= max_items
+    (>=1 row each) — bounds per-step numpy temporaries regardless of Arrow
+    batch size."""
+    n = lens.size
+    s = 0
+    while s < n:
+        e = s + 1
+        tot = int(lens[s])
+        while e < n and tot + lens[e] <= max_items:
+            tot += int(lens[e])
+            e += 1
+        yield s, e
+        s = e
+
+
+_SLICE_ITEMS = 1 << 18  # ~256k hashes per vectorized step
+
+
 def minhash_signatures(
     docs: DataFrame, n_perms: int = MINHASH_PERMS, seed: int = 42
 ) -> DataFrame:
-    """(doc_id, sig: array<long>[n_perms]) — xxhash64 shingle hashes JVM-side,
-    then vectorized per-doc minima over all permutations via
-    ``np.minimum.reduceat`` in coarse applyInPandas groups (no per-doc task,
-    no per-row Python)."""
+    """(doc_id, sig: array<long>[n_perms]) — per-doc MinHash signatures.
+
+    Signatures are PER-DOC values, so no grouping/shuffle is needed at all:
+    shingle hashes are computed JVM-side as an array column (xxhash64 inside
+    ``transform`` — no explode), and one ``mapInPandas`` pass takes vectorized
+    ``np.minimum.reduceat`` minima per permutation over each Arrow batch.
+    Parallelism == input partitions; memory == one bounded slice.  (Round 1
+    grouped by pmod(doc_id, 64) — a hard 64-task ceiling whose per-group
+    pandas frames grew with the corpus.)
+
+    Min over a doc's shingle hashes ignores duplicates by construction, so
+    hashing the raw (non-distinct) shingle array is equivalent to the
+    distinct-shingle definition.
+    """
     a_co, b_co = _perm_coeffs(n_perms, seed)
-    sh = doc_shingles(docs).select(
-        "doc_id", F.xxhash64("shingle").alias("h"), F.pmod(F.col("doc_id"), F.lit(64)).alias("grp")
-    )
+    hashed = docs.select(
+        F.col("doc_id"),
+        F.transform(
+            shingles_col(tokens(F.col("text"))), lambda s: F.xxhash64(s)
+        ).alias("hs"),
+    ).filter(F.size("hs") > 0)
 
     out_schema = T.StructType(
         [
@@ -173,19 +217,23 @@ def minhash_signatures(
         ]
     )
 
-    def sigs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
-        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
-        starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
-        doc_ids = doc[starts]
-        rows = np.empty((doc_ids.size, a_co.size), dtype=np.int64)
-        for j in range(a_co.size):
-            hv = (a_co[j] * h + b_co[j]) % np.uint64(_MERSENNE)
-            rows[:, j] = np.minimum.reduceat(hv, starts).astype(np.int64)
-        return pd.DataFrame({"doc_id": doc_ids, "sig": list(rows)})
+    def sigs(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat, lens = _ragged(pdf["hs"])
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            for s, e in _bounded_slices(lens, _SLICE_ITEMS):
+                h = flat[offsets[s] : offsets[e]]
+                starts = (offsets[s:e] - offsets[s]).astype(np.int64)
+                rows = np.empty((e - s, a_co.size), dtype=np.int64)
+                for j in range(a_co.size):
+                    hv = (a_co[j] * h + b_co[j]) % np.uint64(_MERSENNE)
+                    rows[:, j] = np.minimum.reduceat(hv, starts).astype(np.int64)
+                yield pd.DataFrame({"doc_id": doc_ids[s:e], "sig": list(rows)})
 
-    return sh.groupBy("grp").applyInPandas(sigs, out_schema)
+    return hashed.mapInPandas(sigs, out_schema)
 
 
 def minhash_lsh_pairs(
@@ -232,7 +280,9 @@ def minhash_lsh_pairs(
     cand_docs = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select("doc_b")
     ).distinct()
-    sh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    # plain semi-join, no broadcast hint: on dup-heavy corpora the candidate
+    # set is unbounded, and AQE already broadcasts it when it is small
+    sh = sh.join(cand_docs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -260,18 +310,19 @@ def minhash_lsh_pairs(
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint:long) — 64-bit SimHash over tf-weighted xxhash64
-    token hashes; bit sums vectorized per coarse group."""
-    tf = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .select(
-            "doc_id",
-            F.xxhash64("term").alias("h"),
-            "tf",
-            F.pmod(F.col("doc_id"), F.lit(64)).alias("grp"),
-        )
-    )
+    token hashes.
+
+    Per-doc values again, so the tf groupBy of round 1 is unnecessary:
+    summing each OCCURRENCE's +/-1 bit contribution equals summing each
+    distinct term's contribution weighted by its tf (integer sums in float64
+    are exact far beyond any doc length). Token hashes come from the JVM as
+    an array column; one shuffle-free ``mapInPandas`` computes bit sums with
+    ``np.add.reduceat`` over bounded slices.
+    """
+    hashed = docs.select(
+        F.col("doc_id"),
+        F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t)).alias("hs"),
+    ).filter(F.size("hs") > 0)
 
     out_schema = T.StructType(
         [
@@ -280,23 +331,26 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
         ]
     )
 
-    def fp(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
-        w = pdf["tf"].to_numpy(dtype=np.float64)
-        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
-        starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.float64
-        )
-        contrib = (bits * 2.0 - 1.0) * w[:, None]
-        sums = np.add.reduceat(contrib, starts, axis=0)
-        fps = (sums > 0).astype(np.uint64)
-        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-        vals = (fps * weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
-        return pd.DataFrame({"doc_id": doc[starts], "fingerprint": vals})
+    bit_idx = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << bit_idx
 
-    return tf.groupBy("grp").applyInPandas(fp, out_schema)
+    def fp(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat, lens = _ragged(pdf["hs"])
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            for s, e in _bounded_slices(lens, _SLICE_ITEMS // 8):
+                h = flat[offsets[s] : offsets[e]]
+                starts = (offsets[s:e] - offsets[s]).astype(np.int64)
+                bits = ((h[:, None] >> bit_idx) & np.uint64(1)).astype(np.float64)
+                sums = np.add.reduceat(bits * 2.0 - 1.0, starts, axis=0)
+                fps = (sums > 0).astype(np.uint64)
+                vals = (fps * weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
+                yield pd.DataFrame({"doc_id": doc_ids[s:e], "fingerprint": vals})
+
+    return hashed.mapInPandas(fp, out_schema)
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

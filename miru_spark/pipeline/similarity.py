@@ -4,21 +4,31 @@
   ``F.zip_with``/``F.aggregate`` dot product (whole-stage codegen, no
   Python), the correctness baseline; oracle-checked against DuckDB's
   ``list_cosine_similarity``.
-* ``ann_lsh_topk`` — random-hyperplane LSH: sign-bit signatures ->
-  hamming-band buckets -> exact re-rank of candidates only. The scale path:
-  candidate generation is a bucket equi-join, never a cross join.
-* ``ann_ivf_topk`` — IVF: k-means centroids (numpy, seeded, trained on a
-  bounded driver-side sample), cluster assignment as a broadcast-literal
-  argmax, probe the nearest ``n_probe`` clusters, exact re-rank within.
+* ``build_lsh_index`` / ``ann_lsh_query`` — random-hyperplane LSH with the
+  signature table PERSISTED partitioned by bucket prefix: a probe reads only
+  the directories whose prefix can contain a bucket within ``max_hamming``
+  of the query's, then re-ranks candidates exactly. Queries never scan the
+  corpus (round 1 filtered ``bit_count(bucket ^ q)`` over every signature
+  row — a full scan per query).
+* ``build_ivf_index`` / ``ann_ivf_query`` — IVF: k-means centroids (numpy,
+  seeded, trained on a deterministic bounded sample), assignments computed
+  ONCE and persisted partitioned by cluster; a probe prunes to the
+  ``n_probe`` nearest clusters' directories and re-ranks within (round 1
+  re-assigned the whole corpus per query).
+* ``ann_lsh_topk`` / ``ann_ivf_topk`` — one-shot wrappers over
+  build-then-query (test/driver convenience; real deployments build once).
 * ``cosine_near_pairs`` — all pairs >= threshold (brute force at test scale;
   the LSH bucket join is the scale path).
 """
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -125,6 +135,102 @@ def lsh_signature_df(
     return embeddings.withColumn("bucket", bucket_udf(F.col("embedding")))
 
 
+LSH_PREF_BITS = 8  # top bits of the bucket used as the partition directory
+
+
+def _cache_path(prefix: str, embeddings: DataFrame, *params) -> str:
+    """Per-process temp path for one-shot build-then-query wrappers, keyed on
+    the input's files + parameters so distinct corpora never share an index."""
+    import hashlib
+    import tempfile
+
+    try:
+        ident = "|".join(sorted(embeddings.inputFiles()))
+    except Exception:
+        ident = ""
+    key = hashlib.sha1(
+        ("|".join(map(str, params)) + "#" + ident).encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{os.getpid()}_{key}")
+
+
+def _query_bucket(query_vec, dim: int, n_bits: int, seed: int) -> int:
+    H = _hyperplanes(dim, n_bits, seed)
+    qbits = (H @ np.asarray(query_vec, dtype=np.float64) > 0).astype(np.uint64)
+    return int((qbits * (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))).sum())
+
+
+def _buckets_within_hamming(bucket: int, n_bits: int, max_hamming: int) -> list[int]:
+    """All bucket values within ``max_hamming`` bit flips (enumeration is
+    over bucket IDs, never data: sum of C(n_bits, i) values)."""
+    from itertools import combinations
+
+    out = []
+    for h in range(max_hamming + 1):
+        for pos in combinations(range(n_bits), h):
+            b = bucket
+            for p in pos:
+                b ^= 1 << p
+            out.append(b)
+    return sorted(set(out))
+
+
+def build_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int = 64,
+    n_bits: int = 16,
+    seed: int = 42,
+) -> None:
+    """Persist (vec_id, embedding, bucket) partitioned by the bucket's top
+    ``LSH_PREF_BITS`` bits: probes prune to matching directories at plan
+    time + a pushed ``bucket`` filter inside them (2^pref_bits directories
+    regardless of corpus size — same flat-directory design as the posting
+    index's term_pref)."""
+    sig = lsh_signature_df(embeddings, dim, n_bits, seed).withColumn(
+        "bucket_pref", F.shiftright(F.col("bucket"), n_bits - LSH_PREF_BITS)
+    )
+    sig.write.mode("overwrite").partitionBy("bucket_pref").parquet(
+        f"{path}/vectors"
+    )
+    with open(f"{path}/lsh.json", "w") as f:
+        json.dump({"dim": dim, "n_bits": n_bits, "seed": seed}, f)
+
+
+def ann_lsh_query(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    max_hamming: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe a persisted LSH index: scan ONLY directories that can hold a
+    bucket within ``max_hamming`` of the query's, re-rank exactly."""
+    with open(f"{path}/lsh.json") as f:
+        params = json.load(f)
+    n_bits = params["n_bits"]
+    qbucket = _query_bucket(query_vec, params["dim"], n_bits, params["seed"])
+    cand_buckets = _buckets_within_hamming(qbucket, n_bits, max_hamming)
+    prefs = sorted({b >> (n_bits - LSH_PREF_BITS) for b in cand_buckets})
+    cand = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("bucket_pref").isin(prefs)
+    )
+    if len(cand_buckets) <= 512:  # small IN list pushes into the parquet scan
+        cand = cand.filter(F.col("bucket").isin(cand_buckets))
+    else:  # wide radius: popcount filter beats a giant literal list
+        cand = cand.filter(
+            F.expr(f"bit_count(bucket ^ {qbucket}l)") <= max_hamming
+        )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = F.round(cosine_col(F.col("embedding"), q), round_digits)
+    return (
+        cand.select("vec_id", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -134,25 +240,14 @@ def ann_lsh_topk(
     seed: int = 42,
     max_hamming: int = 2,
     round_digits: int = 6,
+    index_path: str | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates = vectors whose bucket is within
-    ``max_hamming`` bits of the query's bucket, re-ranked exactly."""
-    H = _hyperplanes(dim, n_bits, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qbits = (H @ qv > 0).astype(np.uint64)
-    qbucket = int((qbits * (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))).sum())
-
-    sig = lsh_signature_df(embeddings, dim, n_bits, seed)
-    cand = sig.filter(
-        F.expr(f"bit_count(bucket ^ {qbucket}l)") <= max_hamming
-    )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cos = F.round(cosine_col(F.col("embedding"), q), round_digits)
-    return (
-        cand.select("vec_id", cos.alias("cos"))
-        .orderBy(F.desc("cos"), F.asc("vec_id"))
-        .limit(k)
-    )
+    """One-shot wrapper: build (or reuse) the persisted LSH index, probe it."""
+    spark = embeddings.sparkSession
+    path = index_path or _cache_path("miru_lsh", embeddings, dim, n_bits, seed)
+    if not os.path.exists(f"{path}/lsh.json"):
+        build_lsh_index(embeddings, path, dim, n_bits, seed)
+    return ann_lsh_query(spark, path, query_vec, k, max_hamming, round_digits)
 
 
 # -------------------------------------------------------------------- IVF --
@@ -165,9 +260,17 @@ def kmeans_centroids(
     sample_limit: int = 100_000,
 ) -> np.ndarray:
     """Seeded numpy Lloyd iterations on a bounded driver-side sample (at
-    10^12 scale the sample, not the corpus, bounds driver memory)."""
+    10^12 scale the sample, not the corpus, bounds driver memory).
+
+    The sample is the ``sample_limit`` smallest vec_ids — deterministic
+    across runs and partition layouts (a bare ``limit`` is not), and Spark
+    plans orderBy+limit as TakeOrderedAndProject: per-partition top-K +
+    driver merge, no global sort shuffle."""
     rows = (
-        embeddings.select("embedding").limit(sample_limit).toPandas()["embedding"]
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_limit)
+        .toPandas()["embedding"]
     )
     X = np.stack(rows.to_numpy()).astype(np.float64)
     rng = np.random.RandomState(seed)
@@ -194,6 +297,52 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
     return embeddings.withColumn("cluster", assign_udf(F.col("embedding")))
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    n_iter: int = 5,
+    seed: int = 42,
+    sample_limit: int = 100_000,
+) -> None:
+    """Train centroids once, assign every vector ONCE, and persist the
+    assignments partitioned by cluster: probes prune to ``n_probe``
+    directories instead of re-assigning the corpus per query."""
+    centroids = kmeans_centroids(embeddings, n_clusters, n_iter, seed, sample_limit)
+    assigned = ivf_assign(embeddings, centroids)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/vectors"
+    )
+    with open(f"{path}/centroids.json", "w") as f:
+        json.dump({"centroids": centroids.tolist()}, f)
+
+
+def ann_ivf_query(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe a persisted IVF index: read only the ``n_probe`` nearest
+    clusters' directories, exact re-rank within."""
+    with open(f"{path}/centroids.json") as f:
+        centroids = np.asarray(json.load(f)["centroids"], dtype=np.float64)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    order = (((centroids - qv[None, :]) ** 2).sum(axis=1)).argsort()[:n_probe]
+    probe = [int(c) for c in order]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = F.round(cosine_col(F.col("embedding"), q), round_digits)
+    return (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cluster").isin(probe))
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -202,20 +351,11 @@ def ann_ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     round_digits: int = 6,
-    centroids: np.ndarray | None = None,
+    index_path: str | None = None,
 ) -> DataFrame:
-    """IVF probe: exact re-rank inside the ``n_probe`` nearest clusters."""
-    if centroids is None:
-        centroids = kmeans_centroids(embeddings, n_clusters, seed=seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    order = (((centroids - qv[None, :]) ** 2).sum(axis=1)).argsort()[:n_probe]
-    probe = [int(c) for c in order]
-    assigned = ivf_assign(embeddings, centroids)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cos = F.round(cosine_col(F.col("embedding"), q), round_digits)
-    return (
-        assigned.filter(F.col("cluster").isin(probe))
-        .select("vec_id", cos.alias("cos"))
-        .orderBy(F.desc("cos"), F.asc("vec_id"))
-        .limit(k)
-    )
+    """One-shot wrapper: build (or reuse) the persisted IVF index, probe it."""
+    spark = embeddings.sparkSession
+    path = index_path or _cache_path("miru_ivf", embeddings, n_clusters, seed)
+    if not os.path.exists(f"{path}/centroids.json"):
+        build_ivf_index(embeddings, path, n_clusters, seed=seed)
+    return ann_ivf_query(spark, path, query_vec, k, n_probe, round_digits)

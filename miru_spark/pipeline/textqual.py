@@ -137,33 +137,72 @@ def winnow_fingerprints(
     docs: DataFrame, k: int = 4, window: int = 5
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 — the
-    classic MOSS scheme): rolling hash of k-grams of tokens, keep the min
-    hash of every ``window`` consecutive k-gram hashes, dedupe. Vectorized:
-    sliding-window minimum via a strided reshape per doc."""
+    classic MOSS scheme): hash of token k-grams, keep the min hash of every
+    ``window`` consecutive k-gram hashes, dedupe.
+
+    Fully vectorized over each Arrow batch — NO per-row/per-k-gram Python
+    (round 1 called zlib.crc32 once per k-gram inside a per-doc loop):
+    tokens of the whole batch are hashed in one ``pd.util.hash_array`` call,
+    k-gram hashes come from k shifted multiply-adds over the flat hash array
+    (polynomial in a fixed 64-bit base, wrapping), the window minimum is one
+    batch-global ``sliding_window_view`` whose cross-document windows are
+    masked out, and per-doc dedupe is a lexsort + boundary diff.
+    """
+    coeffs = [np.uint64((0x100000001B3 ** (k - 1 - j)) % (1 << 64)) for j in range(k)]
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def winnow(text: pd.Series) -> pd.Series:
-        import zlib
-
-        out = []
-        for t in text:
-            toks = t.split()
-            if len(toks) < k:
-                out.append([])
-                continue
-            hashes = np.array(
-                [
-                    zlib.crc32(" ".join(toks[i : i + k]).encode())
-                    for i in range(len(toks) - k + 1)
-                ],
-                dtype=np.int64,
+        tok_lists = text.str.split().to_numpy()
+        nrows = len(tok_lists)
+        lens = np.fromiter((len(t) for t in tok_lists), np.int64, nrows)
+        total = int(lens.sum())
+        out: list[list[int]] = [[] for _ in range(nrows)]
+        if total < k:
+            return pd.Series(out)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
+        h = pd.util.hash_array(flat)  # vectorized 64-bit string hash
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        n_kg = total - k + 1
+        kg = np.zeros(n_kg, dtype=np.uint64)
+        for j in range(k):
+            kg += h[j : j + n_kg] * coeffs[j]
+        m = np.maximum(lens - k + 1, 0)  # valid k-gram count per doc
+        doc_pairs: list[np.ndarray] = []
+        fp_pairs: list[np.ndarray] = []
+        # full windows (docs with m_d >= window): batch-global sliding min,
+        # keep only windows lying entirely inside one doc's k-gram range
+        if n_kg >= window:
+            mins = np.lib.stride_tricks.sliding_window_view(kg, window).min(axis=1)
+            starts = np.arange(mins.size, dtype=np.int64)
+            d = np.searchsorted(offsets, starts, side="right") - 1
+            valid = starts + window <= offsets[d] + m[d]
+            doc_pairs.append(d[valid])
+            fp_pairs.append(mins[valid])
+        # short docs (1 <= m_d < window): single fingerprint = min of the
+        # doc's k-gram hashes (bounded slice min each; short docs are rare)
+        short = np.flatnonzero((m >= 1) & (m < window))
+        if short.size:
+            smin = np.array(
+                [kg[offsets[i] : offsets[i] + m[i]].min() for i in short],
+                dtype=np.uint64,
             )
-            if hashes.size <= window:
-                out.append([int(hashes.min())])
-                continue
-            sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
-            mins = sw.min(axis=1)
-            out.append(sorted(set(int(x) for x in mins)))
+            doc_pairs.append(short)
+            fp_pairs.append(smin)
+        if not doc_pairs:
+            return pd.Series(out)
+        didx = np.concatenate(doc_pairs)
+        fps = np.concatenate(fp_pairs).astype(np.int64)
+        order = np.lexsort((fps, didx))
+        didx, fps = didx[order], fps[order]
+        keep = np.empty(didx.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = (didx[1:] != didx[:-1]) | (fps[1:] != fps[:-1])
+        didx, fps = didx[keep], fps[keep]
+        bounds = np.flatnonzero(np.diff(didx, prepend=didx[0] - 1))
+        for b, i in enumerate(didx[bounds]):
+            lo = bounds[b]
+            hi = bounds[b + 1] if b + 1 < bounds.size else didx.size
+            out[int(i)] = fps[lo:hi].tolist()
         return pd.Series(out)
 
     return docs.select("doc_id", winnow(F.col("text")).alias("fingerprints"))

@@ -68,15 +68,42 @@ def read_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def assign_doc_ids(corpus: DataFrame) -> DataFrame:
     """Assign deterministic, order-independent doc_ids where the input has none.
 
-    ``row_number() over (order by repo, path, commit)`` — content-derived and
-    independent of input partitioning, which the two-cluster-size determinism
-    requirement silently demands (SURVEY.md section 1.3). The global sort is a
-    one-time cost at build; at 10^12-file scale this would instead be a
-    per-partition base + local offset over a range-partitioned sort, which
-    Spark's ``zipWithIndex``-style trick expresses — kept simple here because
-    the sandbox corpus ships doc_ids.
+    doc_id = dense 0-based rank of (repo, path, commit) — content-derived, so
+    results are independent of input partitioning/parallelism, which the
+    two-cluster-size determinism requirement silently demands (SURVEY.md
+    section 1.3).
+
+    Scale shape: a RANGE-partitioned sort (repartitionByRange + per-partition
+    sort), then a per-partition row count + cumulative base offset joined
+    back — every stage is distributed; no single-task global window. (Round 1
+    used ``row_number() over (order by ...)`` with no partition key, which
+    Catalyst executes as one task holding the whole corpus.)
     """
     if "doc_id" in corpus.columns:
         return corpus
-    w = Window.orderBy("repo", "path", "commit")
-    return corpus.withColumn("doc_id", F.row_number().over(w).cast("long") - F.lit(1))
+    keyed = corpus.repartitionByRange(F.col("repo"), F.col("path"), F.col("commit"))
+    keyed = keyed.sortWithinPartitions("repo", "path", "commit").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = Window.partitionBy("_pid").orderBy("repo", "path", "commit")
+    counts = keyed.groupBy("_pid").count()
+    base = (
+        counts.withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("count").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_base")
+    )
+    return (
+        keyed.withColumn("_local", F.row_number().over(local).cast("long"))
+        .join(F.broadcast(base), "_pid")
+        .withColumn("doc_id", F.col("_base") + F.col("_local") - F.lit(1))
+        .drop("_pid", "_local", "_base")
+    )

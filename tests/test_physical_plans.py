@@ -84,3 +84,41 @@ def test_docmap_scan_reads_only_needed_columns(spark, index_path):
     plan = _plan(df)
     schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "content_sha256" not in schema
+
+
+def test_merge_has_no_vocabulary_broadcast(spark):
+    """The segment merge must not broadcast any vocabulary-sized table: with
+    auto-broadcast forced off, its plan contains NO BroadcastExchange at all
+    (df_global/bucketing are windows over the one term-partitioned shuffle).
+    At real code-corpus vocabularies (1e8-1e9 terms) a df-table broadcast
+    would OOM the executors."""
+    from miru_spark.operators.merge import merge_segments
+    from miru_spark.operators.segments import build_segments
+    from miru_spark.schema import read_corpus
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        segs = build_segments(read_corpus(spark, SF_DIR), 4, n_docs=500)
+        plan = _plan(merge_segments(segs, target_chunk=64))
+        assert "BroadcastExchange" not in plan
+        # exactly one exchange shuffles segment rows by term
+        assert plan.count("Exchange") >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_minhash_lsh_verify_has_no_forced_broadcast(spark):
+    """The LSH candidate-doc semi-join must not carry a broadcast HINT:
+    with auto-broadcast off the plan falls back to a shuffle join (a forced
+    broadcast of the candidate set is unbounded on dup-heavy corpora)."""
+    from miru_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(minhash_lsh_pairs(docs, threshold=0.5))
+        assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -154,3 +154,145 @@ def test_lang_id_shapes(spark, docs):
     )
     pred = {r.doc_id: r.pred_lang for r in lang_id(fix).collect()}
     assert pred == {1: "en", 2: "de", 3: "zh"}
+
+
+def test_minhash_signatures_match_reference(spark, docs):
+    """The shuffle-free mapInPandas signature stage must equal an independent
+    explode-based reference computed driver-side from the same JVM xxhash64
+    shingle hashes (guards the round-2 rewrite that removed the 64-group
+    applyInPandas ceiling)."""
+    from miru_spark.pipeline.dedup import (
+        _MERSENNE,
+        _perm_coeffs,
+        doc_shingles,
+        minhash_signatures,
+    )
+
+    d = docs.limit(40)
+    got = {r.doc_id: tuple(r.sig) for r in minhash_signatures(d).collect()}
+    ref_rows = (
+        doc_shingles(d).select("doc_id", F.xxhash64("shingle").alias("h")).toPandas()
+    )
+    a_co, b_co = _perm_coeffs(64, 42)
+    want = {}
+    for doc_id, grp in ref_rows.groupby("doc_id"):
+        h = grp["h"].to_numpy("int64").astype("uint64")
+        sig = tuple(
+            int(((a_co[j] * h + b_co[j]) % np.uint64(_MERSENNE)).min().astype("int64"))
+            for j in range(64)
+        )
+        want[int(doc_id)] = sig
+    assert got == want
+
+
+def test_simhash_match_reference(spark, docs):
+    """mapInPandas SimHash equals a tf-weighted explode-based reference."""
+    from miru_spark.pipeline.dedup import simhash_fingerprints, tokens
+
+    d = docs.limit(40)
+    got = {r.doc_id: r.fingerprint for r in simhash_fingerprints(d).collect()}
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .select("doc_id", F.xxhash64("term").alias("h"), "tf")
+        .toPandas()
+    )
+    want = {}
+    for doc_id, grp in tf.groupby("doc_id"):
+        h = grp["h"].to_numpy("int64").astype("uint64")
+        w = grp["tf"].to_numpy("float64")
+        bits = ((h[:, None] >> np.arange(64, dtype="uint64")) & np.uint64(1)).astype(
+            "float64"
+        )
+        sums = ((bits * 2.0 - 1.0) * w[:, None]).sum(axis=0)
+        fp = ((sums > 0).astype("uint64") * (np.uint64(1) << np.arange(64, dtype="uint64"))).sum(
+            dtype="uint64"
+        )
+        want[int(doc_id)] = int(fp.astype("int64"))
+    assert got == want
+
+
+def test_ann_indexes_prune_partitions(spark, emb, tmp_path):
+    """Persisted ANN structures: a probe must scan ONLY the matching
+    partition directories (IVF: n_probe cluster dirs; LSH: prefix dirs)."""
+    from miru_spark.pipeline.similarity import (
+        ann_ivf_query,
+        ann_lsh_query,
+        build_ivf_index,
+        build_lsh_index,
+    )
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).collect()[0].embedding]
+
+    import json
+    import shutil
+
+    import numpy as np
+
+    # IVF: compute the 2 probed clusters, DELETE every other cluster dir —
+    # the probe must still run and return identical rows (proof it never
+    # touches the non-probed directories)
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(emb, ivf, n_clusters=8)
+    before = ann_ivf_query(spark, ivf, q, k=5, n_probe=2).collect()
+    cents = np.asarray(
+        json.load(open(f"{ivf}/centroids.json"))["centroids"], dtype="float64"
+    )
+    probe = set(
+        int(c)
+        for c in (((cents - np.asarray(q)[None, :]) ** 2).sum(axis=1)).argsort()[:2]
+    )
+    for c in range(8):
+        if c not in probe:
+            shutil.rmtree(f"{ivf}/vectors/cluster={c}", ignore_errors=True)
+    after = ann_ivf_query(spark, ivf, q, k=5, n_probe=2).collect()
+    assert before == after and len(before) == 5
+
+    # LSH at max_hamming=0: only the query bucket's prefix dir may be read
+    from miru_spark.pipeline.similarity import (
+        LSH_PREF_BITS,
+        _query_bucket,
+    )
+
+    lsh = str(tmp_path / "lsh")
+    build_lsh_index(emb, lsh)
+    before = ann_lsh_query(spark, lsh, q, k=5, max_hamming=0).collect()
+    params = json.load(open(f"{lsh}/lsh.json"))
+    qpref = _query_bucket(q, params["dim"], params["n_bits"], params["seed"]) >> (
+        params["n_bits"] - LSH_PREF_BITS
+    )
+    import os
+
+    for d in os.listdir(f"{lsh}/vectors"):
+        if d.startswith("bucket_pref=") and d != f"bucket_pref={qpref}":
+            shutil.rmtree(f"{lsh}/vectors/{d}", ignore_errors=True)
+    after = ann_lsh_query(spark, lsh, q, k=5, max_hamming=0).collect()
+    assert before == after
+
+
+def test_assign_doc_ids_deterministic(spark):
+    """Range-partitioned doc_id assignment: same ids at any parallelism."""
+    from miru_spark.schema import assign_doc_ids
+
+    rows = [
+        (f"repo{i % 7}", f"path{i:04d}", "v0", "en", f"content {i}")
+        for i in range(200)
+    ]
+    base = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    a = {
+        (r.repo, r.path): r.doc_id
+        for r in assign_doc_ids(base.repartition(2)).collect()
+    }
+    b = {
+        (r.repo, r.path): r.doc_id
+        for r in assign_doc_ids(base.repartition(8)).collect()
+    }
+    assert a == b
+    ids = sorted(a.values())
+    assert ids == list(range(200))  # dense 0-based, no gaps
+    # ids follow (repo, path, commit) sort order
+    by_key = sorted(a.keys())
+    assert [a[k] for k in by_key] == list(range(200))

@@ -146,3 +146,78 @@ def test_session_windows(spark, tmp_path):
         "SELECT count(*) c FROM sessions WHERE session_end < session_start"
     ).collect()[0].c
     assert bad == 0
+
+
+def test_delta_merge_leaves_untouched_chunks_byte_identical(spark, tmp_path):
+    """A second micro-batch that touches only SOME terms must re-merge only
+    those terms: postings files in term_pref directories containing no
+    touched term stay byte-identical on disk (the stats-free chunk format is
+    what makes this possible), and search over the delta-merged index equals
+    a from-scratch batch build of the full corpus."""
+    import hashlib
+    import os
+
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index, term_pref_py
+    from miru_spark.plans.search import search_topk
+    from miru_spark.schema import read_corpus
+    from miru_spark.streaming.incremental import (
+        finalize_streamed_index,
+        incremental_index_stream,
+        stream_corpus,
+    )
+
+    corpus = read_corpus(spark, SF_DIR)
+    drops = str(tmp_path / "drops")
+    idx = str(tmp_path / "idx")
+    # drop 1: most of the corpus
+    corpus.filter(F.col("doc_id") < 480).coalesce(1).write.mode("append").parquet(drops)
+    q = incremental_index_stream(stream_corpus(spark, drops), idx, docs_per_part=63,
+                                 num_partitions=8)
+    q.awaitTermination(120)
+    finalize_streamed_index(spark, idx, target_chunk=64)
+
+    def file_hashes(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = hashlib.sha256(
+                    open(p, "rb").read()
+                ).hexdigest()
+        return out
+
+    before = file_hashes(f"{idx}/postings")
+
+    # drop 2: a handful more docs -> only their terms get touched
+    corpus.filter(F.col("doc_id") >= 480).coalesce(1).write.mode("append").parquet(drops)
+    q = incremental_index_stream(stream_corpus(spark, drops), idx, docs_per_part=63,
+                                 num_partitions=8)
+    q.awaitTermination(120)
+    finalize_streamed_index(spark, idx, target_chunk=64)
+    after = file_hashes(f"{idx}/postings")
+
+    touched_terms = {
+        r.term
+        for r in spark.read.parquet(f"{idx}/segments")
+        .filter(F.col("batch") >= 1)
+        .select("term")
+        .distinct()
+        .collect()
+    }
+    touched_prefs = {f"term_pref={term_pref_py(t)}" for t in touched_terms}
+    untouched = {
+        p: h for p, h in before.items() if p.split("/")[0] not in touched_prefs
+    }
+    assert untouched, "test needs at least one untouched term_pref dir"
+    for p, h in untouched.items():
+        assert after.get(p) == h, f"untouched file rewritten: {p}"
+
+    # and the delta-merged index ranks identically to a fresh batch build
+    batch_idx = str(tmp_path / "batch_idx")
+    build_index(spark, corpus, batch_idx, num_partitions=8, target_chunk=64)
+    ra, rb = IndexReader(spark, idx), IndexReader(spark, batch_idx)
+    for terms, mode in [(["join", "hash"], "conjunctive"), (["the", "dup"], "disjunctive")]:
+        a = search_topk(ra, terms, mode=mode, k=10)
+        b = search_topk(rb, terms, mode=mode, k=10)
+        assert a == b
