@@ -69,6 +69,7 @@ class BlockMeta:
     last_docid: int
     i_tf: list  # impact frontier: tf ascending ...
     i_dl: list  # ... with dl ascending (pairwise non-dominated)
+    off_p: int = -1  # byte offset into the SEPARATE pos_blob (-1: no positions)
 
     def as_dict(self) -> dict:
         return {
@@ -79,7 +80,41 @@ class BlockMeta:
             "last_docid": self.last_docid,
             "i_tf": self.i_tf,
             "i_dl": self.i_dl,
+            "off_p": self.off_p,
         }
+
+
+# ------------------------------------------------- position-stream helpers --
+# Token positions (0-based, within-doc) enable exact phrase search straight
+# from the index (Lucene-style positional postings). Per posting j (with
+# tf_j occurrences) the stream holds tf_j gap-encoded ascending positions;
+# runs are concatenated in posting order and ALWAYS varint-coded (positions
+# are an auxiliary stream — independent of the main codec), in a separate
+# column so non-phrase queries never read a byte of them.
+
+def pos_gaps_encode(flat_abs: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Per-run delta: run's first value absolute, rest diffs."""
+    flat = np.ascontiguousarray(flat_abs, dtype=np.uint64)
+    if flat.size == 0:
+        return flat
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+    gaps = np.empty_like(flat)
+    gaps[0] = flat[0]
+    np.subtract(flat[1:], flat[:-1], out=gaps[1:])
+    gaps[starts] = flat[starts]
+    return gaps
+
+
+def pos_gaps_decode(gaps: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`pos_gaps_encode` — per-run cumsum, vectorized."""
+    g = np.ascontiguousarray(gaps, dtype=np.uint64)
+    if g.size == 0:
+        return g
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    c = np.cumsum(g)
+    base = c[starts] - g[starts]
+    return c - np.repeat(base, tfs)
 
 
 def impact_frontier(tfs: np.ndarray, dls: np.ndarray, cap: int = IMPACT_CAP):
@@ -124,9 +159,10 @@ def pack_chunk(
     tfs: np.ndarray,
     dls: np.ndarray,
     codec: int = CODEC_VARINT,
-) -> tuple[bytes, list[dict], tuple[list, list]]:
-    """Ascending absolute docIDs (+tf, +doc_len) -> (blob, block metadata,
-    chunk-level impact frontier).
+    positions: np.ndarray | None = None,
+) -> tuple[bytes, list[dict], tuple[list, list], bytes | None]:
+    """Ascending absolute docIDs (+tf, +doc_len[, flat positions]) ->
+    (blob, block metadata, chunk-level impact frontier, pos_blob|None).
 
     Blob = three whole-chunk streams [gaps][tfs][doc_lens]; per-block byte
     offsets into each stream are recorded in the metadata, so single blocks
@@ -143,7 +179,7 @@ def pack_chunk(
     assert docids.size == tfs.size == dls.size
     nvals = docids.size
     if nvals == 0:
-        return b"", [], ([], [])
+        return b"", [], ([], []), (b"" if positions is not None else None)
     gaps = delta_encode(np.ascontiguousarray(docids, dtype=np.uint64))
     tfs_u = np.ascontiguousarray(tfs, dtype=np.uint64)
     dls_u = np.ascontiguousarray(dls, dtype=np.uint64)
@@ -169,6 +205,17 @@ def pack_chunk(
         g_buf = b"".join(g_parts); t_buf = b"".join(t_parts); d_buf = b"".join(d_parts)
         g_off, t_off, d_off = g_off_l, t_off_l, d_off_l
 
+    pos_blob = None
+    p_off = None
+    if positions is not None:
+        occ_ends = np.cumsum(tfs_u.astype(np.int64))
+        assert positions.size == int(occ_ends[-1]) if occ_ends.size else positions.size == 0
+        p_gaps = pos_gaps_encode(positions, tfs_u.astype(np.int64))
+        pos_blob, p_len = varint_encode_with_lengths(p_gaps)
+        p_cum = np.concatenate(([0], np.cumsum(p_len)))
+        occ_at_block = np.concatenate(([0], occ_ends))[block_starts]
+        p_off = p_cum[occ_at_block]
+
     base_t = len(g_buf)
     base_d = base_t + len(t_buf)
     last = np.ascontiguousarray(docids, dtype=np.int64)[block_ends - 1]
@@ -187,6 +234,7 @@ def pack_chunk(
                 int(last[i]),
                 i_tf,
                 i_dl,
+                int(p_off[i]) if p_off is not None else -1,
             ).as_dict()
         )
     # chunk-level frontier = frontier of the union of block frontiers
@@ -194,7 +242,15 @@ def pack_chunk(
         np.array([t for m in metas for t in m["i_tf"]], dtype=np.int64),
         np.array([d for m in metas for d in m["i_dl"]], dtype=np.int64),
     )
-    return g_buf + t_buf + d_buf, metas, (c_tf, c_dl)
+    return g_buf + t_buf + d_buf, metas, (c_tf, c_dl), pos_blob
+
+
+def unpack_positions(pos_blob, tfs: np.ndarray, offset: int = 0) -> np.ndarray:
+    """Decode a chunk's (or block's) position stream -> flat ABSOLUTE
+    positions; ``tfs`` are the covered postings' counts in order."""
+    total = int(np.asarray(tfs, dtype=np.int64).sum())
+    gaps, _ = varint_decode(pos_blob, offset, count=total)
+    return pos_gaps_decode(gaps, np.asarray(tfs, dtype=np.int64))
 
 
 def _dec(blob, offset: int, n: int, codec: int):

@@ -48,6 +48,7 @@ class IndexReader:
             self.stats = json.load(f)
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
+        self.positions = bool(self.stats.get("positions", False))
 
     # -------------------------------------------------------------- scans --
     def postings_df(self, terms: list[str] | None = None) -> DataFrame:
@@ -64,7 +65,9 @@ class IndexReader:
         return self.spark.read.parquet(f"{self.index_path}/df")
 
     # ------------------------------------------------------- driver fetch --
-    def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings]:
+    def fetch_terms(
+        self, terms: list[str], with_positions: bool = False
+    ) -> dict[str, TermPostings]:
         """Fetch the (few) chunk rows for the query terms — WITHOUT a Spark
         job: a direct pyarrow dataset read of only the pruned term_pref
         directories with a pushed-down ``term IN`` filter. This is the
@@ -73,6 +76,9 @@ class IndexReader:
         files+row-groups via their term min/max stats. Use
         plans.search.search_distributed when a query's chunk rows are too
         big to hold on one node.
+
+        ``with_positions`` adds the ``pos_blob`` column; every other query
+        skips those bytes entirely (columnar pruning).
         """
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
@@ -81,8 +87,10 @@ class IndexReader:
         dset = pads.dataset(
             f"{self.index_path}/postings", format="parquet", partitioning="hive"
         )
+        cols = [n for n in dset.schema.names if n != "pos_blob" or with_positions]
         tbl = dset.to_table(
-            filter=pc.field("term_pref").isin(prefs) & pc.field("term").isin(terms)
+            columns=cols,
+            filter=pc.field("term_pref").isin(prefs) & pc.field("term").isin(terms),
         )
         rows = tbl.to_pylist()
         out: dict[str, TermPostings] = {}

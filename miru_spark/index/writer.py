@@ -83,8 +83,13 @@ def build_index(
     codec: int = CODEC_VARINT,
     target_chunk: int = DEFAULT_TARGET_CHUNK,
     resume: bool = False,
+    positions: bool = False,
 ) -> dict:
-    """Full build pipeline (SURVEY.md section 3.1). Returns the manifest."""
+    """Full build pipeline (SURVEY.md section 3.1). Returns the manifest.
+
+    ``positions=True`` adds Lucene-style positional postings (a separate
+    varint stream per chunk row, column-pruned away by every non-phrase
+    query) enabling exact phrase search straight from the index."""
     t0 = time.time()
     timings: dict[str, float] = {}
 
@@ -108,9 +113,12 @@ def build_index(
     docs_per_part = max(1, -(-n_docs // num_partitions))
     committed: set[int] = set()
     manifest = read_manifest(index_path) if resume else None
-    if manifest and manifest.get("docs_per_part") == docs_per_part and manifest.get(
-        "tokenizer"
-    ) == tokenizer:
+    if (
+        manifest
+        and manifest.get("docs_per_part") == docs_per_part
+        and manifest.get("tokenizer") == tokenizer
+        and bool(manifest.get("positions", False)) == positions
+    ):
         committed = {
             int(pid)
             for pid, seg in manifest.get("partitions", {}).items()
@@ -139,7 +147,8 @@ def build_index(
     mark("resume_filter_count", tick)
     if n_new > 0:
         segments_new = build_segments(
-            to_build, num_partitions, n_docs=n_docs, tokenizer=tokenizer
+            to_build, num_partitions, n_docs=n_docs, tokenizer=tokenizer,
+            positions=positions,
         )
         (
             segments_new.write.mode("append" if committed else "overwrite")
@@ -214,6 +223,7 @@ def build_index(
         num_partitions=num_partitions,
         docs_per_part=docs_per_part,
         target_chunk=int(target_chunk),
+        positions=positions,
         k1=1.2,
         b=0.75,
     )
@@ -225,6 +235,7 @@ def build_index(
         "docs_per_part": docs_per_part,
         "tokenizer": tokenizer,
         "codec": int(codec),
+        "positions": positions,
         "n_docs": n_docs,
         "partitions": part_stats,
         "metrics": {

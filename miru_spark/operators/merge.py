@@ -45,6 +45,7 @@ CHUNK_SCHEMA = T.StructType(
         T.StructField("i_tf", T.ArrayType(T.LongType()), False),
         T.StructField("i_dl", T.ArrayType(T.LongType()), False),
         T.StructField("blob", T.BinaryType(), False),
+        T.StructField("pos_blob", T.BinaryType(), True),
         T.StructField(
             "blocks",
             T.ArrayType(
@@ -104,25 +105,45 @@ def merge_segments(
     )
 
     def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from miru_spark.index.format import unpack_positions
+
         term = pdf["term"].iloc[0]
         bucket = int(pdf["bucket"].iloc[0])
-        ids_l, tf_l, dl_l = [], [], []
-        for blob, n in zip(pdf["blob"], pdf["df_local"]):
+        has_pos = "pos" in pdf.columns and pdf["pos"].notna().all()
+        ids_l, tf_l, dl_l, pos_l = [], [], [], []
+        for i, (blob, n) in enumerate(zip(pdf["blob"], pdf["df_local"])):
             ids, tfs, dls = seg_unpack(blob, int(n))
             ids_l.append(ids)
             tf_l.append(tfs)
             dl_l.append(dls)
+            if has_pos:
+                pos_l.append(unpack_positions(pdf["pos"].iloc[i], tfs))
         docids = np.concatenate(ids_l)
         tfs = np.concatenate(tf_l)
         dls = np.concatenate(dl_l)
+        flat_pos = np.concatenate(pos_l) if has_pos else None
         # Segment rows usually arrive with disjoint ascending pid ranges, but
         # the incremental path can append SEVERAL rows per (term, pid) across
         # micro-batches with arbitrary relative order — always re-sort by
         # docid (near-sorted input, cheap) rather than trust row order.
         order = np.argsort(docids, kind="stable")
         if not np.array_equal(order, np.arange(order.size)):
+            if flat_pos is not None:
+                # permute the ragged per-posting position runs to match:
+                # rank each occurrence by its posting's new position, stable
+                # within the run (vectorized lexsort, no per-posting loop)
+                tfs_i = tfs.astype(np.int64)
+                run_id = np.repeat(np.arange(tfs_i.size), tfs_i)
+                inv = np.empty(order.size, dtype=np.int64)
+                inv[order] = np.arange(order.size)
+                occ_order = np.lexsort(
+                    (np.arange(flat_pos.size), inv[run_id])
+                )
+                flat_pos = flat_pos[occ_order]
             docids, tfs, dls = docids[order], tfs[order], dls[order]
-        blob, metas, (c_tf, c_dl) = pack_chunk(docids, tfs, dls, codec=codec)
+        blob, metas, (c_tf, c_dl), pos_blob = pack_chunk(
+            docids, tfs, dls, codec=codec, positions=flat_pos
+        )
         return pd.DataFrame(
             {
                 "term": [term],
@@ -134,6 +155,7 @@ def merge_segments(
                 "i_tf": [c_tf],
                 "i_dl": [c_dl],
                 "blob": [blob],
+                "pos_blob": [pos_blob],
                 "blocks": [metas],
             }
         )

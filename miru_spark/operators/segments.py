@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from miru_spark.index.format import seg_pack
+from miru_spark.index.format import pos_gaps_encode, seg_pack
+from miru_spark.functions.codecs import varint_encode
 
 SEGMENT_SCHEMA = T.StructType(
     [
@@ -38,6 +39,7 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("df_local", T.LongType(), False),
         T.StructField("n_tokens", T.LongType(), False),
         T.StructField("blob", T.BinaryType(), False),
+        T.StructField("pos", T.BinaryType(), True),  # null unless positions=True
     ]
 )
 
@@ -48,11 +50,12 @@ _ARROW_SEGMENT = pa.schema(
         ("df_local", pa.int64()),
         ("n_tokens", pa.int64()),
         ("blob", pa.binary()),
+        ("pos", pa.binary()),
     ]
 )
 
 
-def _make_segment_builder(docs_per_part: int):
+def _make_segment_builder(docs_per_part: int, positions: bool = False):
     def _build_segments(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         """One call per Spark partition. Fully vectorized: Arrow
         dictionary-encodes tokens to int32 codes, then one numpy lexsort +
@@ -63,6 +66,7 @@ def _make_segment_builder(docs_per_part: int):
         docid_per_tok: list[np.ndarray] = []
         doc_chunks: list[np.ndarray] = []
         dl_chunks: list[np.ndarray] = []
+        pos_chunks: list[np.ndarray] = []
         for batch in batches:
             tokens = batch.column("tokens")
             if isinstance(tokens, pa.ChunkedArray):
@@ -73,6 +77,13 @@ def _make_segment_builder(docs_per_part: int):
             docid_per_tok.append(np.repeat(d, counts))
             doc_chunks.append(d)
             dl_chunks.append(np.asarray(batch.column("doc_len")))
+            if positions:
+                # within-doc 0-based token index for every occurrence
+                tot = int(counts.sum())
+                starts_b = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                pos_chunks.append(
+                    np.arange(tot, dtype=np.int64) - np.repeat(starts_b, counts)
+                )
         if not tok_chunks or sum(len(c) for c in tok_chunks) == 0:
             # partition of zero docs, or docs that all tokenize to nothing
             yield pa.RecordBatch.from_pylist([], schema=_ARROW_SEGMENT)
@@ -96,7 +107,8 @@ def _make_segment_builder(docs_per_part: int):
         span = int(doc_ids.max()) - lo + 1
         n_codes = int(codes.max()) + 1
         nbins = n_codes * span
-        if nbins <= max(4 * doc_ids.size, 1 << 22):
+        pos_s = occ_starts = None
+        if not positions and nbins <= max(4 * doc_ids.size, 1 << 22):
             # bincount path: O(n + bins), no sort at all. Bin order is
             # code-major then doc ascending — exactly posting order.
             key = codes.astype(np.int64) * span + (doc_ids - lo)
@@ -109,6 +121,10 @@ def _make_segment_builder(docs_per_part: int):
             # general path: one fused-key argsort (or 2-key lexsort) +
             # run-length. Sorting by (code, doc_id) suffices: pid is
             # monotone in doc_id, so pid runs stay contiguous per code.
+            # (positions force this path: the bincount path has no
+            # occurrence ordering to gather position values from; the
+            # STABLE sort keeps each (term, doc) group's occurrences in
+            # original, i.e. ascending-position, order)
             if nbins < (1 << 62):
                 order = np.argsort(
                     codes.astype(np.int64) * span + (doc_ids - lo), kind="stable"
@@ -119,9 +135,11 @@ def _make_segment_builder(docs_per_part: int):
             change = np.empty(doc_s.size, dtype=bool)
             change[0] = True
             np.logical_or(np.diff(doc_s) != 0, np.diff(codes_s) != 0, out=change[1:])
-            starts = np.flatnonzero(change)
-            tf = np.diff(np.append(starts, doc_s.size))
-            p_doc, p_code = doc_s[starts], codes_s[starts].astype(np.int64)
+            occ_starts = np.flatnonzero(change)
+            tf = np.diff(np.append(occ_starts, doc_s.size))
+            p_doc, p_code = doc_s[occ_starts], codes_s[occ_starts].astype(np.int64)
+            if positions:
+                pos_s = np.concatenate(pos_chunks)[order]
         p_pid = p_doc // docs_per_part
         p_dl = dl_u[np.searchsorted(doc_u, p_doc)]
         # posting-list boundaries at any (code, pid) change
@@ -132,8 +150,10 @@ def _make_segment_builder(docs_per_part: int):
         pl_ends = np.append(pl_starts[1:], p_doc.size)
 
         rows: dict[str, list] = {
-            "term": [], "partition_id": [], "df_local": [], "n_tokens": [], "blob": [],
+            "term": [], "partition_id": [], "df_local": [], "n_tokens": [],
+            "blob": [], "pos": [],
         }
+        occ_total = doc_ids.size
         for s, e in zip(pl_starts, pl_ends):
             docids = p_doc[s:e].astype(np.uint64)
             tfs = tf[s:e].astype(np.uint64)
@@ -142,6 +162,16 @@ def _make_segment_builder(docs_per_part: int):
             rows["df_local"].append(int(e - s))
             rows["n_tokens"].append(int(tfs.sum()))
             rows["blob"].append(seg_pack(docids, tfs, p_dl[s:e].astype(np.uint64)))
+            if pos_s is not None:
+                o0 = int(occ_starts[s])
+                o1 = int(occ_starts[e]) if e < occ_starts.size else occ_total
+                rows["pos"].append(
+                    varint_encode(
+                        pos_gaps_encode(pos_s[o0:o1].astype(np.uint64), tfs)
+                    )
+                )
+            else:
+                rows["pos"].append(None)
         yield pa.RecordBatch.from_pydict(rows, schema=_ARROW_SEGMENT)
 
     return _build_segments
@@ -152,6 +182,7 @@ def build_segments(
     num_partitions: int,
     n_docs: int,
     tokenizer: str = "whitespace",
+    positions: bool = False,
 ) -> DataFrame:
     """corpus (doc_id, content, ...) -> segment rows.
 
@@ -182,5 +213,5 @@ def build_segments(
         with_pid.repartition(num_partitions, "partition_id")
         .select("doc_id", toks.alias("tokens"))
         .withColumn("doc_len", F.size("tokens").cast("long"))
-        .mapInArrow(_make_segment_builder(docs_per_part), SEGMENT_SCHEMA)
+        .mapInArrow(_make_segment_builder(docs_per_part, positions), SEGMENT_SCHEMA)
     )

@@ -28,16 +28,22 @@ _CACHE: dict[str, IndexReader] = {}
 
 
 def ensure_index(
-    spark: SparkSession, sf_dir: str, num_partitions: int = 8
+    spark: SparkSession, sf_dir: str, num_partitions: int = 8, positions: bool = True
 ) -> IndexReader:
-    key = f"{sf_dir}|{num_partitions}"
+    """Driver-shared index; positional by default so phrase entries are
+    served from the same build as every other index entry."""
+    key = f"{sf_dir}|{num_partitions}|{positions}"
     if key in _CACHE:
         return _CACHE[key]
     digest = hashlib.sha1(key.encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"miru_idx_{os.getpid()}_{digest}")
     if read_manifest(path) is None:
         build_index(
-            spark, read_corpus(spark, sf_dir), path, num_partitions=num_partitions
+            spark,
+            read_corpus(spark, sf_dir),
+            path,
+            num_partitions=num_partitions,
+            positions=positions,
         )
     reader = IndexReader(spark, path)
     _CACHE[key] = reader

@@ -21,7 +21,6 @@ from miru_spark.plans.relational import (
     bm25_from_model,
     bm25_oracle_sql,
     bm25_phrase_oracle_sql,
-    bm25_phrase_search,
 )
 from miru_spark.schema import read_corpus
 
@@ -110,10 +109,18 @@ def _register_bm25() -> None:
         )
     def _mk_phrase(phrase):
         def run(spark, sf_dir):
-            return bm25_phrase_search(
-                read_corpus(spark, sf_dir), phrase,
-                model=corpus_model(spark, sf_dir),
-            )
+            # served from the POSITIONAL binary index — no corpus scan; the
+            # relational twin (bm25_phrase_search) remains the pytest
+            # cross-check and the oracle stays the same ANSI SQL
+            from miru_spark.plans.flagship import ensure_index
+            from miru_spark.plans.search import search_phrase
+
+            reader = ensure_index(spark, sf_dir)
+            rows = [
+                (int(d), round(float(s), 6))
+                for d, s in search_phrase(reader, phrase, k=10)
+            ]
+            return spark.createDataFrame(rows, "doc_id long, score double")
 
         return run
 

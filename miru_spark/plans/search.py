@@ -336,6 +336,89 @@ def _exhaustive_from_tps(reader, tps, terms, mode, k) -> list[tuple[int, float]]
     return [(int(uids[i]), float(agg[i])) for i in order]
 
 
+def search_phrase(
+    reader: IndexReader,
+    phrase: str,
+    k: int = 10,
+    tokenizer: str = "whitespace",
+    round_digits: int | None = 6,
+) -> list[tuple[int, float]]:
+    """Exact phrase search served ENTIRELY from the positional index — no
+    corpus access. Candidates come from the conjunctive docid intersection
+    of the phrase's terms; verification checks consecutive token positions
+    via one vectorized key-intersection per phrase offset (key =
+    doc_id * 2^32 + (position - offset): a doc survives iff some start
+    position p has term_j at p + j for every j). Ranking = BM25 over the
+    phrase's distinct terms, identical to the relational twin.
+
+    Requires an index built with ``positions=True``.
+    """
+    from miru_spark.functions.tokenize import tokenize_py
+    from miru_spark.index.format import unpack_positions
+
+    seq = tokenize_py(phrase, tokenizer)
+    if not seq:
+        raise ValueError("empty phrase")
+    if not reader.positions:
+        raise ValueError(
+            "phrase search needs a positional index (build_index(positions=True))"
+        )
+    uterms = list(dict.fromkeys(seq))
+    tps = reader.fetch_terms(uterms, with_positions=True)
+    if len(tps) < len(uterms):
+        return []
+    data: dict[str, tuple] = {}
+    for t in uterms:
+        ids_l, tf_l, dl_l, pos_l = [], [], [], []
+        for r in tps[t].chunks:
+            metas = [
+                b.asDict() if hasattr(b, "asDict") else dict(b) for b in r["blocks"]
+            ]
+            from miru_spark.index.format import unpack_chunk
+
+            ids, tfs, dls = unpack_chunk(r["blob"], metas, int(r["codec"]))
+            ids_l.append(ids.astype(np.int64))
+            tf_l.append(tfs.astype(np.int64))
+            dl_l.append(dls.astype(np.int64))
+            pos_l.append(unpack_positions(r["pos_blob"], tfs).astype(np.int64))
+        data[t] = (
+            np.concatenate(ids_l),
+            np.concatenate(tf_l),
+            np.concatenate(dl_l),
+            np.concatenate(pos_l),
+        )
+    cand = data[uterms[0]][0]
+    for t in uterms[1:]:
+        cand = np.intersect1d(cand, data[t][0], assume_unique=True)
+        if cand.size == 0:
+            return []
+    survivors = None
+    for off, t in enumerate(seq):
+        ids, tfs, _, pos = data[t]
+        occ_mask = np.repeat(np.isin(ids, cand, assume_unique=True), tfs)
+        doc_rep = np.repeat(ids, tfs)[occ_mask]
+        p = pos[occ_mask] - off
+        ok = p >= 0
+        keys = doc_rep[ok] * (1 << 32) + p[ok]
+        survivors = (
+            keys
+            if survivors is None
+            else np.intersect1d(survivors, keys, assume_unique=True)
+        )
+        if survivors.size == 0:
+            return []
+    verified = np.unique(survivors >> 32)
+    scores = np.zeros(verified.size)
+    for t in uterms:
+        ids, tfs, dls, _ = data[t]
+        idx = np.searchsorted(ids, verified)
+        scores += bm25.score_np(tfs[idx], tps[t].idf, dls[idx], reader.avgdl)
+    if round_digits is not None:
+        scores = np.round(scores, round_digits)
+    order = np.lexsort((verified, -scores))[:k]
+    return [(int(verified[i]), float(scores[i])) for i in order]
+
+
 def search_distributed(
     reader: IndexReader,
     terms: list[str],

@@ -87,3 +87,30 @@ def test_empty_arrays():
     assert out.size == 0 and used == 0
     out, used = pfor_decode(pfor_encode(e))
     assert out.size == 0
+
+
+huge_arrays = st.lists(
+    st.integers(min_value=0, max_value=2**64 - 1), max_size=400
+).map(lambda xs: np.array(xs, dtype=np.uint64))
+
+
+@given(huge_arrays)
+@settings(max_examples=60, deadline=None)
+def test_pfor_roundtrip_huge_values(arr):
+    """Values >= 2^63 exercise the width-64 no-mask path (1<<64 is UB)."""
+    buf = pfor_encode(arr)
+    out, used = pfor_decode(buf)
+    assert used == len(buf)
+    assert np.array_equal(out, arr)
+
+
+def test_pos_gaps_roundtrip():
+    from miru_spark.index.format import pos_gaps_decode, pos_gaps_encode
+
+    rng = np.random.default_rng(7)
+    tfs = rng.integers(1, 9, 200)
+    flat = np.concatenate(
+        [np.sort(rng.choice(1000, size=int(t), replace=False)) for t in tfs]
+    ).astype(np.uint64)
+    gaps = pos_gaps_encode(flat, tfs)
+    assert np.array_equal(pos_gaps_decode(gaps, tfs), flat)

@@ -158,3 +158,88 @@ def test_resume_matches_uninterrupted(spark, tmp_path, reader):
     ref = read_manifest(str(reader.index_path))["partitions"]
     for pid, seg in man2["partitions"].items():
         assert seg["checksum_xxh64_xor"] == ref[pid]["checksum_xxh64_xor"]
+
+
+# ---------------------------------------------------- positional phrase ----
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.schema import read_corpus
+
+    p = str(tmp_path_factory.mktemp("posidx") / "sf0001")
+    build_index(
+        spark, read_corpus(spark, SF_DIR), p, num_partitions=8,
+        target_chunk=64, positions=True,
+    )
+    return IndexReader(spark, p)
+
+
+@pytest.mark.parametrize("phrase", ["the a", "data the table", "join hash", "a a"])
+def test_phrase_index_matches_relational_twin(spark, pos_index, phrase):
+    """Index-served phrase search (positions, no corpus access) must equal
+    the relational twin (BM25 candidates + token-sequence verify)."""
+    from miru_spark.plans.relational import bm25_phrase_search
+    from miru_spark.plans.search import search_phrase
+    from miru_spark.schema import read_corpus
+
+    got = search_phrase(pos_index, phrase, k=10)
+    want = [
+        (r.doc_id, r.score)
+        for r in bm25_phrase_search(read_corpus(spark, SF_DIR), phrase, k=10).collect()
+    ]
+    assert [(d, round(s, 6)) for d, s in got] == [(d, round(s, 6)) for d, s in want]
+
+
+def test_phrase_index_matches_duck_oracle(pos_index, duck):
+    from miru_spark.plans.relational import bm25_phrase_oracle_sql
+    from miru_spark.plans.search import search_phrase
+
+    for phrase in ["the a", "data the table"]:
+        got = [(d, round(s, 6)) for d, s in search_phrase(pos_index, phrase, k=10)]
+        want = [tuple(r) for r in duck.execute(bm25_phrase_oracle_sql(phrase)).fetchall()]
+        assert got == [(int(d), float(s)) for d, s in want]
+
+
+def test_phrase_needs_positional_index(reader):
+    from miru_spark.plans.search import search_phrase
+
+    with pytest.raises(ValueError, match="positional"):
+        search_phrase(reader, "the a")
+
+
+def test_positions_roundtrip_through_merge(spark, pos_index):
+    """Decoded positions reproduce each doc's actual token offsets."""
+    import numpy as np
+
+    from miru_spark.index.format import unpack_chunk, unpack_positions
+    from miru_spark.schema import read_corpus
+
+    texts = {
+        r.doc_id: r.content.split()
+        for r in read_corpus(spark, SF_DIR).collect()
+    }
+    tps = pos_index.fetch_terms(["join", "dup"], with_positions=True)
+    checked = 0
+    for t, tp in tps.items():
+        for r in tp.chunks:
+            metas = [dict(b.asDict() if hasattr(b, "asDict") else b) for b in r["blocks"]]
+            ids, tfs, dls = unpack_chunk(r["blob"], metas, int(r["codec"]))
+            pos = unpack_positions(r["pos_blob"], tfs)
+            starts = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))[:-1]))
+            for j, d in enumerate(ids.astype(np.int64)):
+                p = pos[starts[j] : starts[j] + int(tfs[j])].astype(np.int64)
+                expect = [i for i, tok in enumerate(texts[int(d)]) if tok == t]
+                assert p.tolist() == expect
+                checked += 1
+    assert checked > 20
+
+
+def test_non_phrase_fetch_skips_pos_blob(pos_index):
+    """Column pruning: a plain fetch must not materialize pos_blob."""
+    tps = pos_index.fetch_terms(["join"])
+    row = tps["join"].chunks[0]
+    assert "pos_blob" not in row
+    tps2 = pos_index.fetch_terms(["join"], with_positions=True)
+    assert tps2["join"].chunks[0]["pos_blob"] is not None
