@@ -129,39 +129,82 @@ def _unpack_bits(buf: np.ndarray, n: int, width: int) -> np.ndarray:
 def pfor_encode(values: np.ndarray) -> bytes:
     """PForDelta-encode a uint64 array (any length) into a byte stream.
 
-    Layout: varint(n_values), then per 128-block:
-      [width:1B][n_exceptions:1B][packed low bits][exception positions varint]
-      [exception high bits varint]
+    Layout (headers UP FRONT so decode finds every block offset from one
+    cumsum instead of a sequential walk):
+
+      varint(n_values) varint(n_blocks)
+      n_blocks x 4-byte headers: [width:1][n_exc:1][payload_len:2 LE]
+      concatenated per-block payloads:
+        [packed low bits][exception positions varint][exception high varint]
+
+    Both encode and decode batch all same-width full blocks into ONE
+    bit-pack/unpack matrix operation; per-block Python touches only the
+    (rare) exception streams and the final ragged block.
     """
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    parts = [varint_encode(np.array([v.size], dtype=np.uint64))]
-    for s in range(0, v.size, PFOR_BLOCK):
-        blk = v[s : s + PFOR_BLOCK]
-        bl = _bit_lengths(blk)
-        max_w = int(bl.max()) if blk.size else 0
-        # smallest width with an acceptable number of exceptions
-        width = max_w
-        for w in range(max_w + 1):
-            if int((bl > w).sum()) <= PFOR_MAX_EXCEPTIONS:
-                width = w
-                break
-        exc_mask = bl > width
-        exc_pos = np.flatnonzero(exc_mask).astype(np.uint64)
-        if width == 0:
-            low = np.zeros_like(blk)
-        elif width >= 64:
-            # 1<<64 is undefined (wraps to 1 on x86) — values >= 2^63 store raw
-            low = blk
-        else:
-            low = blk & ((np.uint64(1) << np.uint64(width)) - np.uint64(1))
-        # width == max bit length when exceptions exist is impossible at
-        # width >= 64 (no value has >64 bits), so this shift stays defined
-        high = blk[exc_mask] >> np.uint64(width)
-        parts.append(bytes([width, int(exc_pos.size)]))
-        parts.append(_pack_bits(low, width))
-        parts.append(varint_encode(exc_pos))
-        parts.append(varint_encode(high))
-    return b"".join(parts)
+    n = v.size
+    head = varint_encode(np.array([n], dtype=np.uint64))
+    if n == 0:
+        return head + varint_encode(np.array([0], dtype=np.uint64))
+    nb = -(-n // PFOR_BLOCK)
+    starts = np.arange(0, n, PFOR_BLOCK, dtype=np.int64)
+    blk_n = np.diff(np.append(starts, n))
+    bl = _bit_lengths(v)
+    blk_id = np.repeat(np.arange(nb, dtype=np.int64), blk_n)
+    # per-block width = smallest w with <= PFOR_MAX_EXCEPTIONS values of
+    # bit length > w; one bincount histogram, no per-block scan
+    hist = np.bincount(blk_id * 65 + bl, minlength=nb * 65).reshape(nb, 65)
+    exc_if_w = blk_n[:, None] - np.cumsum(hist, axis=1)
+    widths = (exc_if_w <= PFOR_MAX_EXCEPTIONS).argmax(axis=1).astype(np.int64)
+
+    exc_sel = bl > widths[blk_id]
+    n_exc_per_blk = np.bincount(blk_id[exc_sel], minlength=nb)
+    payloads: list[bytes | None] = [None] * nb
+    for w in np.unique(widths):
+        idx = np.flatnonzero((widths == w) & (blk_n == PFOR_BLOCK))
+        if idx.size:
+            if w == 0:
+                packed_rows = [b""] * idx.size
+            else:
+                gather = starts[idx][:, None] + np.arange(PFOR_BLOCK)
+                vals = v[gather]
+                if w < 64:
+                    vals = vals & ((np.uint64(1) << np.uint64(w)) - np.uint64(1))
+                shifts = np.arange(int(w) - 1, -1, -1, dtype=np.uint64)
+                bits = ((vals[:, :, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+                packed = np.packbits(bits.reshape(idx.size, -1), axis=1)
+                packed_rows = [r.tobytes() for r in packed]
+            for j, i in enumerate(idx):
+                payloads[i] = packed_rows[j]
+    # ragged final block (and any stragglers) individually
+    for i in range(nb):
+        if payloads[i] is None:
+            blk = v[starts[i] : starts[i] + blk_n[i]]
+            w = int(widths[i])
+            if w == 0:
+                payloads[i] = b""
+            else:
+                low = blk if w >= 64 else blk & (
+                    (np.uint64(1) << np.uint64(w)) - np.uint64(1)
+                )
+                payloads[i] = _pack_bits(low, w)
+    if exc_sel.any():
+        for i in np.flatnonzero(n_exc_per_blk):
+            s, e = starts[i], starts[i] + blk_n[i]
+            mask = exc_sel[s:e]
+            pos = np.flatnonzero(mask).astype(np.uint64)
+            high = v[s:e][mask] >> np.uint64(widths[i])
+            payloads[i] += varint_encode(pos) + varint_encode(high)
+    plens = np.fromiter((len(p) for p in payloads), np.int64, nb)
+    headers = np.empty((nb, 4), dtype=np.uint8)
+    headers[:, 0] = widths
+    headers[:, 1] = n_exc_per_blk
+    headers[:, 2] = plens & 0xFF
+    headers[:, 3] = plens >> 8
+    return b"".join(
+        [head, varint_encode(np.array([nb], dtype=np.uint64)),
+         headers.tobytes(), *payloads]
+    )
 
 
 def _bit_lengths(v: np.ndarray) -> np.ndarray:
@@ -178,54 +221,64 @@ def _bit_lengths(v: np.ndarray) -> np.ndarray:
 def pfor_decode(buf: bytes | memoryview | np.ndarray, offset: int = 0):
     """Decode PFOR stream -> (uint64 array, bytes consumed from offset).
 
-    Two passes: a cheap header walk records (width, data offset) per block and
-    decodes the tiny (<=16-entry) exception varints; the bit-unpack — the
-    actual work — then runs ONCE per distinct width over all same-width blocks
-    stacked into a matrix (one ``unpackbits`` + one shift-accumulate), instead
-    of a per-128-block Python iteration. Round-1 measured the per-block loop
-    70x slower than varint on dense gaps; batching removes that gap.
+    Fully vectorized: the up-front header section gives every block's
+    (width, payload offset) from one cumsum; all same-width full blocks
+    unpack in ONE ``unpackbits`` + shift-accumulate matrix pass. Per-block
+    Python touches only blocks that carry exceptions and the ragged tail.
+    (The round-1 per-128-block walk decoded dense gaps 70x slower than
+    varint; this layout decodes them at the same order of magnitude.)
     """
     raw = np.frombuffer(buf, dtype=np.uint8)[offset:]
     header, used = varint_decode(raw, 0, count=1)
     n = int(header[0])
     pos = used
+    nbh, used = varint_decode(raw, pos, count=1)
+    nb = int(nbh[0])
+    pos += used
     out = np.empty(n, dtype=np.uint64)
-    groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
-    exc_fixups: list[tuple[np.ndarray, np.ndarray, int]] = []
-    done = 0
-    while done < n:  # header walk: O(1) per block (+ tiny exception varints)
-        blk_n = min(PFOR_BLOCK, n - done)
-        width = int(raw[pos]); n_exc = int(raw[pos + 1]); pos += 2
-        packed_bytes = (blk_n * width + 7) // 8
-        groups.setdefault((width, blk_n), []).append((pos, done))
-        pos += packed_bytes
-        if n_exc:
-            exc_pos, used = varint_decode(raw, pos, count=n_exc)
-            pos += used
-            high, used = varint_decode(raw, pos, count=n_exc)
-            pos += used
-            exc_fixups.append((done + exc_pos.astype(np.int64), high, width))
-        done += blk_n
-    for (width, blk_n), blks in groups.items():
-        if width == 0:
-            for _, out_pos in blks:
-                out[out_pos : out_pos + blk_n] = 0
+    if nb == 0:
+        return out[:0], pos
+    H = raw[pos : pos + 4 * nb].reshape(nb, 4)
+    pos += 4 * nb
+    widths = H[:, 0].astype(np.int64)
+    n_exc = H[:, 1].astype(np.int64)
+    plen = H[:, 2].astype(np.int64) | (H[:, 3].astype(np.int64) << 8)
+    poffs = pos + np.concatenate(([0], np.cumsum(plen)[:-1]))
+    end = int(pos + plen.sum())
+    starts = np.arange(nb, dtype=np.int64) * PFOR_BLOCK
+    blk_n = np.full(nb, PFOR_BLOCK, dtype=np.int64)
+    blk_n[-1] = n - starts[-1]
+    full = blk_n == PFOR_BLOCK
+    for w in np.unique(widths):
+        idx = np.flatnonzero(full & (widths == w))
+        if not idx.size:
             continue
-        packed_bytes = (blk_n * width + 7) // 8
-        data_pos = np.array([p for p, _ in blks], dtype=np.int64)
-        out_pos = np.array([o for _, o in blks], dtype=np.int64)
-        gather = data_pos[:, None] + np.arange(packed_bytes, dtype=np.int64)
-        bits = np.unpackbits(raw[gather], axis=1, count=blk_n * width)
-        bits = bits.reshape(len(blks), blk_n, width)
-        vals = np.zeros((len(blks), blk_n), dtype=np.uint64)
-        for w in range(width):  # MSB-first shift-accumulate, <=64 passes
+        if w == 0:
+            sc = starts[idx][:, None] + np.arange(PFOR_BLOCK)
+            out[sc.ravel()] = 0
+            continue
+        packed_bytes = (PFOR_BLOCK * int(w) + 7) // 8
+        gather = poffs[idx][:, None] + np.arange(packed_bytes, dtype=np.int64)
+        bits = np.unpackbits(raw[gather], axis=1, count=PFOR_BLOCK * int(w))
+        bits = bits.reshape(idx.size, PFOR_BLOCK, int(w))
+        vals = np.zeros((idx.size, PFOR_BLOCK), dtype=np.uint64)
+        for j in range(int(w)):  # MSB-first shift-accumulate, <=64 passes
             vals <<= np.uint64(1)
-            vals |= bits[:, :, w]
-        scatter = out_pos[:, None] + np.arange(blk_n, dtype=np.int64)
-        out[scatter.ravel()] = vals.ravel()
-    for idx, high, width in exc_fixups:
-        out[idx] |= high << np.uint64(width)
-    return out, pos
+            vals |= bits[:, :, j]
+        sc = starts[idx][:, None] + np.arange(PFOR_BLOCK)
+        out[sc.ravel()] = vals.ravel()
+    for i in np.flatnonzero(~full):  # ragged tail (at most one block)
+        out[starts[i] : starts[i] + blk_n[i]] = _unpack_bits(
+            raw[poffs[i] : poffs[i] + ((blk_n[i] * widths[i] + 7) // 8)],
+            int(blk_n[i]),
+            int(widths[i]),
+        )
+    for i in np.flatnonzero(n_exc):
+        ppos = int(poffs[i]) + (int(blk_n[i]) * int(widths[i]) + 7) // 8
+        exc_pos, used = varint_decode(raw, ppos, count=int(n_exc[i]))
+        high, _ = varint_decode(raw, ppos + used, count=int(n_exc[i]))
+        out[starts[i] + exc_pos.astype(np.int64)] |= high << np.uint64(widths[i])
+    return out, end
 
 
 def encode(values: np.ndarray, codec: int) -> bytes:

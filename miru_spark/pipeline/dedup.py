@@ -5,14 +5,17 @@ Four tiers, all Spark-first (SURVEY.md's training-data mandate):
 * exact      — hash-groupBy on content sha256; one shuffle of (hash, doc_id).
 * ngram      — exact token-3-gram Jaccard via a shingle self-join;
                quadratic in co-shingled docs, the small-scale ground truth.
-* minhash    — MinHash + LSH banding: per-doc signatures (vectorized
-               ``np.minimum.reduceat`` over xxhash64 shingle hashes), band
+* minhash    — MinHash + LSH banding: per-doc signatures computed in a
+               SHUFFLE-FREE ``mapInPandas`` pass (JVM xxhash64 shingle-hash
+               arrays in, ``np.minimum.reduceat`` minima out — parallelism
+               equals input partitions, memory bounded per slice), band
                buckets, candidate pairs, exact-Jaccard verification of
                candidates only. The 100TB-scale path: no quadratic stage
                ever materializes; bucket sizes bound the pair blow-up.
-* simhash    — 64-bit SimHash fingerprints (vectorized bit-sum), banded into
-               four 16-bit chunks for candidate generation, verified by
-               ``bit_count(xor)`` hamming distance — JVM-side popcount.
+* simhash    — 64-bit SimHash fingerprints (same shuffle-free mapInPandas
+               shape), banded into four 16-bit chunks for candidate
+               generation, verified by ``bit_count(xor)`` hamming distance —
+               JVM-side popcount.
 
 Shingle definition shared by all tiers: token 3-grams joined by one space,
 docs with <3 tokens excluded.

@@ -235,12 +235,17 @@ EXHAUSTIVE_CUTOFF = 1 << 23
 
 
 def parse_query(query: str) -> tuple[list[str], str]:
-    """A14 — ``"a AND b"`` / ``"a OR b"`` / bare term list -> (terms, mode).
+    """A14 — ``"a AND b"`` / ``"a OR b"`` / ``'"a b c"'`` (quoted = exact
+    phrase) / bare term list -> (terms, mode).
 
     AND anywhere makes the query conjunctive; OR alone makes it
-    disjunctive; a bare whitespace list defaults to conjunctive. Operators
-    are case-sensitive uppercase (lowercase and/or are corpus terms)."""
-    toks = query.split()
+    disjunctive; a fully-quoted query is a phrase; a bare whitespace list
+    defaults to conjunctive. Operators are case-sensitive uppercase
+    (lowercase and/or are corpus terms)."""
+    q = query.strip()
+    if len(q) >= 2 and q[0] == '"' and q[-1] == '"':
+        return q[1:-1].split(), "phrase"
+    toks = q.split()
     has_and = "AND" in toks
     has_or = "OR" in toks
     if has_and and has_or:
@@ -252,8 +257,11 @@ def parse_query(query: str) -> tuple[list[str], str]:
 def search(
     reader: IndexReader, query: str, k: int = 10
 ) -> list[tuple[int, float]]:
-    """Parse-and-search convenience wrapper: ``search(r, "join AND hash")``."""
+    """Parse-and-search convenience wrapper: ``search(r, "join AND hash")``
+    or ``search(r, '"join hash"')`` for an exact phrase (positional index)."""
     terms, mode = parse_query(query)
+    if mode == "phrase":
+        return search_phrase(reader, " ".join(terms), k=k)
     return search_topk(reader, terms, mode=mode, k=k)
 
 

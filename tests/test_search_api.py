@@ -20,3 +20,22 @@ def test_search_wrapper_matches_topk(reader):
     assert search(reader, "the OR dup", k=5) == search_topk(
         reader, ["the", "dup"], mode="disjunctive", k=5
     )
+
+
+def test_parse_query_phrase():
+    assert parse_query('"the a"') == (["the", "a"], "phrase")
+    assert parse_query('  "data the table" ') == (["data", "the", "table"], "phrase")
+
+
+def test_search_phrase_via_parser(spark, tmp_path_factory):
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.plans.search import search_phrase
+    from miru_spark.schema import read_corpus
+    from tests.conftest import SF_DIR
+
+    p = str(tmp_path_factory.mktemp("qidx") / "i")
+    build_index(spark, read_corpus(spark, SF_DIR), p, num_partitions=4,
+                positions=True)
+    r = IndexReader(spark, p)
+    assert search(r, '"the a"') == search_phrase(r, "the a")
