@@ -44,25 +44,23 @@ def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     if v.max() < 128:  # dense-gap fast path: every value is one byte
         ones = np.broadcast_to(np.ones(1, dtype=np.int64), n)  # no 8B*n alloc
         return v.astype(np.uint8).tobytes(), ones
-    # bytes needed per value: ceil(bit_length / 7), min 1
-    nbits = np.zeros(n, dtype=np.int64)
-    tmp = v.copy()
-    alive = tmp > 0
-    while alive.any():
-        nbits[alive] += 1
-        tmp >>= np.uint64(7)
-        alive = tmp > 0
-    np.maximum(nbits, 1, out=nbits)
-    ends = np.cumsum(nbits)
-    total = int(ends[-1])
-    starts = ends - nbits
-    out = np.zeros(total, dtype=np.uint8)
+    # bytes needed per value: ceil(bit_length / 7), min 1 — threshold sums
+    # (one vector compare per byte tier, no fancy-index writes)
+    vmax = int(v.max())
+    nbits = np.ones(n, dtype=np.int64)
+    for shift in range(7, 64, 7):
+        if vmax < (1 << shift):
+            break
+        nbits += v >= np.uint64(1 << shift)
+    # (n x max_len) byte matrix, then one row-major boolean select — the
+    # select emits value-by-value in order, i.e. exactly the varint stream
+    # (no per-byte-position fancy scatter)
     max_len = int(nbits.max())
-    for b in range(max_len):
-        mask = nbits > b
-        byte = (v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)
-        cont = (nbits[mask] - 1 > b).astype(np.uint8) << 7
-        out[starts[mask] + b] = byte.astype(np.uint8) | cont
+    sh = np.arange(max_len, dtype=np.uint64) * np.uint64(7)
+    mat = ((v[:, None] >> sh) & np.uint64(0x7F)).astype(np.uint8)
+    lanes = np.arange(max_len)
+    mat |= (lanes[None, :] < (nbits[:, None] - 1)).astype(np.uint8) << 7
+    out = mat[lanes[None, :] < nbits[:, None]]
     return out.tobytes(), nbits
 
 

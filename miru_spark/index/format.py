@@ -134,12 +134,54 @@ def impact_frontier(tfs: np.ndarray, dls: np.ndarray, cap: int = IMPACT_CAP):
     keep[1:] = s_tf[1:] > cm[:-1]
     f_tf = s_tf[keep]
     f_dl = np.asarray(dls, dtype=np.int64)[order][keep]
+    return _cap_frontier(f_tf, f_dl, cap)
+
+
+def _cap_frontier(f_tf: np.ndarray, f_dl: np.ndarray, cap: int):
     if f_tf.size > cap:
         cuts = np.linspace(0, f_tf.size, cap + 1).astype(np.int64)
         # runs are ascending in tf and dl: run max-tf = last, min-dl = first
         f_tf = f_tf[cuts[1:] - 1]
         f_dl = f_dl[cuts[:-1]]
     return f_tf.tolist(), f_dl.tolist()
+
+
+def _block_frontiers(
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_starts: np.ndarray,
+    block_ends: np.ndarray,
+    cap: int = IMPACT_CAP,
+) -> list[tuple[list, list]]:
+    """Per-block :func:`impact_frontier`, vectorized across ALL blocks: one
+    global lexsort + one running-max pass (block-offset composite keys reset
+    the cummax at block boundaries), instead of a numpy call per 128-posting
+    block — this runs inside every merge reducer."""
+    nb = block_starts.size
+    blk = np.repeat(np.arange(nb, dtype=np.int64), block_ends - block_starts)
+    tfmax = int(tfs.max()) if tfs.size else 0
+    dlmax = int(dls.max()) if dls.size else 0
+    if nb * (tfmax + 1) * (dlmax + 1) >= (1 << 62):  # key overflow: rare,
+        return [  # fall back to per-block calls
+            (impact_frontier(tfs[s:e], dls[s:e], cap))
+            for s, e in zip(block_starts, block_ends)
+        ]
+    # single fused-key argsort for (blk asc, dl asc, tf desc) — one radix-ish
+    # pass instead of lexsort's three
+    composite = (blk * (dlmax + 1) + dls) * (tfmax + 1) + (tfmax - tfs)
+    order = np.argsort(composite, kind="stable")
+    s_tf, s_dl, s_blk = tfs[order], dls[order], blk[order]
+    key = s_blk * (tfmax + 1) + s_tf
+    cm = np.maximum.accumulate(key)
+    keep = np.empty(key.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = key[1:] > cm[:-1]
+    f_tf, f_dl, f_blk = s_tf[keep], s_dl[keep], s_blk[keep]
+    offs = np.concatenate(([0], np.cumsum(np.bincount(f_blk, minlength=nb))))
+    return [
+        _cap_frontier(f_tf[offs[i] : offs[i + 1]], f_dl[offs[i] : offs[i + 1]], cap)
+        for i in range(nb)
+    ]
 
 
 def impact_bound(i_tf, i_dl, idf: float, avgdl: float) -> float:
@@ -221,16 +263,16 @@ def pack_chunk(
     last = np.ascontiguousarray(docids, dtype=np.int64)[block_ends - 1]
     tfs_i = tfs_u.astype(np.int64)
     dls_i = dls_u.astype(np.int64)
+    frontiers = _block_frontiers(tfs_i, dls_i, block_starts, block_ends)
     metas = []
     for i in range(block_starts.size):
-        s, e = block_starts[i], block_ends[i]
-        i_tf, i_dl = impact_frontier(tfs_i[s:e], dls_i[s:e])
+        i_tf, i_dl = frontiers[i]
         metas.append(
             BlockMeta(
                 int(g_off[i]),
                 base_t + int(t_off[i]),
                 base_d + int(d_off[i]),
-                int(e - s),
+                int(block_ends[i] - block_starts[i]),
                 int(last[i]),
                 i_tf,
                 i_dl,
