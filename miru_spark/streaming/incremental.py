@@ -51,6 +51,7 @@ def incremental_index_stream(
     num_partitions: int = 8,
     tokenizer: str = "whitespace",
     checkpoint_dir: str | None = None,
+    positions: bool = False,
 ):
     """writeStream.foreachBatch: segment-build + docmap-append each batch.
 
@@ -70,7 +71,8 @@ def incremental_index_stream(
             return
         n_hint = docs_per_part * num_partitions
         segs = build_segments(
-            batch_df, num_partitions, n_docs=n_hint, tokenizer=tokenizer
+            batch_df, num_partitions, n_docs=n_hint, tokenizer=tokenizer,
+            positions=positions,
         )
         # build_segments derives dpp = ceil(n_docs/num_partitions); feeding
         # the hint keeps dpp == docs_per_part exactly
@@ -174,11 +176,16 @@ def finalize_streamed_index(
     n_docs = docmap.count()
     n_tokens = docmap.agg(F.sum("doc_len")).collect()[0][0]
     avgdl = n_tokens / max(n_docs, 1)
+    has_pos = (
+        "pos" in segments.columns
+        and segments.filter(F.col("pos").isNotNull()).limit(1).count() > 0
+    )
     stats = {
         "n_docs": int(n_docs),
         "avgdl": float(avgdl),
         "n_tokens": int(n_tokens),
         "codec": int(codec),
+        "positions": has_pos,
         "k1": 1.2,
         "b": 0.75,
         "incremental": True,

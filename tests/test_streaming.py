@@ -221,3 +221,37 @@ def test_delta_merge_leaves_untouched_chunks_byte_identical(spark, tmp_path):
         a = search_topk(ra, terms, mode=mode, k=10)
         b = search_topk(rb, terms, mode=mode, k=10)
         assert a == b
+
+
+def test_streamed_positional_index_serves_phrase(spark, tmp_path):
+    """A positions=True streamed index serves phrase queries identically to
+    the relational twin."""
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.plans.relational import bm25_phrase_search
+    from miru_spark.plans.search import search_phrase
+    from miru_spark.schema import read_corpus
+    from miru_spark.streaming.incremental import (
+        finalize_streamed_index,
+        incremental_index_stream,
+        stream_corpus,
+    )
+
+    corpus = read_corpus(spark, SF_DIR)
+    drops = str(tmp_path / "drops")
+    idx = str(tmp_path / "idx")
+    corpus.filter(F.col("doc_id") < 250).coalesce(1).write.mode("append").parquet(drops)
+    corpus.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(drops)
+    q = incremental_index_stream(
+        stream_corpus(spark, drops), idx, docs_per_part=63, num_partitions=8,
+        positions=True,
+    )
+    q.awaitTermination(120)
+    finalize_streamed_index(spark, idx, target_chunk=64)
+    r = IndexReader(spark, idx)
+    assert r.positions
+    got = search_phrase(r, "the a", k=10)
+    want = [
+        (x.doc_id, x.score)
+        for x in bm25_phrase_search(corpus, "the a", k=10).collect()
+    ]
+    assert [(d, round(s, 6)) for d, s in got] == want
