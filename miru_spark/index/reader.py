@@ -41,22 +41,69 @@ class TermPostings:
 
 
 class IndexReader:
-    def __init__(self, spark: SparkSession, index_path: str):
+    """Index handle. When the index was committed through the snapshot
+    protocol (index/snapshots.py), reads are manifest-driven: only the
+    current (or the requested ``snapshot_id``) snapshot's data files are
+    opened, pruned by each file's recorded term_pref — directory state is
+    never trusted. A time-traveled reader scores with ITS snapshot's corpus
+    stats. Directory-layout indexes read exactly as before."""
+
+    def __init__(
+        self, spark: SparkSession, index_path: str, snapshot_id: int | None = None
+    ):
+        from miru_spark.index import snapshots as snapmod
+
         self.spark = spark
         self.index_path = index_path
-        with open(f"{index_path}/stats.json") as f:
-            self.stats = json.load(f)
+        self._snapmod = snapmod
+        self.snapshot = snapmod.read_snapshot(index_path, snapshot_id)
+        if self.snapshot is not None:
+            self.stats = self.snapshot["stats"]
+        else:
+            if snapshot_id is not None:
+                raise FileNotFoundError(
+                    f"snapshot {snapshot_id} requested but {index_path} has "
+                    "no snapshots"
+                )
+            with open(f"{index_path}/stats.json") as f:
+                self.stats = json.load(f)
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
         self.positions = bool(self.stats.get("positions", False))
 
     # -------------------------------------------------------------- scans --
+    def _snapshot_file_list(self, terms: list[str] | None) -> list[str]:
+        prefs = None if terms is None else sorted({term_pref_py(t) for t in terms})
+        return self._snapmod.snapshot_files(
+            self.index_path, self.snapshot["id"], prefs
+        )
+
     def postings_df(self, terms: list[str] | None = None) -> DataFrame:
+        if self.snapshot is not None:
+            files = self._snapshot_file_list(terms)
+            if not files:
+                return self._empty_postings_df()
+            df = self.spark.read.option(
+                "basePath", f"{self.index_path}/postings"
+            ).parquet(*files)
+            if terms is not None:
+                df = df.filter(F.col("term").isin(terms))
+            return df
         df = self.spark.read.parquet(f"{self.index_path}/postings")
         if terms is not None:
             prefs = sorted({term_pref_py(t) for t in terms})
             df = df.filter(F.col("term_pref").isin(prefs) & F.col("term").isin(terms))
         return df
+
+    def _empty_postings_df(self) -> DataFrame:
+        from pyspark.sql import types as T
+
+        from miru_spark.operators.merge import CHUNK_SCHEMA
+
+        schema = T.StructType(
+            [*CHUNK_SCHEMA.fields, T.StructField("term_pref", T.IntegerType())]
+        )
+        return self.spark.createDataFrame([], schema)
 
     def docmap_df(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_path}/docmap")
@@ -83,15 +130,22 @@ class IndexReader:
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
-        prefs = sorted({term_pref_py(t) for t in terms})
-        dset = pads.dataset(
-            f"{self.index_path}/postings", format="parquet", partitioning="hive"
-        )
+        if self.snapshot is not None:
+            # manifest pruning: open ONLY files whose recorded term_pref
+            # matches a query term's prefix (Iceberg partition-summary style)
+            files = self._snapshot_file_list(terms)
+            if not files:
+                return {}
+            dset = pads.dataset(files, format="parquet")
+            flt = pc.field("term").isin(terms)
+        else:
+            prefs = sorted({term_pref_py(t) for t in terms})
+            dset = pads.dataset(
+                f"{self.index_path}/postings", format="parquet", partitioning="hive"
+            )
+            flt = pc.field("term_pref").isin(prefs) & pc.field("term").isin(terms)
         cols = [n for n in dset.schema.names if n != "pos_blob" or with_positions]
-        tbl = dset.to_table(
-            columns=cols,
-            filter=pc.field("term_pref").isin(prefs) & pc.field("term").isin(terms),
-        )
+        tbl = dset.to_table(columns=cols, filter=flt)
         rows = tbl.to_pylist()
         out: dict[str, TermPostings] = {}
         for r in sorted(rows, key=lambda r: (r["term"], r["bucket"])):

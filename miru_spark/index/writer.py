@@ -84,12 +84,18 @@ def build_index(
     target_chunk: int = DEFAULT_TARGET_CHUNK,
     resume: bool = False,
     positions: bool = False,
+    snapshots: bool = False,
 ) -> dict:
     """Full build pipeline (SURVEY.md section 3.1). Returns the manifest.
 
     ``positions=True`` adds Lucene-style positional postings (a separate
     varint stream per chunk row, column-pruned away by every non-phrase
-    query) enabling exact phrase search straight from the index."""
+    query) enabling exact phrase search straight from the index.
+
+    ``snapshots=True`` commits the postings through the Iceberg-style
+    snapshot protocol (index/snapshots.py): append-only data files + an
+    atomically-flipped current-snapshot pointer, giving atomic commits,
+    time travel, and manifest-driven pruning."""
     t0 = time.time()
     timings: dict[str, float] = {}
 
@@ -188,9 +194,18 @@ def build_index(
     merged = merge_segments(
         segments, codec=codec, target_chunk=target_chunk
     ).withColumn("term_pref", term_pref_col(F.col("term")))
-    merged.write.mode("overwrite").partitionBy("term_pref").parquet(
-        f"{index_path}/postings"
-    )
+    if snapshots:
+        from miru_spark.index import snapshots as snapmod
+
+        before = snapmod._walk_postings(index_path)
+        merged.write.mode("append").partitionBy("term_pref").parquet(
+            f"{index_path}/postings"
+        )
+        new_files = snapmod._walk_postings(index_path) - before
+    else:
+        merged.write.mode("overwrite").partitionBy("term_pref").parquet(
+            f"{index_path}/postings"
+        )
     post = spark.read.parquet(f"{index_path}/postings").agg(
         F.count("*").alias("chunks"),
         F.sum("df_chunk").alias("postings"),
@@ -229,6 +244,12 @@ def build_index(
     )
     with open(f"{index_path}/stats.json", "w") as f:
         json.dump(stats_out, f, indent=1, sort_keys=True)
+    if snapshots:
+        from miru_spark.index import snapshots as snapmod
+
+        snapmod.commit_snapshot(
+            index_path, new_files, stats_out, operation="build"
+        )
 
     full_manifest = {
         "version": 1,

@@ -100,6 +100,7 @@ def finalize_streamed_index(
     num_partitions: int = 8,
     codec: int | None = None,
     target_chunk: int | None = None,
+    snapshots: bool = False,
 ) -> dict:
     """Merge streamed segments into the final queryable index — the same
     salted merge + term_pref sink as the batch path.
@@ -114,6 +115,12 @@ def finalize_streamed_index(
     Corpus stats are recomputed from the docmap (cheap aggregates) and live
     only in stats.json. Merged batch ids are recorded in _merged.json so a
     crashed finalize re-runs its delta idempotently.
+
+    ``snapshots=True`` routes the sink through the Iceberg-style snapshot
+    protocol (index/snapshots.py): data files are append-only, each
+    finalize commits a new snapshot atomically, untouched files are SHARED
+    between snapshots verbatim, and readers can time-travel to any
+    retained version (scoring with that version's stats).
     """
     import json
 
@@ -135,7 +142,29 @@ def finalize_streamed_index(
             prev_batches = json.load(f).get("merged_batches", [])
     new_batches = [b for b in batches if b not in prev_batches]
 
-    if prev_batches and new_batches and os.path.isdir(post_path):
+    from miru_spark.index import snapshots as snapmod
+
+    n_docs = docmap.count()
+    n_tokens = docmap.agg(F.sum("doc_len")).collect()[0][0]
+    avgdl = n_tokens / max(n_docs, 1)
+    has_pos = (
+        "pos" in segments.columns
+        and segments.filter(F.col("pos").isNotNull()).limit(1).count() > 0
+    )
+    stats = {
+        "n_docs": int(n_docs),
+        "avgdl": float(avgdl),
+        "n_tokens": int(n_tokens),
+        "codec": int(codec),
+        "positions": has_pos,
+        "k1": 1.2,
+        "b": 0.75,
+        "incremental": True,
+    }
+
+    prev_snap = snapmod.read_snapshot(index_path) if snapshots else None
+    have_prior = prev_snap is not None if snapshots else os.path.isdir(post_path)
+    if prev_batches and new_batches and have_prior:
         # ---- delta path: re-merge only terms the new batches touched ----
         touched_terms = (
             segments.filter(F.col("batch").isin(new_batches))
@@ -154,42 +183,63 @@ def finalize_streamed_index(
             .distinct()
             .collect()
         )
-        carried = (
-            spark.read.parquet(post_path)
-            .filter(F.col("term_pref").isin(prefs))
-            .join(touched_terms, "term", "left_anti")
-        )
-        out = merged_new.unionByName(carried.select(*merged_new.columns))
-        # materialize BEFORE overwriting the directory we just read from
-        out = out.localCheckpoint(eager=True)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        out.write.mode("overwrite").partitionBy("term_pref").parquet(post_path)
-    elif new_batches or not os.path.isdir(post_path):
+        if snapshots:
+            # carried rows come from the CURRENT SNAPSHOT's files (never the
+            # raw directory, which may hold superseded/uncommitted files);
+            # append-only writes make reading-while-writing safe
+            src = snapmod.snapshot_files(index_path, prefs=prefs)
+            carried = (
+                spark.read.option("basePath", post_path).parquet(*src)
+                .join(touched_terms, "term", "left_anti")
+                if src
+                else None
+            )
+            out = merged_new
+            if carried is not None:
+                out = out.unionByName(carried.select(*merged_new.columns))
+            before = snapmod._walk_postings(index_path)
+            out.write.mode("append").partitionBy("term_pref").parquet(post_path)
+            new_files = snapmod._walk_postings(index_path) - before
+            kept = {
+                p
+                for p, pref in prev_snap["files"].items()
+                if pref not in set(prefs)
+            }
+            snapmod.commit_snapshot(
+                index_path, kept | new_files, stats, operation="delta-merge"
+            )
+        else:
+            carried = (
+                spark.read.parquet(post_path)
+                .filter(F.col("term_pref").isin(prefs))
+                .join(touched_terms, "term", "left_anti")
+            )
+            out = merged_new.unionByName(carried.select(*merged_new.columns))
+            # materialize BEFORE overwriting the directory we just read from
+            out = out.localCheckpoint(eager=True)
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            out.write.mode("overwrite").partitionBy("term_pref").parquet(
+                post_path
+            )
+    elif new_batches or not have_prior:
         merged = merge_segments(
             segments, codec=codec, target_chunk=target_chunk
         ).withColumn("term_pref", term_pref_col(F.col("term")))
-        merged.write.mode("overwrite").partitionBy("term_pref").parquet(post_path)
+        if snapshots:
+            before = snapmod._walk_postings(index_path)
+            merged.write.mode("append").partitionBy("term_pref").parquet(post_path)
+            new_files = snapmod._walk_postings(index_path) - before
+            snapmod.commit_snapshot(index_path, new_files, stats, operation="build")
+        else:
+            merged.write.mode("overwrite").partitionBy("term_pref").parquet(
+                post_path
+            )
 
     segments.groupBy("term").agg(F.sum("df_local").alias("df")).write.mode(
         "overwrite"
     ).parquet(f"{index_path}/df")
-    n_docs = docmap.count()
-    n_tokens = docmap.agg(F.sum("doc_len")).collect()[0][0]
-    avgdl = n_tokens / max(n_docs, 1)
-    has_pos = (
-        "pos" in segments.columns
-        and segments.filter(F.col("pos").isNotNull()).limit(1).count() > 0
-    )
-    stats = {
-        "n_docs": int(n_docs),
-        "avgdl": float(avgdl),
-        "n_tokens": int(n_tokens),
-        "codec": int(codec),
-        "positions": has_pos,
-        "k1": 1.2,
-        "b": 0.75,
-        "incremental": True,
-    }
     with open(f"{index_path}/stats.json", "w") as f:
         json.dump(stats, f, indent=1, sort_keys=True)
     with open(merged_meta, "w") as f:
