@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from miru_spark.plans.relational import bm25_oracle_sql
+from miru_spark.plans.relational import bm25_oracle_sql, bm25_phrase_oracle_sql
 
 CASES = {
     "bm25_index_wand_disj2": (["join", "dup"], "disjunctive"),
@@ -22,6 +22,10 @@ CASES = {
 DIST_CASES = {
     "bm25_index_dist_conj2": (["join", "hash"], "conjunctive"),
     "bm25_index_dist_disj2": (["the", "dup"], "disjunctive"),
+}
+
+PHRASE_DIST_CASES = {
+    "bm25_index_dist_phrase2": "the a",
 }
 
 
@@ -51,8 +55,21 @@ def _mk_dist(terms, mode):
     return run
 
 
+def _mk_phrase_dist(phrase):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_phrase_distributed
+
+        reader = ensure_index(spark, sf_dir)
+        return search_phrase_distributed(reader, phrase, k=10)
+
+    return run
+
+
 def register_all(register) -> None:
     for name, (terms, mode) in CASES.items():
         register(name, _mk_topk(terms, mode), bm25_oracle_sql(terms, mode))
     for name, (terms, mode) in DIST_CASES.items():
         register(name, _mk_dist(terms, mode), bm25_oracle_sql(terms, mode))
+    for name, phrase in PHRASE_DIST_CASES.items():
+        register(name, _mk_phrase_dist(phrase), bm25_phrase_oracle_sql(phrase))

@@ -427,11 +427,89 @@ def search_phrase(
     return [(int(verified[i]), float(scores[i])) for i in order]
 
 
+def search_phrase_distributed(
+    reader: IndexReader,
+    phrase: str,
+    k: int = 10,
+    tokenizer: str = "whitespace",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Cluster-scale exact phrase search as a pure DataFrame plan.
+
+    For each phrase offset j the positional chunks of term_j emit
+    (doc_id, pos - j) occurrence keys (mapInArrow decode, pruned scan);
+    chained inner joins on (doc_id, adj) leave exactly the docs where some
+    start position aligns every term — the classic distributed positional
+    phrase join. Verified docs then semi-join the standard distributed BM25
+    scorer over the phrase's distinct terms. Use :func:`search_phrase` when
+    one node can hold the phrase terms' chunks; this plan when it can't.
+    """
+    from miru_spark.functions.tokenize import tokenize_py
+
+    seq = tokenize_py(phrase, tokenizer)
+    if not seq:
+        raise ValueError("empty phrase")
+    if not reader.positions:
+        raise ValueError(
+            "phrase search needs a positional index (build_index(positions=True))"
+        )
+    uterms = list(dict.fromkeys(seq))
+    spark = reader.spark
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    chunks = reader.postings_df(uterms)
+    present = {r["term"] for r in chunks.select("term").distinct().collect()}
+    if len(present) < len(uterms):
+        return empty
+
+    occ_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("adj", T.LongType())]
+    )
+
+    def occurrences(term: str, off: int):
+        def emit(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            from miru_spark.index.format import unpack_chunk, unpack_positions
+
+            for batch in batches:
+                for row in batch.to_pylist():
+                    ids, tfs, _ = unpack_chunk(
+                        row["blob"], row["blocks"], int(row["codec"])
+                    )
+                    pos = unpack_positions(row["pos_blob"], tfs).astype(np.int64)
+                    doc_rep = np.repeat(ids.astype(np.int64), tfs.astype(np.int64))
+                    adj = pos - off
+                    ok = adj >= 0
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(doc_rep[ok]), pa.array(adj[ok])],
+                        names=["doc_id", "adj"],
+                    )
+
+        return chunks.filter(F.col("term") == term).mapInArrow(emit, occ_schema)
+
+    cand = occurrences(seq[0], 0)
+    for off in range(1, len(seq)):
+        cand = cand.join(occurrences(seq[off], off), ["doc_id", "adj"], "inner")
+    verified = cand.select("doc_id").distinct()
+    scored = search_distributed(
+        reader, uterms, mode="conjunctive", k=None, round_digits=None
+    )
+    score = (
+        F.round(F.col("score"), round_digits)
+        if round_digits is not None
+        else F.col("score")
+    )
+    return (
+        scored.join(verified, "doc_id", "left_semi")
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def search_distributed(
     reader: IndexReader,
     terms: list[str],
     mode: str = "conjunctive",
-    k: int = 10,
+    k: int | None = 10,
     round_digits: int | None = 6,
 ) -> DataFrame:
     """Pure-DataFrame scoring over chunk rows (scatter-gather top-k).
@@ -520,8 +598,7 @@ def search_distributed(
     if mode == "conjunctive":
         agg = agg.filter(F.col("nmatch") == len(terms))
     score = F.round(F.col("score"), round_digits) if round_digits else F.col("score")
-    return (
-        agg.select("doc_id", score.alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    out = agg.select("doc_id", score.alias("score"))
+    if k is None:  # unsorted candidate set (internal callers rank later)
+        return out
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

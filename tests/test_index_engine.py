@@ -243,3 +243,17 @@ def test_non_phrase_fetch_skips_pos_blob(pos_index):
     assert "pos_blob" not in row
     tps2 = pos_index.fetch_terms(["join"], with_positions=True)
     assert tps2["join"].chunks[0]["pos_blob"] is not None
+
+
+@pytest.mark.parametrize("phrase", ["the a", "data the table", "a a"])
+def test_phrase_distributed_matches_driver_path(spark, pos_index, phrase):
+    """The cluster-scale phrase plan (positional occurrence joins + semi-
+    joined distributed scorer) equals the driver fast path exactly."""
+    from miru_spark.plans.search import search_phrase, search_phrase_distributed
+
+    want = [(d, round(s, 6)) for d, s in search_phrase(pos_index, phrase, k=10)]
+    got = [
+        (r.doc_id, r.score)
+        for r in search_phrase_distributed(pos_index, phrase, k=10).collect()
+    ]
+    assert got == want
