@@ -141,6 +141,12 @@ def q_token_stats(spark, sf):
     return token_stats(_docs(spark, sf))
 
 
+def q_token_counts(spark, sf):
+    from miru_spark.pipeline.textqual import token_counts
+
+    return token_counts(_docs(spark, sf))
+
+
 def q_lang_id(spark, sf):
     from miru_spark.pipeline.textqual import lang_id
 
@@ -193,6 +199,9 @@ def register_all(register) -> None:
     register("pipe_ann_ivf", q_ann_ivf, None)
     register("pipe_text_quality", q_text_quality, text_quality_oracle_sql())
     register("pipe_token_stats", q_token_stats, TOKEN_STATS_SQL)
+    from miru_spark.pipeline.textqual import token_counts_oracle_sql
+
+    register("pipe_token_counts", q_token_counts, token_counts_oracle_sql())
     register("pipe_lang_id", q_lang_id, None)
     register("pipe_winnow_pairs", q_winnow_pairs, None)
     register("pipe_media_features", q_media_features, None)

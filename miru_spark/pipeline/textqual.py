@@ -90,6 +90,41 @@ SELECT CAST(FLOOR(len(regexp_extract_all(text, '\S+')) / 10) * 10 AS BIGINT) AS 
 FROM documents GROUP BY bucket ORDER BY bucket
 """
 
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation marks
+# (the GPT-2-family pre-tokenizer shape, reduced to a regex whose semantics
+# are identical in Java regex and RE2 so Spark and DuckDB agree exactly)
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def token_counts(docs: DataFrame, round_digits: int = 6) -> DataFrame:
+    """Per-doc token counts under BOTH tokenizations a training pipeline
+    budgets with: whitespace tokens and BPE-ish subword pre-tokens, plus
+    chars-per-token (the compression-ratio proxy). All JVM built-ins."""
+    text = F.col("text")
+    n_ws = F.regexp_count(text, F.lit(r"\S+")).cast("long")
+    n_bpe = F.regexp_count(F.lower(text), F.lit(BPE_ISH_PATTERN)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.length(text) / F.greatest(n_bpe, F.lit(1)), round_digits).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("doc_id")
+
+
+def token_counts_oracle_sql(round_digits: int = 6) -> str:
+    return rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+         AS n_bpe_tokens,
+       ROUND(LENGTH(text) / GREATEST(
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 1)::DOUBLE,
+         {round_digits}) AS chars_per_token
+FROM documents ORDER BY doc_id
+""".strip()
+
 
 # ------------------------------------------------------------- language ID --
 
