@@ -136,13 +136,23 @@ class IndexReader:
             files = self._snapshot_file_list(terms)
             if not files:
                 return {}
-            dset = pads.dataset(files, format="parquet")
+            key = tuple(files)
+            if getattr(self, "_dset_key", None) != key:
+                self._dset = pads.dataset(files, format="parquet")
+                self._dset_key = key
+            dset = self._dset
             flt = pc.field("term").isin(terms)
         else:
             prefs = sorted({term_pref_py(t) for t in terms})
-            dset = pads.dataset(
-                f"{self.index_path}/postings", format="parquet", partitioning="hive"
-            )
+            # the dataset handle (directory listing + schema) is immutable
+            # for a committed index — build it once per reader, not per query
+            if getattr(self, "_dset", None) is None:
+                self._dset = pads.dataset(
+                    f"{self.index_path}/postings",
+                    format="parquet",
+                    partitioning="hive",
+                )
+            dset = self._dset
             flt = pc.field("term_pref").isin(prefs) & pc.field("term").isin(terms)
         cols = [n for n in dset.schema.names if n != "pos_blob" or with_positions]
         tbl = dset.to_table(columns=cols, filter=flt)
