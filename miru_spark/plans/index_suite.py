@@ -19,9 +19,19 @@ CASES = {
     "bm25_index_conj3": (["the", "a", "data"], "conjunctive"),
 }
 
+# boolean NOT (posting-list difference): (terms, mode, exclude)
+NOT_CASES = {
+    "bm25_index_not_conj": (["join", "hash"], "conjunctive", ["tree"]),
+    "bm25_index_not_disj": (["the", "dup"], "disjunctive", ["join", "hash"]),
+}
+
 DIST_CASES = {
     "bm25_index_dist_conj2": (["join", "hash"], "conjunctive"),
     "bm25_index_dist_disj2": (["the", "dup"], "disjunctive"),
+}
+
+DIST_NOT_CASES = {
+    "bm25_index_dist_not": (["the", "a"], "conjunctive", ["dup"]),
 }
 
 PHRASE_DIST_CASES = {
@@ -29,7 +39,7 @@ PHRASE_DIST_CASES = {
 }
 
 
-def _mk_topk(terms, mode):
+def _mk_topk(terms, mode, exclude=None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
         from miru_spark.plans.search import search_topk
@@ -37,20 +47,20 @@ def _mk_topk(terms, mode):
         reader = ensure_index(spark, sf_dir)
         rows = [
             (int(d), round(float(s), 6))
-            for d, s in search_topk(reader, terms, mode=mode, k=10)
+            for d, s in search_topk(reader, terms, mode=mode, k=10, exclude=exclude)
         ]
         return spark.createDataFrame(rows, "doc_id long, score double")
 
     return run
 
 
-def _mk_dist(terms, mode):
+def _mk_dist(terms, mode, exclude=None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
         from miru_spark.plans.search import search_distributed
 
         reader = ensure_index(spark, sf_dir)
-        return search_distributed(reader, terms, mode=mode, k=10)
+        return search_distributed(reader, terms, mode=mode, k=10, exclude=exclude)
 
     return run
 
@@ -69,7 +79,17 @@ def _mk_phrase_dist(phrase):
 def register_all(register) -> None:
     for name, (terms, mode) in CASES.items():
         register(name, _mk_topk(terms, mode), bm25_oracle_sql(terms, mode))
+    for name, (terms, mode, excl) in NOT_CASES.items():
+        register(
+            name, _mk_topk(terms, mode, excl),
+            bm25_oracle_sql(terms, mode, exclude=excl),
+        )
     for name, (terms, mode) in DIST_CASES.items():
         register(name, _mk_dist(terms, mode), bm25_oracle_sql(terms, mode))
+    for name, (terms, mode, excl) in DIST_NOT_CASES.items():
+        register(
+            name, _mk_dist(terms, mode, excl),
+            bm25_oracle_sql(terms, mode, exclude=excl),
+        )
     for name, phrase in PHRASE_DIST_CASES.items():
         register(name, _mk_phrase_dist(phrase), bm25_phrase_oracle_sql(phrase))

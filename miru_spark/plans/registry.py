@@ -107,6 +107,11 @@ def _register_bm25() -> None:
             _mk_bm25(terms, mode),
             bm25_oracle_sql(terms, mode),
         )
+    register(
+        "bm25_rel_not",
+        _mk_bm25(["the", "a"], "conjunctive", exclude=["dup"]),
+        bm25_oracle_sql(["the", "a"], "conjunctive", exclude=["dup"]),
+    )
     def _mk_phrase(phrase):
         def run(spark, sf_dir):
             # served from the POSITIONAL binary index — no corpus scan; the
@@ -131,8 +136,10 @@ def _register_bm25() -> None:
         register(name, _mk_phrase(phrase), bm25_phrase_oracle_sql(phrase))
 
 
-def _mk_bm25(terms: list[str], mode: str):
+def _mk_bm25(terms: list[str], mode: str, exclude: list[str] | None = None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return bm25_from_model(corpus_model(spark, sf_dir), terms, mode=mode)
+        return bm25_from_model(
+            corpus_model(spark, sf_dir), terms, mode=mode, exclude=exclude
+        )
 
     return run

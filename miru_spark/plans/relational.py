@@ -76,16 +76,23 @@ def bm25_from_model(
     mode: str = "conjunctive",
     k: int | None = 10,
     round_digits: int | None = 6,
+    exclude: list[str] | None = None,
 ) -> DataFrame:
     """Top-k BM25 over a prepared :class:`CorpusModel`.
 
     Returns (doc_id, score) ordered by score desc, doc_id asc, limit k.
     ``round_digits`` rounds the score BEFORE ordering so that mathematically
     tied docs tie-break identically across engines (oracle parity).
+    ``exclude`` drops every doc containing ANY excluded term (boolean NOT):
+    an anti-join of the scored docs against the excluded terms' doc sets —
+    excluded terms never contribute to scores.
     """
     terms = list(dict.fromkeys(terms))  # dedupe, keep order
     if not terms:
         raise ValueError("empty term list")
+    exclude = list(dict.fromkeys(exclude or []))
+    if set(exclude) & set(terms):
+        raise ValueError("a term cannot be both required and excluded")
     tf, dl, stats, df = model.tf, model.dl, model.stats, model.df
 
     qtf = tf.filter(F.col("term").isin(terms))
@@ -106,6 +113,9 @@ def bm25_from_model(
         scored = scored.filter(F.col("nmatch") == len(terms))
     elif mode != "disjunctive":
         raise ValueError(f"unknown mode {mode!r}")
+    if exclude:
+        excl_docs = tf.filter(F.col("term").isin(exclude)).select("doc_id")
+        scored = scored.join(excl_docs, "doc_id", "left_anti")
     score = (
         F.round(F.col("score"), round_digits)
         if round_digits is not None
@@ -124,11 +134,12 @@ def bm25_search_relational(
     k: int | None = 10,
     tokenizer: str = "whitespace",
     round_digits: int | None = 6,
+    exclude: list[str] | None = None,
 ) -> DataFrame:
     """One-shot form of :func:`bm25_from_model` (model built inline)."""
     return bm25_from_model(
         CorpusModel(corpus, tokenizer), terms, mode=mode, k=k,
-        round_digits=round_digits,
+        round_digits=round_digits, exclude=exclude,
     )
 
 
@@ -199,27 +210,46 @@ ORDER BY score DESC, doc_id LIMIT {k}
 
 
 def bm25_oracle_sql(
-    terms: list[str], mode: str = "conjunctive", k: int = 10, round_digits: int = 6
+    terms: list[str],
+    mode: str = "conjunctive",
+    k: int = 10,
+    round_digits: int = 6,
+    exclude: list[str] | None = None,
 ) -> str:
-    """The matching DuckDB ANSI-SQL oracle (FIXTURES.md), same rounding."""
+    """The matching DuckDB ANSI-SQL oracle (FIXTURES.md), same rounding.
+
+    ``exclude`` mirrors :func:`bm25_from_model`'s boolean-NOT semantics:
+    docs containing any excluded term are dropped after scoring.
+    """
     terms = list(dict.fromkeys(terms))
     if not terms:
         raise ValueError("empty term list")
+    exclude = list(dict.fromkeys(exclude or []))
     values = ",".join("('" + t.replace("'", "''") + "')" for t in terms)
-    conj = "WHERE nmatch = (SELECT count(*) FROM q)" if mode == "conjunctive" else ""
+    wheres = []
+    if mode == "conjunctive":
+        wheres.append("nmatch = (SELECT count(*) FROM q)")
+    xq_cte = ""
+    if exclude:
+        xvalues = ",".join("('" + t.replace("'", "''") + "')" for t in exclude)
+        xq_cte = f",\nxq(term) AS (VALUES {xvalues})"
+        wheres.append(
+            "doc_id NOT IN (SELECT doc_id FROM tf JOIN xq USING(term))"
+        )
+    where = ("WHERE " + " AND ".join(wheres)) if wheres else ""
     return f"""
 WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
 tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP BY 1,2),
 dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
 stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
 df    AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
-q(term) AS (VALUES {values}),
+q(term) AS (VALUES {values}){xq_cte},
 s AS (SELECT tf.doc_id,
         sum( ln(1+(stats.n-df.df+0.5)/(df.df+0.5))
              * tf.tf*(1.2+1)/(tf.tf+1.2*(1-0.75+0.75*dl.dl/stats.avgdl)) ) raw_score,
         count(*) nmatch
       FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc_id), stats
       GROUP BY 1)
-SELECT doc_id, round(raw_score, {round_digits}) AS score FROM s {conj}
+SELECT doc_id, round(raw_score, {round_digits}) AS score FROM s {where}
 ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()

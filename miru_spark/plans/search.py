@@ -127,7 +127,16 @@ def _topk_sorted(heap: list[tuple[float, int]], k: int) -> list[tuple[int, float
     return [(-negid, score) for score, negid in best]
 
 
-def wand_topk(iters: list[PostingIterator], k: int) -> list[tuple[int, float]]:
+def _is_excluded(excl: np.ndarray | None, docid: int) -> bool:
+    if excl is None:
+        return False
+    j = int(np.searchsorted(excl, docid))
+    return j < excl.size and int(excl[j]) == docid
+
+
+def wand_topk(
+    iters: list[PostingIterator], k: int, excl: np.ndarray | None = None
+) -> list[tuple[int, float]]:
     """Block-max WAND (Ding & Suel 2011) over per-term lazy iterators.
 
     Heap entries are (score, -doc_id); ties on score are won by the smaller
@@ -174,15 +183,19 @@ def wand_topk(iters: list[PostingIterator], k: int) -> list[tuple[int, float]]:
                 for it in iters[: pivot_idx + 1]:
                     it.seek(nxt)
                 continue
-            score = 0.0
-            for it in iters:
-                if it.cur_docid == pivot:
-                    score += it.score_current()
-            entry = (score, -pivot)
-            if len(heap) < k:
-                heapq.heappush(heap, entry)
-            elif entry > heap[0]:
-                heapq.heapreplace(heap, entry)
+            # excluded pivots (boolean NOT) advance without scoring; they
+            # never enter the heap, so theta stays a valid lower bound over
+            # eligible docs and block-skipping stays safe
+            if not _is_excluded(excl, pivot):
+                score = 0.0
+                for it in iters:
+                    if it.cur_docid == pivot:
+                        score += it.score_current()
+                entry = (score, -pivot)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
             for it in iters:
                 if it.cur_docid == pivot:
                     it.next()
@@ -192,7 +205,9 @@ def wand_topk(iters: list[PostingIterator], k: int) -> list[tuple[int, float]]:
     return _topk_sorted(heap, k)
 
 
-def conjunctive_topk(iters: list[PostingIterator], k: int) -> list[tuple[int, float]]:
+def conjunctive_topk(
+    iters: list[PostingIterator], k: int, excl: np.ndarray | None = None
+) -> list[tuple[int, float]]:
     """Galloping k-list intersection driven by the rarest term (A16)."""
     if not iters or any(it.exhausted for it in iters):
         return []
@@ -212,12 +227,13 @@ def conjunctive_topk(iters: list[PostingIterator], k: int) -> list[tuple[int, fl
                 break
         if not matched:
             continue
-        score = sum(it.score_current() for it in iters)
-        entry = (score, -docid)
-        if len(heap) < k:
-            heapq.heappush(heap, entry)
-        elif entry > heap[0]:
-            heapq.heapreplace(heap, entry)
+        if not _is_excluded(excl, docid):
+            score = sum(it.score_current() for it in iters)
+            entry = (score, -docid)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
         lead.next()
     return _topk_sorted(heap, k)
 
@@ -234,35 +250,80 @@ def conjunctive_topk(iters: list[PostingIterator], k: int) -> list[tuple[int, fl
 EXHAUSTIVE_CUTOFF = 1 << 23
 
 
-def parse_query(query: str) -> tuple[list[str], str]:
-    """A14 — ``"a AND b"`` / ``"a OR b"`` / ``'"a b c"'`` (quoted = exact
-    phrase) / bare term list -> (terms, mode).
+def parse_query(query: str) -> tuple[list[str], str, list[str]]:
+    """A14 — ``"a AND b"`` / ``"a OR b"`` / ``"a AND b NOT c"`` /
+    ``'"a b c"'`` (quoted = exact phrase) / bare term list ->
+    (terms, mode, exclude).
 
     AND anywhere makes the query conjunctive; OR alone makes it
-    disjunctive; a fully-quoted query is a phrase; a bare whitespace list
-    defaults to conjunctive. Operators are case-sensitive uppercase
-    (lowercase and/or are corpus terms)."""
+    disjunctive; ``NOT t`` excludes every doc containing ``t`` (any number
+    of NOT clauses); a fully-quoted query is a phrase; a bare whitespace
+    list defaults to conjunctive. Operators are case-sensitive uppercase
+    (lowercase and/or/not are corpus terms)."""
     q = query.strip()
     if len(q) >= 2 and q[0] == '"' and q[-1] == '"':
-        return q[1:-1].split(), "phrase"
+        return q[1:-1].split(), "phrase", []
     toks = q.split()
-    has_and = "AND" in toks
-    has_or = "OR" in toks
+    terms: list[str] = []
+    exclude: list[str] = []
+    has_and = has_or = False
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "AND":
+            has_and = True
+        elif t == "OR":
+            has_or = True
+        elif t == "NOT":
+            if i + 1 >= len(toks) or toks[i + 1] in ("AND", "OR", "NOT"):
+                raise ValueError("NOT must be followed by a term")
+            exclude.append(toks[i + 1])
+            i += 1
+        else:
+            terms.append(t)
+        i += 1
     if has_and and has_or:
         raise ValueError("mixed AND/OR queries are not supported")
-    terms = [t for t in toks if t not in ("AND", "OR")]
-    return terms, ("disjunctive" if has_or else "conjunctive")
+    if not terms:
+        raise ValueError("query needs at least one positive term")
+    return terms, ("disjunctive" if has_or else "conjunctive"), exclude
 
 
 def search(
     reader: IndexReader, query: str, k: int = 10
 ) -> list[tuple[int, float]]:
-    """Parse-and-search convenience wrapper: ``search(r, "join AND hash")``
-    or ``search(r, '"join hash"')`` for an exact phrase (positional index)."""
-    terms, mode = parse_query(query)
+    """Parse-and-search convenience wrapper: ``search(r, "join AND hash")``,
+    ``search(r, "join NOT tree")``, or ``search(r, '"join hash"')`` for an
+    exact phrase (positional index)."""
+    terms, mode, exclude = parse_query(query)
     if mode == "phrase":
         return search_phrase(reader, " ".join(terms), k=k)
-    return search_topk(reader, terms, mode=mode, k=k)
+    return search_topk(reader, terms, mode=mode, k=k, exclude=exclude)
+
+
+def _exclusion_ids(reader: IndexReader, exclude) -> np.ndarray | None:
+    """Sorted unique doc_ids containing ANY excluded term, decoded driver-side.
+
+    Cost class: same as exhaustively decoding the excluded terms — fine for
+    the scatter-gather driver path (bounded by the excluded terms' df); at
+    cluster scale use ``search_distributed(exclude=...)``, whose difference
+    is a distributed left-anti join instead of a driver array.
+    """
+    exclude = list(dict.fromkeys(exclude or []))
+    if not exclude:
+        return None
+    tps = reader.fetch_terms(exclude)
+    if not tps:
+        return None
+    ids = [reader.decode_term(tp)[0].astype(np.int64) for tp in tps.values()]
+    return np.unique(np.concatenate(ids))
+
+
+def _check_exclude(terms: list[str], exclude) -> list[str]:
+    exclude = list(dict.fromkeys(exclude or []))
+    if set(exclude) & set(terms):
+        raise ValueError("a term cannot be both required and excluded")
+    return exclude
 
 
 def search_topk(
@@ -271,6 +332,7 @@ def search_topk(
     mode: str = "conjunctive",
     k: int = 10,
     strategy: str = "auto",
+    exclude: list[str] | None = None,
 ) -> list[tuple[int, float]]:
     """Serve one query from the binary index (driver fast path).
 
@@ -279,26 +341,29 @@ def search_topk(
     (disjunctive) or galloping intersection (conjunctive). Both produce
     identical rankings (fuzz-tested), so the switch is purely a latency
     decision. ``strategy`` in {auto, wand, exhaustive} forces a path
-    (tests use this to pin WAND).
+    (tests use this to pin WAND). ``exclude`` = boolean NOT: docs containing
+    any excluded term are dropped (posting-list difference).
     """
     if mode not in ("conjunctive", "disjunctive"):
         raise ValueError(f"unknown mode {mode!r}")
     if k <= 0:
         return []
     terms = list(dict.fromkeys(terms))
+    exclude = _check_exclude(terms, exclude)
     tps = reader.fetch_terms(terms)
     if mode == "conjunctive" and len(tps) < len(terms):
         return []  # a term matches nothing -> empty intersection
+    excl = _exclusion_ids(reader, exclude)
     total_postings = sum(tp.df for tp in tps.values())
     if strategy == "exhaustive" or (
         strategy == "auto" and total_postings <= EXHAUSTIVE_CUTOFF
     ):
-        return _exhaustive_from_tps(reader, tps, terms, mode, k)
+        return _exhaustive_from_tps(reader, tps, terms, mode, k, excl=excl)
     iters = [PostingIterator(tps[t], reader.avgdl) for t in terms if t in tps]
     if mode == "conjunctive":
-        return conjunctive_topk(iters, k)
+        return conjunctive_topk(iters, k, excl=excl)
     if mode == "disjunctive":
-        return wand_topk(iters, k)
+        return wand_topk(iters, k, excl=excl)
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -307,6 +372,7 @@ def search_exhaustive(
     terms: list[str],
     mode: str = "conjunctive",
     k: int = 10,
+    exclude: list[str] | None = None,
 ) -> list[tuple[int, float]]:
     """Decode-everything scoring (vectorized numpy); the WAND safety twin."""
     if mode not in ("conjunctive", "disjunctive"):
@@ -314,13 +380,17 @@ def search_exhaustive(
     if k <= 0:
         return []
     terms = list(dict.fromkeys(terms))
+    exclude = _check_exclude(terms, exclude)
     tps = reader.fetch_terms(terms)
     if mode == "conjunctive" and len(tps) < len(terms):
         return []
-    return _exhaustive_from_tps(reader, tps, terms, mode, k)
+    excl = _exclusion_ids(reader, exclude)
+    return _exhaustive_from_tps(reader, tps, terms, mode, k, excl=excl)
 
 
-def _exhaustive_from_tps(reader, tps, terms, mode, k) -> list[tuple[int, float]]:
+def _exhaustive_from_tps(
+    reader, tps, terms, mode, k, excl: np.ndarray | None = None
+) -> list[tuple[int, float]]:
     per_term = []
     for t in terms:
         if t not in tps:
@@ -339,6 +409,9 @@ def _exhaustive_from_tps(reader, tps, terms, mode, k) -> list[tuple[int, float]]
         cnt = np.zeros(uids.size, dtype=np.int64)
         np.add.at(cnt, inv, 1)
         keep = cnt == len(per_term)
+        uids, agg = uids[keep], agg[keep]
+    if excl is not None and uids.size:
+        keep = ~np.isin(uids, excl, assume_unique=True)
         uids, agg = uids[keep], agg[keep]
     order = np.lexsort((uids, -agg))[:k]
     return [(int(uids[i]), float(agg[i])) for i in order]
@@ -505,21 +578,49 @@ def search_phrase_distributed(
     )
 
 
+_DOCID_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType())])
+
+
+def _ids_only_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Decode ONLY the doc_ids of chunk rows (skip tf/dl streams + scoring)."""
+    from miru_spark.functions.codecs import varint_decode
+    from miru_spark.index.format import delta_decode, unpack_chunk
+
+    for batch in batches:
+        for row in batch.to_pylist():
+            if int(row["codec"]) == 1:  # varint: gaps stream only
+                total = sum(int(m["n"]) for m in row["blocks"])
+                off = int(row["blocks"][0]["off_g"]) if row["blocks"] else 0
+                gaps, _ = varint_decode(row["blob"], off, count=total)
+                ids = delta_decode(gaps)
+            else:
+                ids, _, _ = unpack_chunk(
+                    row["blob"], row["blocks"], int(row["codec"])
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids.astype(np.int64))], names=["doc_id"]
+            )
+
+
 def search_distributed(
     reader: IndexReader,
     terms: list[str],
     mode: str = "conjunctive",
     k: int | None = 10,
     round_digits: int | None = 6,
+    exclude: list[str] | None = None,
 ) -> DataFrame:
     """Pure-DataFrame scoring over chunk rows (scatter-gather top-k).
 
     Plan: pruned postings scan -> mapInArrow chunk decode+score (one Arrow
     batch of (doc_id, contrib) rows per chunk) -> hash agg by doc_id ->
     rounded order-by + limit. Shuffles only the per-doc partial scores of
-    matching docs.
+    matching docs. ``exclude`` (boolean NOT) anti-joins the aggregated docs
+    against the excluded terms' decoded doc_ids — a distributed posting-list
+    difference, no driver materialization.
     """
     terms = list(dict.fromkeys(terms))
+    exclude = _check_exclude(terms, exclude)
     n_docs = float(reader.n_docs)
     avgdl = float(reader.avgdl)
     chunks = reader.postings_df(terms)
@@ -565,29 +666,8 @@ def search_distributed(
         if not dfs:  # no query term exists in the index
             return reader.spark.createDataFrame([], "doc_id long, score double")
         rare = min(dfs, key=dfs.get)
-
-        def ids_only(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-            # candidates need doc_ids only — skip tf/dl decode and scoring
-            from miru_spark.functions.codecs import varint_decode
-            from miru_spark.index.format import delta_decode, unpack_chunk
-
-            for batch in batches:
-                for row in batch.to_pylist():
-                    if int(row["codec"]) == 1:  # varint: gaps stream only
-                        total = sum(int(m["n"]) for m in row["blocks"])
-                        off = int(row["blocks"][0]["off_g"]) if row["blocks"] else 0
-                        gaps, _ = varint_decode(row["blob"], off, count=total)
-                        ids = delta_decode(gaps)
-                    else:
-                        ids, _, _ = unpack_chunk(
-                            row["blob"], row["blocks"], int(row["codec"])
-                        )
-                    yield pa.RecordBatch.from_arrays(
-                        [pa.array(ids.astype(np.int64))], names=["doc_id"]
-                    )
-
         cand = chunks.filter(F.col("term") == rare).mapInArrow(
-            ids_only, T.StructType([T.StructField("doc_id", T.LongType())])
+            _ids_only_arrow, _DOCID_SCHEMA
         )
         if dfs[rare] <= 5_000_000:
             cand = F.broadcast(cand)
@@ -597,6 +677,11 @@ def search_distributed(
     )
     if mode == "conjunctive":
         agg = agg.filter(F.col("nmatch") == len(terms))
+    if exclude:
+        ex_ids = reader.postings_df(exclude).mapInArrow(
+            _ids_only_arrow, _DOCID_SCHEMA
+        )
+        agg = agg.join(ex_ids, "doc_id", "left_anti")
     score = F.round(F.col("score"), round_digits) if round_digits else F.col("score")
     out = agg.select("doc_id", score.alias("score"))
     if k is None:  # unsorted candidate set (internal callers rank later)

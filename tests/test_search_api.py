@@ -6,9 +6,11 @@ from miru_spark.plans.search import parse_query, search, search_topk
 
 
 def test_parse_query():
-    assert parse_query("join AND hash") == (["join", "hash"], "conjunctive")
-    assert parse_query("join OR hash OR dup") == (["join", "hash", "dup"], "disjunctive")
-    assert parse_query("join hash") == (["join", "hash"], "conjunctive")
+    assert parse_query("join AND hash") == (["join", "hash"], "conjunctive", [])
+    assert parse_query("join OR hash OR dup") == (
+        ["join", "hash", "dup"], "disjunctive", [],
+    )
+    assert parse_query("join hash") == (["join", "hash"], "conjunctive", [])
     with pytest.raises(ValueError):
         parse_query("a AND b OR c")
 
@@ -20,11 +22,14 @@ def test_search_wrapper_matches_topk(reader):
     assert search(reader, "the OR dup", k=5) == search_topk(
         reader, ["the", "dup"], mode="disjunctive", k=5
     )
+    assert search(reader, "the AND a NOT dup", k=5) == search_topk(
+        reader, ["the", "a"], mode="conjunctive", k=5, exclude=["dup"]
+    )
 
 
 def test_parse_query_phrase():
-    assert parse_query('"the a"') == (["the", "a"], "phrase")
-    assert parse_query('  "data the table" ') == (["data", "the", "table"], "phrase")
+    assert parse_query('"the a"') == (["the", "a"], "phrase", [])
+    assert parse_query('  "data the table" ') == (["data", "the", "table"], "phrase", [])
 
 
 def test_search_phrase_via_parser(spark, tmp_path_factory):
