@@ -111,6 +111,45 @@ class IndexReader:
     def df_df(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_path}/df")
 
+    def expand_prefix(self, prefix: str, max_terms: int = 1024) -> list[str]:
+        """All index terms matching ``prefix*``, from the sorted term
+        dictionary (index/df) — driver-side pyarrow read, no Spark job.
+
+        The range bound [prefix, next(prefix)) prunes to the files and
+        row-groups whose term min/max statistics overlap (the dictionary
+        is written term-sorted by the builder); ``starts_with`` makes the
+        match exact. ``max_terms`` caps the scoring-boolean rewrite the
+        caller will do — wider prefixes should be narrowed, not silently
+        truncated.
+        """
+        if not prefix:
+            raise ValueError("empty prefix")
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        if getattr(self, "_df_dset", None) is None:
+            self._df_dset = pads.dataset(
+                f"{self.index_path}/df", format="parquet"
+            )
+        f = pc.field("term")
+        flt = (f >= prefix) & pc.starts_with(f, prefix)
+        last = ord(prefix[-1])
+        # statistics-prunable upper bound when the last char has a clean
+        # successor (skip at surrogate/plane edges; starts_with stays exact)
+        if last < 0xD7FF or 0xE000 <= last < 0x10FFFF:
+            flt &= f < (prefix[:-1] + chr(last + 1))
+        terms = sorted(
+            self._df_dset.to_table(columns=["term"], filter=flt)
+            .column("term")
+            .to_pylist()
+        )
+        if len(terms) > max_terms:
+            raise ValueError(
+                f"prefix {prefix!r} expands to {len(terms)} terms "
+                f"(max_terms={max_terms}); narrow the prefix"
+            )
+        return terms
+
     # ------------------------------------------------------- driver fetch --
     def fetch_terms(
         self, terms: list[str], with_positions: bool = False

@@ -219,10 +219,20 @@ def build_index(
     }
     mark("merge_write", tick)
 
-    # global df + docmap
-    segments.groupBy("term").agg(F.sum("df_local").alias("df")).write.mode(
-        "overwrite"
-    ).parquet(f"{index_path}/df")
+    # global df doubles as the TERM DICTIONARY: range-partitioned and sorted
+    # by term, so a prefix/range lookup opens only the files+row-groups whose
+    # term [min,max] statistics overlap (the Spark-native stand-in for a
+    # Lucene FST seek). File count scales with vocabulary size (~4M terms per
+    # file via the token-count proxy), never a fixed constant.
+    df_parts = max(1, min(200, int(n_tokens // 50_000_000) + 1))
+    (
+        segments.groupBy("term")
+        .agg(F.sum("df_local").alias("df"))
+        .repartitionByRange(df_parts, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/df")
+    )
     # pass 2: docmap — shuffle-free projection (sha256 in Arrow workers,
     # doc_len via one regexp_count), written as scanned
     docmap_direct(corpus, tokenizer).write.mode("overwrite").parquet(

@@ -10,7 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from miru_spark.plans.relational import bm25_oracle_sql, bm25_phrase_oracle_sql
+from miru_spark.plans.relational import (
+    bm25_oracle_sql,
+    bm25_phrase_oracle_sql,
+    bm25_prefix_oracle_sql,
+)
 
 CASES = {
     "bm25_index_wand_disj2": (["join", "dup"], "disjunctive"),
@@ -32,6 +36,16 @@ DIST_CASES = {
 
 DIST_NOT_CASES = {
     "bm25_index_dist_not": (["the", "a"], "conjunctive", ["dup"]),
+}
+
+# prefix queries (term-dictionary expansion -> scored OR): name -> prefix
+PREFIX_CASES = {
+    "bm25_index_prefix_s": "s",  # scan slow small sort spark stream
+    "bm25_index_prefix_exact": "dup",  # prefix == a whole term
+}
+
+DIST_PREFIX_CASES = {
+    "bm25_index_dist_prefix_c": "c",  # column customer
 }
 
 PHRASE_DIST_CASES = {
@@ -65,6 +79,33 @@ def _mk_dist(terms, mode, exclude=None):
     return run
 
 
+def _mk_prefix(prefix):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_prefix
+
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search_prefix(reader, prefix, k=10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
+def _mk_prefix_dist(prefix):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_distributed
+
+        reader = ensure_index(spark, sf_dir)
+        terms = reader.expand_prefix(prefix)
+        return search_distributed(reader, terms, mode="disjunctive", k=10)
+
+    return run
+
+
 def _mk_phrase_dist(phrase):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -91,5 +132,9 @@ def register_all(register) -> None:
             name, _mk_dist(terms, mode, excl),
             bm25_oracle_sql(terms, mode, exclude=excl),
         )
+    for name, prefix in PREFIX_CASES.items():
+        register(name, _mk_prefix(prefix), bm25_prefix_oracle_sql(prefix))
+    for name, prefix in DIST_PREFIX_CASES.items():
+        register(name, _mk_prefix_dist(prefix), bm25_prefix_oracle_sql(prefix))
     for name, phrase in PHRASE_DIST_CASES.items():
         register(name, _mk_phrase_dist(phrase), bm25_phrase_oracle_sql(phrase))

@@ -209,6 +209,30 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
+def bm25_prefix_oracle_sql(prefix: str, k: int = 10, round_digits: int = 6) -> str:
+    """Oracle for a prefix query: disjunctive BM25 over every vocabulary
+    term LIKE 'prefix%', each scored with its own idf (the scoring-boolean
+    rewrite the engine performs via its term dictionary)."""
+    if not prefix:
+        raise ValueError("empty prefix")
+    like = _sql_quote(prefix) + "%"
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP BY 1,2),
+dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
+df    AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+q     AS (SELECT DISTINCT term FROM tf WHERE term LIKE '{like}'),
+s AS (SELECT tf.doc_id,
+        sum( ln(1+(stats.n-df.df+0.5)/(df.df+0.5))
+             * tf.tf*(1.2+1)/(tf.tf+1.2*(1-0.75+0.75*dl.dl/stats.avgdl)) ) raw_score
+      FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc_id), stats
+      GROUP BY 1)
+SELECT doc_id, round(raw_score, {round_digits}) AS score FROM s
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def bm25_oracle_sql(
     terms: list[str],
     mode: str = "conjunctive",

@@ -289,16 +289,67 @@ def parse_query(query: str) -> tuple[list[str], str, list[str]]:
     return terms, ("disjunctive" if has_or else "conjunctive"), exclude
 
 
+def _expand_wildcards(
+    reader: IndexReader, tokens: list[str], max_terms: int
+) -> tuple[list[str], bool]:
+    """Rewrite ``foo*`` tokens via the term dictionary; returns (terms,
+    had_wildcard). A wildcard that matches nothing simply drops out."""
+    out: list[str] = []
+    had = False
+    for t in tokens:
+        if t.endswith("*") and len(t) > 1:
+            had = True
+            out.extend(reader.expand_prefix(t[:-1], max_terms=max_terms))
+        else:
+            out.append(t)
+    return list(dict.fromkeys(out)), had
+
+
 def search(
-    reader: IndexReader, query: str, k: int = 10
+    reader: IndexReader, query: str, k: int = 10, max_terms: int = 1024
 ) -> list[tuple[int, float]]:
     """Parse-and-search convenience wrapper: ``search(r, "join AND hash")``,
-    ``search(r, "join NOT tree")``, or ``search(r, '"join hash"')`` for an
-    exact phrase (positional index)."""
+    ``search(r, "join NOT tree")``, ``search(r, "sp*")`` (prefix), or
+    ``search(r, '"join hash"')`` for an exact phrase (positional index).
+
+    Prefix tokens rewrite to their dictionary expansions. In a positive
+    position they are OR-groups, so they are only allowed where the flat
+    mode keeps the semantics exact: disjunctive queries, or a query that is
+    a single prefix token. In a NOT clause any match excludes the doc, so
+    prefix exclusions are always allowed.
+    """
     terms, mode, exclude = parse_query(query)
     if mode == "phrase":
         return search_phrase(reader, " ".join(terms), k=k)
+    has_prefix = any(t.endswith("*") and len(t) > 1 for t in terms)
+    if has_prefix and mode == "conjunctive" and len(terms) > 1:
+        raise ValueError(
+            "prefix terms in multi-term conjunctive queries are not "
+            "supported (a prefix is an OR-group); use OR"
+        )
+    if has_prefix:
+        terms, _ = _expand_wildcards(reader, terms, max_terms)
+        mode = "disjunctive"
+        if not terms:
+            return []
+    exclude, _ = _expand_wildcards(reader, exclude, max_terms)
     return search_topk(reader, terms, mode=mode, k=k, exclude=exclude)
+
+
+def search_prefix(
+    reader: IndexReader,
+    prefix: str,
+    k: int = 10,
+    max_terms: int = 1024,
+    strategy: str = "auto",
+) -> list[tuple[int, float]]:
+    """Prefix query ``prefix*`` — Lucene-style scoring-boolean rewrite:
+    expand against the sorted term dictionary, then disjunctive BM25 over
+    the expansions (each expansion scored with its own idf)."""
+    terms = reader.expand_prefix(prefix, max_terms=max_terms)
+    if not terms:
+        return []
+    return search_topk(reader, terms, mode="disjunctive", k=k, strategy=strategy)
 
 
 def _exclusion_ids(reader: IndexReader, exclude) -> np.ndarray | None:

@@ -1,0 +1,72 @@
+"""Prefix queries: sorted term dictionary expansion + scoring-boolean rewrite.
+
+The term dictionary is index/df written term-sorted with range partitioning;
+``IndexReader.expand_prefix`` seeks it driver-side via pyarrow statistics
+pruning. A prefix query is Lucene's scoring-boolean rewrite: disjunctive BM25
+over the expansions, each with its own idf — oracle-checked end to end.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from miru_spark.plans.relational import bm25_prefix_oracle_sql
+from miru_spark.plans.search import search, search_distributed, search_prefix
+
+
+def _vocab(duck):
+    return [
+        r[0]
+        for r in duck.execute(
+            "WITH tok AS (SELECT unnest(string_split(text,' ')) AS t FROM documents) "
+            "SELECT DISTINCT t FROM tok WHERE t<>'' ORDER BY 1"
+        ).fetchall()
+    ]
+
+
+@pytest.mark.parametrize("prefix", ["s", "c", "dup", "q", "zzz"])
+def test_expand_prefix_matches_vocab(reader, duck, prefix):
+    want = sorted(t for t in _vocab(duck) if t.startswith(prefix))
+    assert reader.expand_prefix(prefix) == want
+
+
+def test_expand_prefix_cap_and_empty(reader):
+    with pytest.raises(ValueError):
+        reader.expand_prefix("")
+    with pytest.raises(ValueError):
+        reader.expand_prefix("s", max_terms=2)  # 6 expansions > 2
+    assert reader.expand_prefix("zzz_nothing") == []
+
+
+@pytest.mark.parametrize("prefix", ["s", "c", "dup"])
+def test_prefix_search_matches_oracle(reader, duck, prefix):
+    got = [(d, round(s, 6)) for d, s in search_prefix(reader, prefix, k=10)]
+    want = [
+        (d, s) for d, s in duck.execute(bm25_prefix_oracle_sql(prefix)).fetchall()
+    ]
+    assert got == want
+
+
+def test_prefix_distributed_matches_oracle(reader, duck):
+    terms = reader.expand_prefix("s")
+    got = [
+        (r.doc_id, r.score)
+        for r in search_distributed(reader, terms, mode="disjunctive", k=10).collect()
+    ]
+    want = [(d, s) for d, s in duck.execute(bm25_prefix_oracle_sql("s")).fetchall()]
+    assert got == want
+
+
+def test_search_wrapper_wildcards(reader):
+    assert search(reader, "sp*", k=5) == search_prefix(reader, "sp", k=5)
+    # wildcard in OR query merges into the disjunction
+    assert search(reader, "dup OR sp*", k=5) == search(reader, "dup OR spark", k=5)
+    # wildcard exclusion: NOT cu* drops docs containing any cu-term
+    got = search(reader, "dup NOT cu*", k=100)
+    cu_docs = {d for d, _ in search_prefix(reader, "cu", k=10_000)}
+    assert got and not ({d for d, _ in got} & cu_docs)
+    # and the ubiquitous s* exclusion legitimately empties the result
+    assert search(reader, "dup NOT s*", k=100) == []
+    with pytest.raises(ValueError):
+        search(reader, "dup AND sp*")  # OR-group inside conjunction
+    assert search(reader, "zzz_nothing*", k=5) == []
