@@ -159,6 +159,30 @@ def q_winnow_pairs(spark, sf):
     return winnow_overlap_pairs(_docs(spark, sf), min_shared=2)
 
 
+def q_repetition(spark, sf):
+    from miru_spark.pipeline.textqual import repetition_stats
+
+    return repetition_stats(_docs(spark, sf))
+
+
+# ---- sampling -------------------------------------------------------------
+
+def q_hash_sample(spark, sf):
+    from miru_spark.pipeline.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf), rate=0.25).select("doc_id").orderBy("doc_id")
+
+
+def q_stratified_sample(spark, sf):
+    from miru_spark.pipeline.sampling import stratified_sample
+
+    return (
+        stratified_sample(_docs(spark, sf), n_per_stratum=5)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
 # ---- multimodal -----------------------------------------------------------
 
 def q_media_features(spark, sf):
@@ -204,5 +228,17 @@ def register_all(register) -> None:
     register("pipe_token_counts", q_token_counts, token_counts_oracle_sql())
     register("pipe_lang_id", q_lang_id, None)
     register("pipe_winnow_pairs", q_winnow_pairs, None)
+    from miru_spark.pipeline.sampling import (
+        hash_sample_oracle_sql,
+        stratified_sample_oracle_sql,
+    )
+    from miru_spark.pipeline.textqual import repetition_oracle_sql
+
+    register("pipe_repetition", q_repetition, repetition_oracle_sql())
+    register("pipe_hash_sample", q_hash_sample, hash_sample_oracle_sql(0.25))
+    register(
+        "pipe_stratified_sample", q_stratified_sample,
+        stratified_sample_oracle_sql(5),
+    )
     register("pipe_media_features", q_media_features, None)
     register("pipe_frame_sample", q_frame_sample, sql_frame_sample())

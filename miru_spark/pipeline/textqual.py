@@ -126,6 +126,118 @@ FROM documents ORDER BY doc_id
 """.strip()
 
 
+# ------------------------------------------------------------- repetition --
+
+def repetition_stats(docs: DataFrame, round_digits: int = 6) -> DataFrame:
+    """Gopher-style repetition features (Rae et al. 2021, §A1.1), adapted to
+    token streams: duplicate-token fraction, top-2-gram occurrence fraction,
+    duplicate-5-gram occurrence fraction, plus the pinned keep flag a
+    filtering pipeline applies before training.
+
+    All JVM built-ins: n-grams come from a higher-order ``transform`` over
+    the token array (no UDF), counts from two explode->groupBy passes keyed
+    by (doc_id, gram) — map-side partial aggregation keeps the shuffles
+    proportional to DISTINCT grams per doc, and both shuffles co-key on
+    doc_id. ``keep`` compares the ROUNDED ratios so engines tie-break
+    identically.
+    """
+    toks = F.array_remove(F.split(F.col("text"), " "), "")
+    d = (
+        docs.select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks").cast("double"))
+        .withColumn(
+            "dup_token_ratio",
+            F.round(
+                1.0 - F.size(F.array_distinct("toks")) / F.col("n"), round_digits
+            ),
+        )
+    )
+
+    def grams(k: int):
+        joined = ", ".join(f"element_at(toks, i+{j})" for j in range(k))
+        expr = f"transform(sequence(1, size(toks)-{k - 1}), i -> concat_ws(' ', {joined}))"
+        return F.when(F.size("toks") >= k, F.expr(expr)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    def gram_agg(k: int, aggs):
+        return (
+            d.select("doc_id", F.explode(grams(k)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(*aggs)
+        )
+
+    a2 = gram_agg(
+        2, [F.max("c").alias("top2"), F.sum("c").alias("tot2")]
+    )
+    a5 = gram_agg(
+        5,
+        [
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup5"),
+            F.sum("c").alias("tot5"),
+        ],
+    )
+    out = (
+        d.join(a2, "doc_id", "left")
+        .join(a5, "doc_id", "left")
+        .withColumn(
+            "top_2gram_ratio",
+            F.round(F.coalesce(F.col("top2") / F.col("tot2"), F.lit(0.0)), round_digits),
+        )
+        .withColumn(
+            "dup_5gram_ratio",
+            F.round(F.coalesce(F.col("dup5") / F.col("tot5"), F.lit(0.0)), round_digits),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top_2gram_ratio") <= 0.20)
+            & (F.col("dup_5gram_ratio") <= 0.30)
+            & (F.col("dup_token_ratio") <= 0.90),
+        )
+    )
+    return out.select(
+        "doc_id", "dup_token_ratio", "top_2gram_ratio", "dup_5gram_ratio", "keep"
+    ).orderBy("doc_id")
+
+
+def repetition_oracle_sql(round_digits: int = 6) -> str:
+    """DuckDB twin of :func:`repetition_stats` — n-grams via 1-based
+    inclusive list slices over UNNESTed start positions."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         ROUND(1.0 - len(list_distinct(l)) / CAST(len(l) AS DOUBLE), {round_digits})
+           AS dup_token_ratio
+  FROM toks),
+g2 AS (SELECT doc_id, array_to_string(l[i:i+1], ' ') AS g
+       FROM toks, UNNEST(range(1, len(l))) AS u(i)),
+c2 AS (SELECT doc_id, g, count(*) c FROM g2 GROUP BY 1, 2),
+a2 AS (SELECT doc_id, max(c) top2, sum(c) tot2 FROM c2 GROUP BY 1),
+g5 AS (SELECT doc_id, array_to_string(l[i:i+4], ' ') AS g
+       FROM toks, UNNEST(range(1, len(l)-3)) AS u(i)),
+c5 AS (SELECT doc_id, g, count(*) c FROM g5 GROUP BY 1, 2),
+a5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) dup5, sum(c) tot5
+       FROM c5 GROUP BY 1),
+r AS (
+  SELECT base.doc_id,
+         dup_token_ratio,
+         ROUND(COALESCE(top2 / CAST(tot2 AS DOUBLE), 0.0), {round_digits})
+           AS top_2gram_ratio,
+         ROUND(COALESCE(dup5 / CAST(tot5 AS DOUBLE), 0.0), {round_digits})
+           AS dup_5gram_ratio
+  FROM base LEFT JOIN a2 USING(doc_id) LEFT JOIN a5 USING(doc_id))
+SELECT doc_id, dup_token_ratio, top_2gram_ratio, dup_5gram_ratio,
+       (top_2gram_ratio <= 0.20 AND dup_5gram_ratio <= 0.30
+        AND dup_token_ratio <= 0.90) AS keep
+FROM r ORDER BY doc_id
+""".strip()
+
+
 # ------------------------------------------------------------- language ID --
 
 # character-trigram profiles per language; tiny pinned tables (a real system
