@@ -21,6 +21,26 @@ from miru_spark.index.format import impact_bound, unpack_block, unpack_chunk
 from miru_spark.index.writer import term_pref_py
 
 
+def _lev_within(a: str, b: str, k: int) -> bool:
+    """Banded Levenshtein: True iff dist(a, b) <= k; early-exits when a DP
+    row's minimum exceeds k (Ukkonen's cutoff)."""
+    if a == b:
+        return True
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        if min(cur) > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
 @dataclass
 class TermPostings:
     """One term's posting list as an ordered list of chunk rows (driver-side
@@ -149,6 +169,49 @@ class IndexReader:
                 f"(max_terms={max_terms}); narrow the prefix"
             )
         return terms
+
+    def expand_fuzzy(
+        self, term: str, max_edits: int = 1, max_terms: int = 1024
+    ) -> list[str]:
+        """Vocabulary terms within ``max_edits`` Levenshtein distance of
+        ``term`` (Lucene's ``term~`` fuzzy query), from the term dictionary.
+
+        A length band (|len - len(term)| <= max_edits) prefilters the
+        columnar scan; survivors go through a banded DP that early-exits a
+        row once every cell exceeds the budget. Unlike a prefix, edit
+        distance admits no term-range bound, so this reads the (banded)
+        dictionary — fine for interactive use up to ~10^7-term vocabs; the
+        scale path is a deletion-neighborhood index or a Levenshtein
+        automaton walk (Lucene FST), which the sorted dictionary layout
+        leaves room to add without a format change. Distributed callers can
+        use ``F.levenshtein`` over ``df_df()`` instead (JVM-side).
+        """
+        if not term:
+            raise ValueError("empty term")
+        if max_edits < 0:
+            raise ValueError("max_edits must be >= 0")
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        if getattr(self, "_df_dset", None) is None:
+            self._df_dset = pads.dataset(
+                f"{self.index_path}/df", format="parquet"
+            )
+        n = len(term)
+        length = pc.utf8_length(pc.field("term"))
+        flt = (length >= n - max_edits) & (length <= n + max_edits)
+        cands = (
+            self._df_dset.to_table(columns=["term"], filter=flt)
+            .column("term")
+            .to_pylist()
+        )
+        out = sorted(t for t in cands if _lev_within(term, t, max_edits))
+        if len(out) > max_terms:
+            raise ValueError(
+                f"fuzzy {term!r} (<= {max_edits} edits) expands to "
+                f"{len(out)} terms (max_terms={max_terms})"
+            )
+        return out
 
     # ------------------------------------------------------- driver fetch --
     def fetch_terms(

@@ -11,9 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from miru_spark.plans.relational import (
+    bm25_fuzzy_oracle_sql,
     bm25_oracle_sql,
     bm25_phrase_oracle_sql,
     bm25_prefix_oracle_sql,
+    facet_oracle_sql,
 )
 
 CASES = {
@@ -46,6 +48,18 @@ PREFIX_CASES = {
 
 DIST_PREFIX_CASES = {
     "bm25_index_dist_prefix_c": "c",  # column customer
+}
+
+# fuzzy queries (Levenshtein <=1 dictionary expansion): name -> probe term
+FUZZY_CASES = {
+    "bm25_index_fuzzy_ag": "ag",  # -> a, agg (misspelling hits two terms)
+    "bm25_index_fuzzy_hsh": "hsh",  # -> hash
+}
+
+# facet counts over the full candidate set: name -> (terms, mode, facet)
+FACET_CASES = {
+    "bm25_index_facets_conj": (["the", "a"], "conjunctive", "lang"),
+    "bm25_index_facets_disj": (["join", "dup"], "disjunctive", "lang"),
 }
 
 PHRASE_DIST_CASES = {
@@ -106,6 +120,32 @@ def _mk_prefix_dist(prefix):
     return run
 
 
+def _mk_fuzzy(probe):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_fuzzy
+
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search_fuzzy(reader, probe, max_edits=1, k=10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
+def _mk_facets(terms, mode, facet):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_facets
+
+        reader = ensure_index(spark, sf_dir)
+        return search_facets(reader, terms, mode=mode, facet_col=facet)
+
+    return run
+
+
 def _mk_phrase_dist(phrase):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -136,5 +176,12 @@ def register_all(register) -> None:
         register(name, _mk_prefix(prefix), bm25_prefix_oracle_sql(prefix))
     for name, prefix in DIST_PREFIX_CASES.items():
         register(name, _mk_prefix_dist(prefix), bm25_prefix_oracle_sql(prefix))
+    for name, probe in FUZZY_CASES.items():
+        register(name, _mk_fuzzy(probe), bm25_fuzzy_oracle_sql(probe, max_edits=1))
+    for name, (terms, mode, facet) in FACET_CASES.items():
+        register(
+            name, _mk_facets(terms, mode, facet),
+            facet_oracle_sql(terms, mode, facet),
+        )
     for name, phrase in PHRASE_DIST_CASES.items():
         register(name, _mk_phrase_dist(phrase), bm25_phrase_oracle_sql(phrase))

@@ -209,20 +209,18 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
-def bm25_prefix_oracle_sql(prefix: str, k: int = 10, round_digits: int = 6) -> str:
-    """Oracle for a prefix query: disjunctive BM25 over every vocabulary
-    term LIKE 'prefix%', each scored with its own idf (the scoring-boolean
-    rewrite the engine performs via its term dictionary)."""
-    if not prefix:
-        raise ValueError("empty prefix")
-    like = _sql_quote(prefix) + "%"
+def _expansion_oracle_sql(q_where: str, k: int, round_digits: int) -> str:
+    """Shared skeleton for term-set-expansion queries (prefix/fuzzy):
+    disjunctive BM25 over every vocabulary term satisfying ``q_where``,
+    each scored with its own idf (the scoring-boolean rewrite the engine
+    performs via its term dictionary)."""
     return f"""
 WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
 tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP BY 1,2),
 dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
 stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
 df    AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
-q     AS (SELECT DISTINCT term FROM tf WHERE term LIKE '{like}'),
+q     AS (SELECT DISTINCT term FROM tf WHERE {q_where}),
 s AS (SELECT tf.doc_id,
         sum( ln(1+(stats.n-df.df+0.5)/(df.df+0.5))
              * tf.tf*(1.2+1)/(tf.tf+1.2*(1-0.75+0.75*dl.dl/stats.avgdl)) ) raw_score
@@ -230,6 +228,47 @@ s AS (SELECT tf.doc_id,
       GROUP BY 1)
 SELECT doc_id, round(raw_score, {round_digits}) AS score FROM s
 ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
+def bm25_prefix_oracle_sql(prefix: str, k: int = 10, round_digits: int = 6) -> str:
+    if not prefix:
+        raise ValueError("empty prefix")
+    return _expansion_oracle_sql(
+        f"term LIKE '{_sql_quote(prefix)}%'", k, round_digits
+    )
+
+
+def bm25_fuzzy_oracle_sql(
+    term: str, max_edits: int = 1, k: int = 10, round_digits: int = 6
+) -> str:
+    if not term:
+        raise ValueError("empty term")
+    return _expansion_oracle_sql(
+        f"levenshtein(term, '{_sql_quote(term)}') <= {int(max_edits)}",
+        k,
+        round_digits,
+    )
+
+
+def facet_oracle_sql(
+    terms: list[str], mode: str = "conjunctive", facet_col: str = "lang"
+) -> str:
+    """Per-facet count of ALL matching docs (conjunctive: every term;
+    disjunctive: any term)."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    values = ",".join("('" + _sql_quote(t) + "')" for t in terms)
+    need = "= (SELECT count(*) FROM q)" if mode == "conjunctive" else ">= 1"
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf  AS (SELECT DISTINCT doc_id, term FROM tok WHERE term<>''),
+q(term) AS (VALUES {values}),
+m AS (SELECT doc_id FROM tf JOIN q USING(term) GROUP BY doc_id
+      HAVING count(*) {need})
+SELECT {facet_col}, count(*) AS n_docs
+FROM documents JOIN m USING(doc_id) GROUP BY {facet_col} ORDER BY {facet_col}
 """.strip()
 
 

@@ -289,17 +289,26 @@ def parse_query(query: str) -> tuple[list[str], str, list[str]]:
     return terms, ("disjunctive" if has_or else "conjunctive"), exclude
 
 
+def _is_multi(tok: str) -> bool:
+    """Token that rewrites to an OR-group: ``foo*`` (prefix) / ``foo~`` (fuzzy)."""
+    return len(tok) > 1 and tok[-1] in "*~"
+
+
 def _expand_wildcards(
     reader: IndexReader, tokens: list[str], max_terms: int
 ) -> tuple[list[str], bool]:
-    """Rewrite ``foo*`` tokens via the term dictionary; returns (terms,
-    had_wildcard). A wildcard that matches nothing simply drops out."""
+    """Rewrite ``foo*`` (prefix) and ``foo~`` (fuzzy, <=1 edit) tokens via
+    the term dictionary; returns (terms, had_wildcard). A wildcard that
+    matches nothing simply drops out."""
     out: list[str] = []
     had = False
     for t in tokens:
-        if t.endswith("*") and len(t) > 1:
+        if _is_multi(t):
             had = True
-            out.extend(reader.expand_prefix(t[:-1], max_terms=max_terms))
+            if t[-1] == "*":
+                out.extend(reader.expand_prefix(t[:-1], max_terms=max_terms))
+            else:
+                out.extend(reader.expand_fuzzy(t[:-1], max_terms=max_terms))
         else:
             out.append(t)
     return list(dict.fromkeys(out)), had
@@ -321,11 +330,11 @@ def search(
     terms, mode, exclude = parse_query(query)
     if mode == "phrase":
         return search_phrase(reader, " ".join(terms), k=k)
-    has_prefix = any(t.endswith("*") and len(t) > 1 for t in terms)
+    has_prefix = any(_is_multi(t) for t in terms)
     if has_prefix and mode == "conjunctive" and len(terms) > 1:
         raise ValueError(
-            "prefix terms in multi-term conjunctive queries are not "
-            "supported (a prefix is an OR-group); use OR"
+            "prefix/fuzzy terms in multi-term conjunctive queries are not "
+            "supported (they are OR-groups); use OR"
         )
     if has_prefix:
         terms, _ = _expand_wildcards(reader, terms, max_terms)
@@ -350,6 +359,52 @@ def search_prefix(
     if not terms:
         return []
     return search_topk(reader, terms, mode="disjunctive", k=k, strategy=strategy)
+
+
+def search_fuzzy(
+    reader: IndexReader,
+    term: str,
+    max_edits: int = 1,
+    k: int = 10,
+    max_terms: int = 1024,
+    strategy: str = "auto",
+) -> list[tuple[int, float]]:
+    """Fuzzy query ``term~`` — expand to vocabulary terms within
+    ``max_edits`` Levenshtein distance, then disjunctive BM25 over the
+    expansions (each with its own idf). Rare misspellings get HIGHER idf
+    than the intended term — the classic scoring-boolean behavior; callers
+    wanting uniform weights can rescore the expansions themselves."""
+    terms = reader.expand_fuzzy(term, max_edits=max_edits, max_terms=max_terms)
+    if not terms:
+        return []
+    return search_topk(reader, terms, mode="disjunctive", k=k, strategy=strategy)
+
+
+def search_facets(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    facet_col: str = "lang",
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """Per-facet hit counts over the FULL candidate set (not just top-k) —
+    the aggregation a search UI renders beside results.
+
+    Plan: distributed candidate generation (pruned postings scan -> ids-only
+    or scored decode -> agg) -> equi-join the docmap's (doc_id, facet)
+    projection -> hash agg by facet. The docmap side prunes to two columns
+    at scan time; AQE picks the join strategy from the candidate set's
+    runtime size."""
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude
+    ).select("doc_id")
+    dm = reader.docmap_df().select("doc_id", facet_col)
+    return (
+        cand.join(dm, "doc_id")
+        .groupBy(facet_col)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(facet_col)
+    )
 
 
 def _exclusion_ids(reader: IndexReader, exclude) -> np.ndarray | None:

@@ -1,0 +1,111 @@
+"""Fuzzy (Levenshtein) queries and faceted hit counts."""
+
+from __future__ import annotations
+
+import pytest
+
+from miru_spark.index.reader import _lev_within
+from miru_spark.plans.relational import bm25_fuzzy_oracle_sql, facet_oracle_sql
+from miru_spark.plans.search import search, search_facets, search_fuzzy
+
+
+def _vocab(duck):
+    return [
+        r[0]
+        for r in duck.execute(
+            "WITH tok AS (SELECT unnest(string_split(text,' ')) AS t FROM documents) "
+            "SELECT DISTINCT t FROM tok WHERE t<>'' ORDER BY 1"
+        ).fetchall()
+    ]
+
+
+def test_lev_within_agrees_with_duck(duck):
+    vocab = _vocab(duck)
+    for probe in ["ag", "hsh", "sort", "xyzzy", "ro", "the"]:
+        for t in vocab:
+            want = duck.execute(
+                "SELECT levenshtein(?, ?) <= 1", [probe, t]
+            ).fetchone()[0]
+            assert _lev_within(probe, t, 1) == want, (probe, t)
+
+
+@pytest.mark.parametrize("probe", ["ag", "hsh", "ro", "sort"])
+def test_expand_fuzzy_matches_vocab(reader, duck, probe):
+    want = sorted(t for t in _vocab(duck) if _lev_within(probe, t, 1))
+    assert reader.expand_fuzzy(probe, max_edits=1) == want
+
+
+def test_expand_fuzzy_multi_hit(reader):
+    assert reader.expand_fuzzy("ag", max_edits=1) == ["a", "agg"]
+    assert reader.expand_fuzzy("xyzzy") == []
+    with pytest.raises(ValueError):
+        reader.expand_fuzzy("")
+    with pytest.raises(ValueError):
+        reader.expand_fuzzy("ag", max_terms=1)
+
+
+@pytest.mark.parametrize("probe", ["ag", "hsh", "lin"])
+def test_fuzzy_search_matches_oracle(reader, duck, probe):
+    got = [(d, round(s, 6)) for d, s in search_fuzzy(reader, probe, k=10)]
+    want = [
+        (d, s) for d, s in duck.execute(bm25_fuzzy_oracle_sql(probe)).fetchall()
+    ]
+    assert got == want
+
+
+def test_fuzzy_via_wrapper(reader):
+    assert search(reader, "hsh~", k=5) == search_fuzzy(reader, "hsh", k=5)
+    assert search(reader, "dup OR hsh~", k=5) == search(reader, "dup OR hash", k=5)
+
+
+@pytest.mark.parametrize(
+    "terms,mode",
+    [(["the", "a"], "conjunctive"), (["join", "dup"], "disjunctive")],
+    ids=lambda x: str(x),
+)
+def test_facets_match_oracle(reader, duck, terms, mode):
+    got = [
+        (r.lang, r.n_docs)
+        for r in search_facets(reader, terms, mode=mode, facet_col="lang").collect()
+    ]
+    want = [tuple(r) for r in duck.execute(facet_oracle_sql(terms, mode)).fetchall()]
+    assert got == want
+
+
+def test_facets_total_equals_candidates(reader):
+    """Facet counts partition the candidate set: totals must agree."""
+    from miru_spark.plans.search import search_distributed
+
+    n = (
+        search_distributed(reader, ["the", "dup"], mode="disjunctive", k=None)
+        .count()
+    )
+    facets = search_facets(reader, ["the", "dup"], mode="disjunctive").collect()
+    assert sum(r.n_docs for r in facets) == n
+
+
+def test_facets_with_exclusion(reader, duck):
+    got = {
+        r.lang: r.n_docs
+        for r in search_facets(
+            reader, ["the"], mode="conjunctive", exclude=["dup"]
+        ).collect()
+    }
+    base = {
+        r.lang: r.n_docs
+        for r in search_facets(reader, ["the"], mode="conjunctive").collect()
+    }
+    dup = {
+        lang: n
+        for lang, n in duck.execute(facet_oracle_sql(["dup"], "conjunctive")).fetchall()
+    }
+    # per-facet: base minus docs that also contain 'dup' and 'the'
+    both = {
+        lang: n
+        for lang, n in duck.execute(
+            facet_oracle_sql(["the", "dup"], "conjunctive")
+        ).fetchall()
+    }
+    for lang, n in base.items():
+        assert got.get(lang, 0) == n - both.get(lang, 0)
+    assert dup  # sanity: the exclusion actually removed something somewhere
