@@ -24,8 +24,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", required=True)
     ap.add_argument("--index-path", required=True)
-    ap.add_argument("--query", default="join hash")
-    ap.add_argument("--mode", default="conjunctive")
+    ap.add_argument(
+        "--query", default="join hash",
+        help="full query language: 'a AND b NOT c', 'a OR b', 'foo*', "
+             "'foo~', '\"exact phrase\"' (phrase needs --positions)",
+    )
+    ap.add_argument(
+        "--mode", default="auto",
+        help="auto = parse operators from --query; or force "
+             "conjunctive/disjunctive over the bare terms",
+    )
+    ap.add_argument("--positions", action="store_true",
+                    help="build positional postings (phrase queries)")
     ap.add_argument("--num-partitions", type=int, default=16)
     ap.add_argument("--k", type=int, default=10)
     args = ap.parse_args()
@@ -38,7 +48,7 @@ def main() -> None:
 
     from miru_spark.index.reader import IndexReader
     from miru_spark.index.writer import build_index
-    from miru_spark.plans.search import search_topk
+    from miru_spark.plans.search import search, search_topk
     from miru_spark.schema import read_corpus
 
     t0 = time.time()
@@ -47,9 +57,13 @@ def main() -> None:
         read_corpus(spark, args.sf_dir),
         args.index_path,
         num_partitions=args.num_partitions,
+        positions=args.positions,
     )
     reader = IndexReader(spark, args.index_path)
-    hits = search_topk(reader, args.query.split(), mode=args.mode, k=args.k)
+    if args.mode == "auto":
+        hits = search(reader, args.query, k=args.k)
+    else:
+        hits = search_topk(reader, args.query.split(), mode=args.mode, k=args.k)
     print(
         "MIRU_RESULT "
         + json.dumps(

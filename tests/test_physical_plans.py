@@ -108,6 +108,44 @@ def test_merge_has_no_vocabulary_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_facets_prune_docmap_columns(spark, index_path):
+    """The facet join must read only (doc_id, facet) from the docmap —
+    content_sha256/path/commit never leave the parquet scan."""
+    from miru_spark.plans.search import search_facets
+
+    reader = IndexReader(spark, index_path)
+    plan = _plan(search_facets(reader, ["join", "hash"], facet_col="lang"))
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "lang" in line:
+            assert "content_sha256" not in line and "path" not in line
+            break
+    else:
+        raise AssertionError("no docmap ReadSchema with lang found in plan")
+
+
+def test_not_distributed_is_anti_join(spark, index_path):
+    """Distributed NOT = one left-anti join of the aggregated candidates
+    against the excluded terms' ids-only decode — no extra corpus pass."""
+    from miru_spark.plans.search import search_distributed
+
+    reader = IndexReader(spark, index_path)
+    plan = _plan(
+        search_distributed(reader, ["the"], mode="disjunctive", exclude=["dup"])
+    )
+    assert "LeftAnti" in plan
+
+
+def test_prefix_expansion_runs_no_spark_job(spark, index_path):
+    """Dictionary expansion is a driver-side pyarrow read: zero Spark jobs."""
+    reader = IndexReader(spark, index_path)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    reader.expand_prefix("s")
+    reader.expand_fuzzy("hsh")
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after
+
+
 def test_minhash_lsh_verify_has_no_forced_broadcast(spark):
     """The LSH candidate-doc semi-join must not carry a broadcast HINT:
     with auto-broadcast off the plan falls back to a shuffle join (a forced
