@@ -226,7 +226,9 @@ def register_all(register) -> None:
     from miru_spark.pipeline.textqual import token_counts_oracle_sql
 
     register("pipe_token_counts", q_token_counts, token_counts_oracle_sql())
-    register("pipe_lang_id", q_lang_id, None)
+    from miru_spark.pipeline.textqual import lang_id_oracle_sql
+
+    register("pipe_lang_id", q_lang_id, lang_id_oracle_sql())
     register("pipe_winnow_pairs", q_winnow_pairs, None)
     from miru_spark.pipeline.sampling import (
         hash_sample_oracle_sql,

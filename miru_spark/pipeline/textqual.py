@@ -253,7 +253,10 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, pred_lang, confidence) via n-gram-profile hit rates —
-    vectorized pandas str ops, one pass per profile."""
+    vectorized pandas str ops, one pass per profile. Ties break by profile
+    declaration order (idxmax takes the first column); rounding happens
+    OUTSIDE the UDF with F.round so the oracle's ROUND matches exactly
+    (pandas .round is half-even, SQL ROUND is half-away)."""
     profiles = _LANG_PROFILES
 
     @F.pandas_udf("pred_lang string, confidence double")
@@ -271,11 +274,48 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         pred = M.idxmax(axis=1)
         conf = M.max(axis=1)
         pred = pred.where(conf > 0, "unknown")
-        return pd.DataFrame({"pred_lang": pred, "confidence": conf.round(6)})
+        return pd.DataFrame({"pred_lang": pred, "confidence": conf})
 
     return docs.select("doc_id", lid(F.col(text_col)).alias("r")).select(
-        "doc_id", "r.pred_lang", "r.confidence"
+        "doc_id", "r.pred_lang", F.round("r.confidence", 6).alias("confidence")
     )
+
+
+def lang_id_oracle_sql(round_digits: int = 6) -> str:
+    """DuckDB twin of :func:`lang_id`: per-language score = non-overlapping
+    profile-gram occurrences (replace-based count, same semantics as
+    pandas ``str.count``) / char length; argmax with first-declared-wins
+    tie-break, 'unknown' on all-zero."""
+
+    def cnt(g: str) -> str:
+        q = g.replace("'", "''")
+        return f"(length(lt) - length(replace(lt, '{q}', ''))) / {len(g)}"
+
+    score_cols = ",\n         ".join(
+        f"({' + '.join(cnt(g) for g in grams)}) / greatest(length(text), 1)::DOUBLE"
+        f" AS s_{lang}"
+        for lang, grams in _LANG_PROFILES.items()
+    )
+    langs = list(_LANG_PROFILES)
+    # first-declared-wins argmax: lang_i wins iff >= every later lang and
+    # > no earlier lang beat it (encoded by the CASE order)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{later}" for later in langs[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    pred = "CASE " + " ".join(cases) + " END"
+    conf = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM (SELECT doc_id, text, lower(text) AS lt FROM documents))
+SELECT doc_id,
+       CASE WHEN {conf} > 0 THEN {pred} ELSE 'unknown' END AS pred_lang,
+       ROUND({conf}, {round_digits}) AS confidence
+FROM s ORDER BY doc_id
+""".strip()
 
 
 # ------------------------------------------------------------- winnowing ---
