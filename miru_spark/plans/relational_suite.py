@@ -629,6 +629,66 @@ def q_b26_grouped_agg_udaf(spark, sf):
 # order; checked for row count + schema, plus a tolerance test in pytest.
 
 
+# B27 co-grouped applyInPandas (the cogroup half of SURVEY B24)
+def q_b27_cogroup(spark, sf):
+    import pandas as pd
+
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+
+    import numpy as np
+
+    def per_order(o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        # cogroup surfaces key groups present on EITHER side; inner
+        # semantics (both sides non-empty) keeps the oracle a plain join.
+        # Per-line values go to integer cents BEFORE summing (identical
+        # double arithmetic on both engines, and integer sums are
+        # order-independent) so the oracle hash-matches exactly.
+        if o.empty or l.empty:
+            return pd.DataFrame(
+                columns=["o_orderkey", "o_totalprice", "net_cents", "n_lines"]
+            )
+        per_line = (l["l_extendedprice"] * (1.0 - l["l_discount"])).to_numpy()
+        net_c = int(np.floor(per_line * 100.0 + 0.5).astype("int64").sum())
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(o["o_orderkey"].iloc[0])],
+                "o_totalprice": [round(float(o["o_totalprice"].iloc[0]), 6)],
+                "net_cents": [net_c],
+                "n_lines": [len(l)],
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("net_cents", T.LongType()),
+            T.StructField("n_lines", T.LongType()),
+        ]
+    )
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(per_order, schema)
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+SQL_B27 = """
+SELECT o_orderkey,
+       ROUND(o_totalprice, 6) AS o_totalprice,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS net_cents,
+       COUNT(*) AS n_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey LIMIT 200
+"""
+
+
 QUERIES = {
     "rel_b01_projection": (q_b01_projection, SQL_B01),
     "rel_b02_filter": (q_b02_filter, SQL_B02),
@@ -656,6 +716,7 @@ QUERIES = {
     "rel_b24_apply_in_pandas": (q_b24_apply_in_pandas, SQL_B24),
     "rel_b25_map_in_arrow": (q_b25_map_in_arrow, SQL_B25),
     "rel_b26_grouped_agg_udaf": (q_b26_grouped_agg_udaf, None),
+    "rel_b27_cogroup": (q_b27_cogroup, SQL_B27),
 }
 
 
