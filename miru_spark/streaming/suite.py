@@ -82,9 +82,20 @@ def q_stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    # the per-window rows themselves, oracle-checkable: Spark's 1-day
+    # tumbling windows are epoch-aligned (UTC session tz), so window_start
+    # == date_trunc('day', ts). total_value stays out of the driver entry
+    # (double summation order is engine-dependent); n is exact.
     return spark.sql(
-        f"SELECT event_type, sum(n) AS n FROM {name} GROUP BY event_type ORDER BY event_type"
+        f"SELECT window_start, event_type, n FROM {name} "
+        "ORDER BY window_start, event_type"
     )
+
+
+STREAM_WINDOWED_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()
 
 
 def register_all(register) -> None:
@@ -93,4 +104,4 @@ def register_all(register) -> None:
         q_stream_incremental_bm25,
         bm25_oracle_sql(["join", "hash"], "conjunctive"),
     )
-    register("stream_windowed_events", q_stream_windowed_events, None)
+    register("stream_windowed_events", q_stream_windowed_events, STREAM_WINDOWED_SQL)
