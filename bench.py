@@ -33,7 +33,7 @@ def main() -> None:
 
     from miru_spark.index.reader import IndexReader
     from miru_spark.index.writer import build_index
-    from miru_spark.plans.search import search_distributed, search_topk
+    from miru_spark.plans.search import search_distributed, search_many, search_topk
     from miru_spark.schema import read_corpus
     from miru_spark.session import get_spark
 
@@ -74,6 +74,11 @@ def main() -> None:
     p50_ms = statistics.median(latencies) * 1000
     p95_ms = sorted(latencies)[int(len(latencies) * 0.95)] * 1000
 
+    # batched serving: one pruned fetch for the union of all query terms
+    t_b = time.time()
+    search_many(reader, [(q["terms"], q["mode"]) for q in query_set], k=10)
+    batch_secs = time.time() - t_b
+
     # ---- distributed scorer ----------------------------------------------
     t2 = time.time()
     search_distributed(reader, ["the", "a"], mode="disjunctive", k=10).collect()
@@ -93,6 +98,8 @@ def main() -> None:
             "build_files_per_sec": round(files_per_sec, 2),
             "query_p50_ms": round(p50_ms, 2),
             "query_p95_ms": round(p95_ms, 2),
+            "batch_45q_ms": round(batch_secs * 1000, 2),
+            "batch_ms_per_query": round(batch_secs * 1000 / len(query_set), 2),
             "n_queries": len(query_set),
             "build_metrics": manifest["metrics"],
         },

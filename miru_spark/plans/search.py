@@ -457,10 +457,18 @@ def search_topk(
     terms = list(dict.fromkeys(terms))
     exclude = _check_exclude(terms, exclude)
     tps = reader.fetch_terms(terms)
-    if mode == "conjunctive" and len(tps) < len(terms):
-        return []  # a term matches nothing -> empty intersection
     excl = _exclusion_ids(reader, exclude)
-    total_postings = sum(tp.df for tp in tps.values())
+    return _route_query(reader, tps, terms, mode, k, strategy, excl)
+
+
+def _route_query(
+    reader, tps, terms, mode, k, strategy, excl=None
+) -> list[tuple[int, float]]:
+    """Pick the serving strategy for one query given already-fetched
+    TermPostings (shared by search_topk and search_many)."""
+    if mode == "conjunctive" and len([t for t in terms if t in tps]) < len(terms):
+        return []  # a term matches nothing -> empty intersection
+    total_postings = sum(tps[t].df for t in terms if t in tps)
     if strategy == "exhaustive" or (
         strategy == "auto" and total_postings <= EXHAUSTIVE_CUTOFF
     ):
@@ -471,6 +479,35 @@ def search_topk(
     if mode == "disjunctive":
         return wand_topk(iters, k, excl=excl)
     raise ValueError(f"unknown mode {mode!r}")
+
+
+def search_many(
+    reader: IndexReader,
+    queries: list[tuple[list[str], str]],
+    k: int = 10,
+    strategy: str = "auto",
+) -> list[list[tuple[int, float]]]:
+    """Serve a batch of (terms, mode) queries with ONE pruned postings
+    fetch for the union of all query terms.
+
+    The driver fast path's latency is dominated by the pyarrow read; a
+    batch that shares terms (real workloads are Zipfian) pays it once.
+    Results are identical to per-query ``search_topk`` (same routing, same
+    TermPostings), tested against it.
+    """
+    if k <= 0:
+        return [[] for _ in queries]
+    all_terms = list(
+        dict.fromkeys(t for terms, _ in queries for t in terms)
+    )
+    tps = reader.fetch_terms(all_terms)
+    out = []
+    for terms, mode in queries:
+        if mode not in ("conjunctive", "disjunctive"):
+            raise ValueError(f"unknown mode {mode!r}")
+        terms = list(dict.fromkeys(terms))
+        out.append(_route_query(reader, tps, terms, mode, k, strategy))
+    return out
 
 
 def search_exhaustive(

@@ -44,3 +44,19 @@ def test_search_phrase_via_parser(spark, tmp_path_factory):
                 positions=True)
     r = IndexReader(spark, p)
     assert search(r, '"the a"') == search_phrase(r, "the a")
+
+
+def test_search_many_matches_individual(reader):
+    import json
+
+    from miru_spark.plans.search import search_many, search_topk
+
+    with open("tests/queries_sf.json") as f:
+        qs = [(q["terms"], q["mode"]) for q in json.load(f)][:20]
+    batched = search_many(reader, qs, k=10)
+    for (terms, mode), got in zip(qs, batched):
+        assert got == search_topk(reader, terms, mode=mode, k=10)
+    # forced-WAND batch agrees too (shared TermPostings are not mutated)
+    batched_wand = search_many(reader, qs, k=10, strategy="wand")
+    for (terms, mode), got in zip(qs, batched_wand):
+        assert got == search_topk(reader, terms, mode=mode, k=10, strategy="wand")
