@@ -134,12 +134,13 @@ def repetition_stats(docs: DataFrame, round_digits: int = 6) -> DataFrame:
     duplicate-5-gram occurrence fraction, plus the pinned keep flag a
     filtering pipeline applies before training.
 
-    All JVM built-ins: n-grams come from a higher-order ``transform`` over
-    the token array (no UDF), counts from two explode->groupBy passes keyed
-    by (doc_id, gram) — map-side partial aggregation keeps the shuffles
-    proportional to DISTINCT grams per doc, and both shuffles co-key on
-    doc_id. ``keep`` compares the ROUNDED ratios so engines tie-break
-    identically.
+    All JVM built-ins, ONE corpus pass: both gram sizes come from a single
+    higher-order ``transform`` (no UDF), tagged with k and exploded once;
+    one (doc_id, k, gram) count with map-side partial aggregation (shuffle
+    proportional to DISTINCT grams per doc), then one conditional per-doc
+    rollup — at 100-TB scale this halves the scans and co-keys both shuffle
+    stages on doc_id. ``keep`` compares the ROUNDED ratios so engines
+    tie-break identically.
     """
     toks = F.array_remove(F.split(F.col("text"), " "), "")
     d = (
@@ -155,33 +156,28 @@ def repetition_stats(docs: DataFrame, round_digits: int = 6) -> DataFrame:
 
     def grams(k: int):
         joined = ", ".join(f"element_at(toks, i+{j})" for j in range(k))
-        expr = f"transform(sequence(1, size(toks)-{k - 1}), i -> concat_ws(' ', {joined}))"
+        expr = (
+            f"transform(sequence(1, size(toks)-{k - 1}), "
+            f"i -> struct({k} AS k, concat_ws(' ', {joined}) AS g))"
+        )
         return F.when(F.size("toks") >= k, F.expr(expr)).otherwise(
-            F.array().cast("array<string>")
+            F.expr("array()").cast("array<struct<k:int,g:string>>")
         )
 
-    def gram_agg(k: int, aggs):
-        return (
-            d.select("doc_id", F.explode(grams(k)).alias("g"))
-            .groupBy("doc_id", "g")
-            .agg(F.count("*").alias("c"))
-            .groupBy("doc_id")
-            .agg(*aggs)
-        )
-
-    a2 = gram_agg(
-        2, [F.max("c").alias("top2"), F.sum("c").alias("tot2")]
+    counts = (
+        d.select("doc_id", F.explode(F.concat(grams(2), grams(5))).alias("kg"))
+        .groupBy("doc_id", "kg.k", "kg.g")
+        .agg(F.count("*").alias("c"))
     )
-    a5 = gram_agg(
-        5,
-        [
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup5"),
-            F.sum("c").alias("tot5"),
-        ],
+    k2, k5 = F.col("k") == 2, F.col("k") == 5
+    rollup = counts.groupBy("doc_id").agg(
+        F.max(F.when(k2, F.col("c"))).alias("top2"),
+        F.sum(F.when(k2, F.col("c"))).alias("tot2"),
+        F.sum(F.when(k5 & (F.col("c") > 1), F.col("c")).otherwise(0)).alias("dup5"),
+        F.sum(F.when(k5, F.col("c"))).alias("tot5"),
     )
     out = (
-        d.join(a2, "doc_id", "left")
-        .join(a5, "doc_id", "left")
+        d.join(rollup, "doc_id", "left")
         .withColumn(
             "top_2gram_ratio",
             F.round(F.coalesce(F.col("top2") / F.col("tot2"), F.lit(0.0)), round_digits),
