@@ -157,6 +157,134 @@ def _mk_phrase_dist(phrase):
     return run
 
 
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 as a first-class driver entry: the corpus stats the index
+    persists (stats.json + df table) against the oracle's recount."""
+    from miru_spark.plans.flagship import ensure_index
+
+    reader = ensure_index(spark, sf_dir)
+    vocab = reader.df_df().count()
+    n_tokens = int(reader.stats["n_tokens"])
+    row = (
+        int(reader.n_docs),
+        int(vocab),
+        n_tokens,
+        round(n_tokens / reader.n_docs, 6),
+    )
+    return spark.createDataFrame(
+        [row], "n_docs long, vocab_size long, n_tokens long, avgdl double"
+    )
+
+
+SQL_INDEX_STATS = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+t AS (SELECT doc_id, term FROM tok WHERE term <> '')
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       (SELECT COUNT(DISTINCT term) FROM t) AS vocab_size,
+       (SELECT COUNT(*) FROM t) AS n_tokens,
+       ROUND((SELECT COUNT(*) FROM t)::DOUBLE
+             / (SELECT COUNT(*) FROM documents), 6) AS avgdl
+""".strip()
+
+
+def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete: top-df dictionary terms under a prefix — the term
+    dictionary served as a queryable artifact (Spark scan side; the
+    driver-side pyarrow seek is expand_prefix)."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.plans.flagship import ensure_index
+
+    reader = ensure_index(spark, sf_dir)
+    return (
+        reader.df_df()
+        .filter(F.col("term").startswith("s"))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(5)
+    )
+
+
+SQL_SUGGEST = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+t AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> '')
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+FROM t WHERE term LIKE 's%'
+GROUP BY term ORDER BY df DESC, term LIMIT 5
+""".strip()
+
+
+_RESUME_IDX: dict[str, str] = {}
+
+
+def q_index_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 in the driver record: build, truncate the manifest to half the
+    committed partitions (simulated executor loss), delete their segment
+    dirs, RESUME, then serve — oracled like any other bm25 entry, proving
+    the resumed index is rank-identical to a clean build."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index, read_manifest
+    from miru_spark.plans.search import search_topk
+    from miru_spark.schema import read_corpus
+
+    if sf_dir not in _RESUME_IDX:
+        path = tempfile.mkdtemp(prefix="miru_resume_") + "/idx"
+        corpus = read_corpus(spark, sf_dir)
+        build_index(spark, corpus, path, num_partitions=8)
+        man = read_manifest(path)
+        keep = sorted(man["partitions"], key=int)[:4]
+        man["partitions"] = {k: man["partitions"][k] for k in keep}
+        with open(f"{path}/manifest.json", "w") as f:
+            json.dump(man, f)
+        for d in os.listdir(f"{path}/segments"):
+            if d.startswith("partition_id=") and d.split("=")[-1] not in keep:
+                shutil.rmtree(f"{path}/segments/{d}")
+        man2 = build_index(spark, corpus, path, num_partitions=8, resume=True)
+        assert man2["metrics"]["resumed_partitions"] == [int(k) for k in keep]
+        _RESUME_IDX[sf_dir] = path
+    reader = IndexReader(spark, _RESUME_IDX[sf_dir])
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_topk(reader, ["join", "hash"], mode="conjunctive", k=10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+_SNAP_IDX: dict[str, str] = {}
+
+
+def q_index_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11's snapshot sink in the driver record: build through the
+    Iceberg-style snapshot protocol, read manifest-driven (directory state
+    never trusted), serve — same oracle as the directory-layout build."""
+    import tempfile
+
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.plans.search import search_topk
+    from miru_spark.schema import read_corpus
+
+    if sf_dir not in _SNAP_IDX:
+        path = tempfile.mkdtemp(prefix="miru_snap_") + "/idx"
+        build_index(
+            spark, read_corpus(spark, sf_dir), path, num_partitions=8,
+            snapshots=True,
+        )
+        _SNAP_IDX[sf_dir] = path
+    reader = IndexReader(spark, _SNAP_IDX[sf_dir])
+    assert reader.snapshot is not None
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_topk(reader, ["the", "dup"], mode="disjunctive", k=10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 def register_all(register) -> None:
     for name, (terms, mode) in CASES.items():
         register(name, _mk_topk(terms, mode), bm25_oracle_sql(terms, mode))
@@ -185,3 +313,13 @@ def register_all(register) -> None:
         )
     for name, phrase in PHRASE_DIST_CASES.items():
         register(name, _mk_phrase_dist(phrase), bm25_phrase_oracle_sql(phrase))
+    register("bm25_index_stats", q_index_stats, SQL_INDEX_STATS)
+    register("bm25_index_suggest", q_suggest, SQL_SUGGEST)
+    register(
+        "bm25_index_resume", q_index_resume,
+        bm25_oracle_sql(["join", "hash"], "conjunctive"),
+    )
+    register(
+        "bm25_index_snapshot", q_index_snapshot,
+        bm25_oracle_sql(["the", "dup"], "disjunctive"),
+    )
