@@ -174,37 +174,57 @@ class IndexReader:
         self, term: str, max_edits: int = 1, max_terms: int = 1024
     ) -> list[str]:
         """Vocabulary terms within ``max_edits`` Levenshtein distance of
-        ``term`` (Lucene's ``term~`` fuzzy query), from the term dictionary.
+        ``term`` (Lucene's ``term~`` fuzzy query).
 
-        A length band (|len - len(term)| <= max_edits) prefilters the
-        columnar scan; survivors go through a banded DP that early-exits a
-        row once every cell exceeds the budget. Unlike a prefix, edit
-        distance admits no term-range bound, so this reads the (banded)
-        dictionary — fine for interactive use up to ~10^7-term vocabs; the
-        scale path is a deletion-neighborhood index or a Levenshtein
-        automaton walk (Lucene FST), which the sorted dictionary layout
-        leaves room to add without a format change. Distributed callers can
-        use ``F.levenshtein`` over ``df_df()`` instead (JVM-side).
+        Fast path (max_edits=1, ``index/fuzzy`` present — see
+        ``writer.build_fuzzy_dictionary``): dist(q,t)<=1 iff their deletion
+        neighborhoods intersect (FastSS), so the lookup is |q|+1
+        statistics-pruned variant seeks into the sorted neighborhood table,
+        then an exact DP verify of the handful of candidates — scales to
+        1e9-term vocabularies.
+
+        Fallback: a length band (|len - len(term)| <= max_edits) prefilters
+        a columnar scan of the term dictionary; survivors go through a
+        banded DP with Ukkonen early-exit. Fine for interactive use up to
+        ~1e7-term vocabs. Distributed callers can use ``F.levenshtein``
+        over ``df_df()`` instead (JVM-side).
         """
         if not term:
             raise ValueError("empty term")
         if max_edits < 0:
             raise ValueError("max_edits must be >= 0")
+        import os
+
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
-        if getattr(self, "_df_dset", None) is None:
-            self._df_dset = pads.dataset(
-                f"{self.index_path}/df", format="parquet"
+        if max_edits == 1 and os.path.isdir(f"{self.index_path}/fuzzy"):
+            if getattr(self, "_fuzzy_dset", None) is None:
+                self._fuzzy_dset = pads.dataset(
+                    f"{self.index_path}/fuzzy", format="parquet"
+                )
+            variants = sorted(
+                {term} | {term[:i] + term[i + 1 :] for i in range(len(term))}
             )
-        n = len(term)
-        length = pc.utf8_length(pc.field("term"))
-        flt = (length >= n - max_edits) & (length <= n + max_edits)
-        cands = (
-            self._df_dset.to_table(columns=["term"], filter=flt)
-            .column("term")
-            .to_pylist()
-        )
+            cands = set(
+                self._fuzzy_dset.to_table(
+                    columns=["term"],
+                    filter=pc.field("variant").isin(variants),
+                )
+                .column("term")
+                .to_pylist()
+            )
+        else:
+            if getattr(self, "_df_dset", None) is None:
+                self._df_dset = pads.dataset(
+                    f"{self.index_path}/df", format="parquet"
+                )
+            n = len(term)
+            length = pc.utf8_length(pc.field("term"))
+            flt = (length >= n - max_edits) & (length <= n + max_edits)
+            cands = self._df_dset.to_table(
+                columns=["term"], filter=flt
+            ).column("term").to_pylist()
         out = sorted(t for t in cands if _lev_within(term, t, max_edits))
         if len(out) > max_terms:
             raise ValueError(

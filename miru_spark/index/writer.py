@@ -74,6 +74,43 @@ def read_manifest(index_path: str) -> dict | None:
         return json.load(f)
 
 
+def build_fuzzy_dictionary(spark: SparkSession, index_path: str) -> int:
+    """SymSpell/FastSS-style deletion-neighborhood dictionary (Bocek et al.
+    2007, "Fast Similarity Search in Large Dictionaries"): for every
+    vocabulary term, emit the term itself plus every single-character
+    deletion, as (variant, term) rows range-partitioned and sorted by
+    variant. dist(q, t) <= 1 iff the two deletion neighborhoods intersect,
+    so a fuzzy query becomes |q|+1 statistics-pruned variant seeks instead
+    of a full-dictionary scan — the FST-free scale path for 1e9-term
+    vocabularies (~(1+avg_len) rows per term, linear in the dictionary).
+
+    Derived purely from the committed index/df table, so it can be added to
+    an existing index; returns the variant rowcount.
+    """
+    terms = spark.read.parquet(f"{index_path}/df").select("term")
+    variants = terms.select(
+        F.explode(
+            F.array_union(
+                F.array(F.col("term")),
+                F.expr(
+                    "transform(sequence(1, length(term)), "
+                    "i -> concat(substring(term, 1, i-1), substring(term, i+1, length(term))))"
+                ),
+            )
+        ).alias("variant"),
+        "term",
+    )
+    n_terms = terms.count()
+    parts = max(1, min(200, n_terms // 4_000_000 + 1))
+    (
+        variants.repartitionByRange(parts, "variant")
+        .sortWithinPartitions("variant", "term")
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/fuzzy")
+    )
+    return spark.read.parquet(f"{index_path}/fuzzy").count()
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,

@@ -135,6 +135,29 @@ def _mk_fuzzy(probe):
     return run
 
 
+_FASTSS_BUILT: set[str] = set()
+
+
+def q_fuzzy_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy serving through the FastSS deletion-neighborhood dictionary
+    (pruned variant seeks instead of a dictionary scan) — same oracle as
+    the scan path; equality of the two expansions is pytest-proven."""
+    from miru_spark.index.writer import build_fuzzy_dictionary
+    from miru_spark.plans.flagship import ensure_index
+    from miru_spark.plans.search import search_fuzzy
+
+    reader = ensure_index(spark, sf_dir)
+    if reader.index_path not in _FASTSS_BUILT:
+        build_fuzzy_dictionary(spark, reader.index_path)
+        reader._fuzzy_dset = None
+        _FASTSS_BUILT.add(reader.index_path)
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_fuzzy(reader, "lin", max_edits=1, k=10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 def _mk_facets(terms, mode, facet):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -306,6 +329,10 @@ def register_all(register) -> None:
         register(name, _mk_prefix_dist(prefix), bm25_prefix_oracle_sql(prefix))
     for name, probe in FUZZY_CASES.items():
         register(name, _mk_fuzzy(probe), bm25_fuzzy_oracle_sql(probe, max_edits=1))
+    register(
+        "bm25_index_fuzzy_fastss", q_fuzzy_fastss,
+        bm25_fuzzy_oracle_sql("lin", max_edits=1),
+    )
     for name, (terms, mode, facet) in FACET_CASES.items():
         register(
             name, _mk_facets(terms, mode, facet),

@@ -109,3 +109,47 @@ def test_facets_with_exclusion(reader, duck):
     for lang, n in base.items():
         assert got.get(lang, 0) == n - both.get(lang, 0)
     assert dup  # sanity: the exclusion actually removed something somewhere
+
+
+# ------------------------------------------------- deletion-neighborhood ---
+
+@pytest.fixture(scope="module")
+def fuzzy_reader(spark, tmp_path_factory):
+    """A second index WITH the FastSS deletion-neighborhood dictionary."""
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_fuzzy_dictionary, build_index
+    from miru_spark.schema import read_corpus
+    from tests.conftest import SF_DIR
+
+    p = str(tmp_path_factory.mktemp("fzidx") / "idx")
+    build_index(spark, read_corpus(spark, SF_DIR), p, num_partitions=4)
+    n = build_fuzzy_dictionary(spark, p)
+    assert n > 0
+    return IndexReader(spark, p)
+
+
+def test_fuzzy_index_equals_scan(reader, fuzzy_reader, duck):
+    """FastSS seeks return EXACTLY the banded-scan expansion for every
+    vocabulary term and a batch of misspelling probes."""
+    probes = _vocab(duck) + ["ag", "hsh", "ro", "lin", "xyzzy", "a", "z",
+                             "srot", "jion", "thee", "qury"]
+    for probe in probes:
+        assert fuzzy_reader.expand_fuzzy(probe) == reader.expand_fuzzy(probe), probe
+
+
+def test_fuzzy_index_is_used(fuzzy_reader, monkeypatch):
+    """With the artifact present, expansion never touches the df dataset."""
+    fuzzy_reader.expand_fuzzy("ag")  # warm the dataset handle
+    monkeypatch.setattr(
+        fuzzy_reader, "_df_dset",
+        property(lambda self: (_ for _ in ()).throw(AssertionError())),
+        raising=False,
+    )
+    assert fuzzy_reader.expand_fuzzy("ag") == ["a", "agg"]
+
+
+def test_fuzzy_index_max_edits_2_falls_back(fuzzy_reader, reader):
+    """Depth-1 neighborhoods only answer max_edits=1; 2 uses the scan."""
+    got = fuzzy_reader.expand_fuzzy("hsh", max_edits=2, max_terms=4096)
+    want = reader.expand_fuzzy("hsh", max_edits=2, max_terms=4096)
+    assert got == want and "hash" in got
