@@ -16,6 +16,7 @@ from miru_spark.plans.relational import (
     bm25_phrase_oracle_sql,
     bm25_prefix_oracle_sql,
     facet_oracle_sql,
+    facet_topk_oracle_sql,
 )
 
 CASES = {
@@ -167,6 +168,16 @@ def _mk_facets(terms, mode, facet):
         return search_facets(reader, terms, mode=mode, facet_col=facet)
 
     return run
+
+
+def q_facets_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.plans.flagship import ensure_index
+    from miru_spark.plans.search import search_facets_topk
+
+    reader = ensure_index(spark, sf_dir)
+    return search_facets_topk(
+        reader, ["the", "dup"], mode="disjunctive", facet_col="lang", k=3
+    )
 
 
 def _mk_phrase_dist(phrase):
@@ -338,6 +349,10 @@ def register_all(register) -> None:
             name, _mk_facets(terms, mode, facet),
             facet_oracle_sql(terms, mode, facet),
         )
+    register(
+        "bm25_index_facets_topk", q_facets_topk,
+        facet_topk_oracle_sql(["the", "dup"], "disjunctive", "lang", k=3),
+    )
     for name, phrase in PHRASE_DIST_CASES.items():
         register(name, _mk_phrase_dist(phrase), bm25_phrase_oracle_sql(phrase))
     register("bm25_index_stats", q_index_stats, SQL_INDEX_STATS)

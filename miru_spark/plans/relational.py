@@ -272,6 +272,29 @@ FROM documents JOIN m USING(doc_id) GROUP BY {facet_col} ORDER BY {facet_col}
 """.strip()
 
 
+def facet_topk_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    facet_col: str = "lang",
+    k: int = 3,
+    round_digits: int = 6,
+) -> str:
+    """Oracle for per-facet top-k: rank rounded BM25 scores within each
+    facet value of the matching docs."""
+    inner = bm25_oracle_sql(terms, mode, k=1 << 30, round_digits=round_digits)
+    return f"""
+WITH ranked AS ({inner}),
+j AS (SELECT d.{facet_col}, r.doc_id, r.score
+      FROM ranked r JOIN documents d USING(doc_id))
+SELECT {facet_col}, rk, doc_id, score FROM (
+  SELECT {facet_col}, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY {facet_col}
+                            ORDER BY score DESC, doc_id) AS rk
+  FROM j)
+WHERE rk <= {k} ORDER BY {facet_col}, rk
+""".strip()
+
+
 def bm25_oracle_sql(
     terms: list[str],
     mode: str = "conjunctive",

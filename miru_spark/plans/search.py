@@ -407,6 +407,35 @@ def search_facets(
     )
 
 
+def search_facets_topk(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    facet_col: str = "lang",
+    k: int = 3,
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """Top-k hits PER facet value (the drill-down a search UI renders under
+    each facet header): distributed scoring -> facet join -> row_number
+    within facet. Scores are rounded BEFORE ranking so tie-breaks agree
+    with the oracle; Catalyst executes the rank<=k filter as a
+    per-partition top-k, not a full per-facet sort."""
+    from pyspark.sql import Window
+
+    scored = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=6, exclude=exclude
+    )
+    dm = reader.docmap_df().select("doc_id", facet_col)
+    w = Window.partitionBy(facet_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(dm, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(facet_col, F.col("rk").cast("long").alias("rk"), "doc_id", "score")
+        .orderBy(facet_col, "rk")
+    )
+
+
 def _exclusion_ids(reader: IndexReader, exclude) -> np.ndarray | None:
     """Sorted unique doc_ids containing ANY excluded term, decoded driver-side.
 

@@ -153,3 +153,27 @@ def test_fuzzy_index_max_edits_2_falls_back(fuzzy_reader, reader):
     got = fuzzy_reader.expand_fuzzy("hsh", max_edits=2, max_terms=4096)
     want = reader.expand_fuzzy("hsh", max_edits=2, max_terms=4096)
     assert got == want and "hash" in got
+
+
+def test_facets_topk_matches_oracle(reader, duck):
+    from miru_spark.plans.relational import facet_topk_oracle_sql
+    from miru_spark.plans.search import search_facets_topk
+
+    got = [
+        tuple(r)
+        for r in search_facets_topk(
+            reader, ["the", "dup"], mode="disjunctive", facet_col="lang", k=3
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in duck.execute(
+            facet_topk_oracle_sql(["the", "dup"], "disjunctive", "lang", k=3)
+        ).fetchall()
+    ]
+    assert got == want
+    # every facet contributes at most k rows, ranked 1..k
+    by_facet = {}
+    for lang, rk, _, _ in got:
+        by_facet.setdefault(lang, []).append(rk)
+    assert all(rks == list(range(1, len(rks) + 1)) for rks in by_facet.values())
