@@ -191,6 +191,19 @@ def _mk_phrase_dist(phrase):
     return run
 
 
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k + stored-field snippets: the result-page render step."""
+    from miru_spark.plans.flagship import ensure_index
+    from miru_spark.plans.search import search_topk, snippets_for_hits
+    from miru_spark.schema import read_corpus
+
+    reader = ensure_index(spark, sf_dir)
+    hits = search_topk(reader, ["join", "hash"], mode="conjunctive", k=10)
+    return snippets_for_hits(
+        read_corpus(spark, sf_dir), [d for d, _ in hits], ["join", "hash"]
+    )
+
+
 def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 as a first-class driver entry: the corpus stats the index
     persists (stats.json + df table) against the oracle's recount."""
@@ -355,6 +368,12 @@ def register_all(register) -> None:
     )
     for name, phrase in PHRASE_DIST_CASES.items():
         register(name, _mk_phrase_dist(phrase), bm25_phrase_oracle_sql(phrase))
+    from miru_spark.plans.relational import snippet_oracle_sql
+
+    register(
+        "bm25_index_snippets", q_snippets,
+        snippet_oracle_sql(["join", "hash"], "conjunctive", k=10),
+    )
     register("bm25_index_stats", q_index_stats, SQL_INDEX_STATS)
     register("bm25_index_suggest", q_suggest, SQL_SUGGEST)
     register(

@@ -272,6 +272,28 @@ FROM documents JOIN m USING(doc_id) GROUP BY {facet_col} ORDER BY {facet_col}
 """.strip()
 
 
+def snippet_oracle_sql(
+    terms: list[str], mode: str = "conjunctive", k: int = 10, width: int = 3
+) -> str:
+    """Oracle for top-k + snippet: rank with the standard BM25 CTE, then the
+    +-width token window around the first occurrence of any query term."""
+    terms = list(dict.fromkeys(terms))
+    inner = bm25_oracle_sql(terms, mode, k=k)
+    firsts = ", ".join(
+        f"nullif(list_position(l, '{_sql_quote(t)}'), 0)" for t in terms
+    )
+    first = f"least({firsts})" if len(terms) > 1 else firsts
+    return f"""
+WITH ranked AS ({inner}),
+t AS (SELECT d.doc_id, list_filter(string_split(d.text, ' '), x -> x <> '') AS l
+      FROM documents d JOIN ranked USING(doc_id)),
+p AS (SELECT doc_id, l, greatest(1, {first} - {width}) AS s FROM t)
+SELECT doc_id,
+       COALESCE(array_to_string(l[s : s + {2 * width}], ' '), '') AS snippet
+FROM p ORDER BY doc_id
+""".strip()
+
+
 def facet_topk_oracle_sql(
     terms: list[str],
     mode: str = "conjunctive",

@@ -633,9 +633,19 @@ def q_b26_grouped_agg_udaf(spark, sf):
 def q_b27_cogroup(spark, sf):
     import pandas as pd
 
-    orders = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
-    li = _t(spark, sf, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
+    # bound the key range: cogrouped applyInPandas pays a Python/Arrow
+    # round-trip PER KEY GROUP (~3 ms each), so 15k tiny groups would spend
+    # ~45 s exercising overhead, not semantics; 400 keys keeps the entry
+    # representative (and still overfills the LIMIT) at ~1 s
+    orders = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") < 400)
+        .select("o_orderkey", "o_totalprice")
+    )
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") < 400)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
     )
 
     import numpy as np
@@ -685,6 +695,7 @@ SELECT o_orderkey,
                      AS BIGINT)) AS BIGINT) AS net_cents,
        COUNT(*) AS n_lines
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey < 400
 GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey LIMIT 200
 """
 

@@ -407,6 +407,35 @@ def search_facets(
     )
 
 
+def snippets_for_hits(
+    corpus: DataFrame,
+    doc_ids: list[int],
+    terms: list[str],
+    width: int = 3,
+) -> DataFrame:
+    """(doc_id, snippet): the +-``width``-token window around the FIRST
+    occurrence of any query term — the stored-field highlight step after
+    top-k. The corpus scan is pruned by a pushed-down ``doc_id IN`` filter
+    (k rows read, not the corpus); all token work is JVM built-ins.
+    Docs containing none of the terms (disjunctive partials) get ''."""
+    if not terms:
+        raise ValueError("empty term list")
+    toks = F.array_remove(F.split(F.col("content"), " "), "")
+    d = corpus.filter(
+        F.col("doc_id").isin([int(i) for i in doc_ids])
+    ).select("doc_id", toks.alias("toks"))
+    nonzero = [
+        F.when(F.array_position("toks", t) > 0, F.array_position("toks", t))
+        for t in dict.fromkeys(terms)
+    ]
+    first = F.least(*nonzero) if len(nonzero) > 1 else nonzero[0]
+    start = F.greatest(F.lit(1), first - width)
+    snip = F.array_join(F.slice("toks", start, 2 * width + 1), " ")
+    return d.select(
+        "doc_id", F.coalesce(snip, F.lit("")).alias("snippet")
+    ).orderBy("doc_id")
+
+
 def search_facets_topk(
     reader: IndexReader,
     terms: list[str],

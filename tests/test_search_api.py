@@ -60,3 +60,26 @@ def test_search_many_matches_individual(reader):
     batched_wand = search_many(reader, qs, k=10, strategy="wand")
     for (terms, mode), got in zip(qs, batched_wand):
         assert got == search_topk(reader, terms, mode=mode, k=10, strategy="wand")
+
+
+def test_snippets_match_oracle(spark, reader, duck):
+    from miru_spark.plans.relational import snippet_oracle_sql
+    from miru_spark.plans.search import search_topk, snippets_for_hits
+    from miru_spark.schema import read_corpus
+    from tests.conftest import SF_DIR
+
+    hits = search_topk(reader, ["join", "hash"], mode="conjunctive", k=10)
+    got = [
+        (r.doc_id, r.snippet)
+        for r in snippets_for_hits(
+            read_corpus(spark, SF_DIR), [d for d, _ in hits], ["join", "hash"]
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in duck.execute(
+            snippet_oracle_sql(["join", "hash"], "conjunctive", k=10)
+        ).fetchall()
+    ]
+    assert got == want
+    assert all(("join" in s.split()) or ("hash" in s.split()) for _, s in got)
