@@ -67,6 +67,13 @@ PHRASE_DIST_CASES = {
     "bm25_index_dist_phrase2": "the a",
 }
 
+# proximity (positional index): name -> (term_a, term_b, slop)
+NEAR_CASES = {
+    "bm25_index_near2": ("join", "hash", 2),
+    "bm25_index_near4": ("sort", "merge", 4),
+    "bm25_index_near_rare": ("dup", "data", 5),
+}
+
 
 def _mk_topk(terms, mode, exclude=None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,6 +185,21 @@ def q_facets_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_facets_topk(
         reader, ["the", "dup"], mode="disjunctive", facet_col="lang", k=3
     )
+
+
+def _mk_near(ta, tb, slop):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_near
+
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search_near(reader, ta, tb, slop=slop, k=10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
 
 
 def _mk_phrase_dist(phrase):
@@ -368,6 +390,13 @@ def register_all(register) -> None:
     )
     for name, phrase in PHRASE_DIST_CASES.items():
         register(name, _mk_phrase_dist(phrase), bm25_phrase_oracle_sql(phrase))
+    from miru_spark.plans.relational import bm25_near_oracle_sql
+
+    for name, (ta, tb, slop) in NEAR_CASES.items():
+        register(
+            name, _mk_near(ta, tb, slop),
+            bm25_near_oracle_sql(ta, tb, slop=slop),
+        )
     from miru_spark.plans.relational import snippet_oracle_sql
 
     register(

@@ -260,7 +260,12 @@ def parse_query(query: str) -> tuple[list[str], str, list[str]]:
     of NOT clauses); a fully-quoted query is a phrase; a bare whitespace
     list defaults to conjunctive. Operators are case-sensitive uppercase
     (lowercase and/or/not are corpus terms)."""
+    import re
+
     q = query.strip()
+    m = re.fullmatch(r'"(.+)"~(\d+)', q, flags=re.S)
+    if m:  # '"a b"~3' -> proximity; slop rides along in the mode string
+        return m.group(1).split(), f"near:{m.group(2)}", []
     if len(q) >= 2 and q[0] == '"' and q[-1] == '"':
         return q[1:-1].split(), "phrase", []
     toks = q.split()
@@ -330,6 +335,10 @@ def search(
     terms, mode, exclude = parse_query(query)
     if mode == "phrase":
         return search_phrase(reader, " ".join(terms), k=k)
+    if mode.startswith("near:"):
+        if len(terms) != 2:
+            raise ValueError("proximity queries take exactly two terms")
+        return search_near(reader, terms[0], terms[1], slop=int(mode[5:]), k=k)
     has_prefix = any(_is_multi(t) for t in terms)
     if has_prefix and mode == "conjunctive" and len(terms) > 1:
         raise ValueError(
@@ -692,6 +701,84 @@ def search_phrase(
     verified = np.unique(survivors >> 32)
     scores = np.zeros(verified.size)
     for t in uterms:
+        ids, tfs, dls, _ = data[t]
+        idx = np.searchsorted(ids, verified)
+        scores += bm25.score_np(tfs[idx], tps[t].idf, dls[idx], reader.avgdl)
+    if round_digits is not None:
+        scores = np.round(scores, round_digits)
+    order = np.lexsort((verified, -scores))[:k]
+    return [(int(verified[i]), float(scores[i])) for i in order]
+
+
+def search_near(
+    reader: IndexReader,
+    term_a: str,
+    term_b: str,
+    slop: int = 3,
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> list[tuple[int, float]]:
+    """Proximity search (``'"a b"~N'``): docs where the two terms occur
+    within ``slop`` token positions of each other (either order), ranked by
+    their conjunctive BM25. Served ENTIRELY from the positional index.
+
+    Vectorized verify: occurrences become keys doc_id*2^32 + position;
+    because slop << 2^32, |key_a - key_b| <= slop implies same-doc
+    proximity, so one searchsorted of a's keys into b's sorted keys (check
+    both neighbors) decides every candidate at once — no per-doc loop.
+    """
+    from miru_spark.index.format import unpack_chunk, unpack_positions
+
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    if term_a == term_b:
+        raise ValueError("proximity needs two distinct terms")
+    if not reader.positions:
+        raise ValueError(
+            "proximity search needs a positional index (positions=True)"
+        )
+    tps = reader.fetch_terms([term_a, term_b], with_positions=True)
+    if len(tps) < 2:
+        return []
+    data = {}
+    for t in (term_a, term_b):
+        ids_l, tf_l, dl_l, pos_l = [], [], [], []
+        for r in tps[t].chunks:
+            metas = [
+                b.asDict() if hasattr(b, "asDict") else dict(b) for b in r["blocks"]
+            ]
+            ids, tfs, dls = unpack_chunk(r["blob"], metas, int(r["codec"]))
+            ids_l.append(ids.astype(np.int64))
+            tf_l.append(tfs.astype(np.int64))
+            dl_l.append(dls.astype(np.int64))
+            pos_l.append(unpack_positions(r["pos_blob"], tfs).astype(np.int64))
+        data[t] = (
+            np.concatenate(ids_l),
+            np.concatenate(tf_l),
+            np.concatenate(dl_l),
+            np.concatenate(pos_l),
+        )
+    cand = np.intersect1d(data[term_a][0], data[term_b][0], assume_unique=True)
+    if cand.size == 0:
+        return []
+
+    def occ_keys(t):
+        ids, tfs, _, pos = data[t]
+        m = np.repeat(np.isin(ids, cand, assume_unique=True), tfs)
+        return np.repeat(ids, tfs)[m] * (1 << 32) + pos[m]
+
+    ka, kb = occ_keys(term_a), occ_keys(term_b)
+    j = np.searchsorted(kb, ka)
+    near = np.zeros(ka.size, dtype=bool)
+    left = j > 0
+    near[left] = ka[left] - kb[j[left] - 1] <= slop
+    right = j < kb.size
+    near[right] |= kb[j[right]] - ka[right] <= slop
+    verified = np.unique(ka[near] >> 32)
+    if verified.size == 0:
+        return []
+    scores = np.zeros(verified.size)
+    for t in (term_a, term_b):
         ids, tfs, dls, _ = data[t]
         idx = np.searchsorted(ids, verified)
         scores += bm25.score_np(tfs[idx], tps[t].idf, dls[idx], reader.avgdl)

@@ -1,0 +1,54 @@
+"""Proximity search ('"a b"~N') from the positional index."""
+
+from __future__ import annotations
+
+import pytest
+
+from miru_spark.plans.relational import bm25_near_oracle_sql
+from miru_spark.plans.search import parse_query, search, search_near
+
+
+@pytest.fixture(scope="module")
+def pos_reader(spark, tmp_path_factory):
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.schema import read_corpus
+    from tests.conftest import SF_DIR
+
+    p = str(tmp_path_factory.mktemp("nearidx") / "idx")
+    build_index(spark, read_corpus(spark, SF_DIR), p, num_partitions=4,
+                positions=True, target_chunk=64)
+    return IndexReader(spark, p)
+
+
+@pytest.mark.parametrize(
+    "ta,tb,slop",
+    [("join", "hash", 1), ("join", "hash", 2), ("the", "dup", 5),
+     ("the", "a", 1), ("join", "zzz_missing", 3)],
+    ids=lambda x: str(x),
+)
+def test_near_matches_oracle(pos_reader, duck, ta, tb, slop):
+    got = [(d, round(s, 6)) for d, s in search_near(pos_reader, ta, tb, slop=slop)]
+    want = [
+        (d, s)
+        for d, s in duck.execute(bm25_near_oracle_sql(ta, tb, slop=slop)).fetchall()
+    ]
+    assert got == want
+
+
+def test_near_monotone_in_slop(pos_reader):
+    """Widening slop only ADDS candidate docs (nested result sets)."""
+    tight = {d for d, _ in search_near(pos_reader, "the", "dup", slop=1, k=1000)}
+    wide = {d for d, _ in search_near(pos_reader, "the", "dup", slop=8, k=1000)}
+    assert tight <= wide and len(wide) > len(tight)
+
+
+def test_near_via_parser(pos_reader):
+    assert parse_query('"join hash"~2') == (["join", "hash"], "near:2", [])
+    assert search(pos_reader, '"join hash"~2', k=5) == search_near(
+        pos_reader, "join", "hash", slop=2, k=5
+    )
+    with pytest.raises(ValueError):
+        search(pos_reader, '"a b c"~2')  # exactly two terms
+    with pytest.raises(ValueError):
+        search_near(pos_reader, "the", "the", slop=1)
