@@ -74,6 +74,27 @@ def read_manifest(index_path: str) -> dict | None:
         return json.load(f)
 
 
+def write_term_dictionary(
+    segments: DataFrame, index_path: str, n_tokens: int
+) -> None:
+    """Global df doubles as the TERM DICTIONARY: range-partitioned and
+    sorted by term, so a prefix/range lookup opens only the files and
+    row-groups whose term [min,max] statistics overlap (the Spark-native
+    stand-in for a Lucene FST seek). File count scales with vocabulary size
+    (~4M terms per file via the token-count proxy), never a fixed constant.
+    Shared by the batch build and the streaming finalize so prefix/suggest/
+    fuzzy serve identically from either."""
+    df_parts = max(1, min(200, int(n_tokens // 50_000_000) + 1))
+    (
+        segments.groupBy("term")
+        .agg(F.sum("df_local").alias("df"))
+        .repartitionByRange(df_parts, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/df")
+    )
+
+
 def build_fuzzy_dictionary(spark: SparkSession, index_path: str) -> int:
     """SymSpell/FastSS-style deletion-neighborhood dictionary (Bocek et al.
     2007, "Fast Similarity Search in Large Dictionaries"): for every
@@ -256,20 +277,7 @@ def build_index(
     }
     mark("merge_write", tick)
 
-    # global df doubles as the TERM DICTIONARY: range-partitioned and sorted
-    # by term, so a prefix/range lookup opens only the files+row-groups whose
-    # term [min,max] statistics overlap (the Spark-native stand-in for a
-    # Lucene FST seek). File count scales with vocabulary size (~4M terms per
-    # file via the token-count proxy), never a fixed constant.
-    df_parts = max(1, min(200, int(n_tokens // 50_000_000) + 1))
-    (
-        segments.groupBy("term")
-        .agg(F.sum("df_local").alias("df"))
-        .repartitionByRange(df_parts, "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(f"{index_path}/df")
-    )
+    write_term_dictionary(segments, index_path, n_tokens)
     # pass 2: docmap — shuffle-free projection (sha256 in Arrow workers,
     # doc_len via one regexp_count), written as scanned
     docmap_direct(corpus, tokenizer).write.mode("overwrite").parquet(

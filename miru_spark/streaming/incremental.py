@@ -237,9 +237,9 @@ def finalize_streamed_index(
                 post_path
             )
 
-    segments.groupBy("term").agg(F.sum("df_local").alias("df")).write.mode(
-        "overwrite"
-    ).parquet(f"{index_path}/df")
+    from miru_spark.index.writer import write_term_dictionary
+
+    write_term_dictionary(segments, index_path, int(stats.get("n_tokens", 0)))
     with open(f"{index_path}/stats.json", "w") as f:
         json.dump(stats, f, indent=1, sort_keys=True)
     with open(merged_meta, "w") as f:

@@ -255,3 +255,41 @@ def test_streamed_positional_index_serves_phrase(spark, tmp_path):
         for x in bm25_phrase_search(corpus, "the a", k=10).collect()
     ]
     assert [(d, round(s, 6)) for d, s in got] == want
+
+
+def test_streamed_index_serves_prefix_and_fuzzy(spark, tmp_path):
+    """The streaming finalize writes the SAME sorted term dictionary as the
+    batch build, so prefix/fuzzy/suggest serve from streamed indexes too."""
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.plans.search import search_prefix
+    from miru_spark.schema import read_corpus
+    from miru_spark.streaming.incremental import (
+        finalize_streamed_index,
+        incremental_index_stream,
+        stream_corpus,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    corpus = read_corpus(spark, SF_DIR)
+    n = corpus.count()
+    drops = str(tmp_path / "drops")
+    corpus.filter(F.col("doc_id") < n // 2).coalesce(1).write.mode("append").parquet(drops)
+    corpus.filter(F.col("doc_id") >= n // 2).coalesce(1).write.mode("append").parquet(drops)
+    idx = str(tmp_path / "sidx")
+    q = incremental_index_stream(
+        stream_corpus(spark, drops), idx, docs_per_part=max(1, -(-n // 4)),
+        num_partitions=4,
+    )
+    q.awaitTermination(300)
+    finalize_streamed_index(spark, idx, num_partitions=4)
+    streamed = IndexReader(spark, idx)
+
+    bidx = str(tmp_path / "bidx")
+    build_index(spark, corpus, bidx, num_partitions=4)
+    batch = IndexReader(spark, bidx)
+
+    assert streamed.expand_prefix("s") == batch.expand_prefix("s")
+    assert streamed.expand_fuzzy("hsh") == batch.expand_fuzzy("hsh")
+    assert search_prefix(streamed, "s", k=10) == search_prefix(batch, "s", k=10)
