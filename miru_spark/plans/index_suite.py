@@ -213,6 +213,32 @@ def _mk_phrase_dist(phrase):
     return run
 
 
+def _mk_count(terms, mode, exclude=None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_count
+
+        reader = ensure_index(spark, sf_dir)
+        return search_count(reader, terms, mode=mode, exclude=exclude)
+
+    return run
+
+
+def q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.plans.flagship import ensure_index
+    from miru_spark.plans.search import more_like_this
+    from miru_spark.schema import read_corpus
+
+    reader = ensure_index(spark, sf_dir)
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in more_like_this(
+            reader, 42, read_corpus(spark, sf_dir), n_terms=5, k=10
+        )
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k + stored-field snippets: the result-page render step."""
     from miru_spark.plans.flagship import ensure_index
@@ -397,12 +423,25 @@ def register_all(register) -> None:
             name, _mk_near(ta, tb, slop),
             bm25_near_oracle_sql(ta, tb, slop=slop),
         )
-    from miru_spark.plans.relational import snippet_oracle_sql
+    from miru_spark.plans.relational import (
+        count_oracle_sql,
+        mlt_oracle_sql,
+        snippet_oracle_sql,
+    )
 
     register(
         "bm25_index_snippets", q_snippets,
         snippet_oracle_sql(["join", "hash"], "conjunctive", k=10),
     )
+    register(
+        "bm25_index_count", _mk_count(["join", "hash"], "conjunctive"),
+        count_oracle_sql(["join", "hash"], "conjunctive"),
+    )
+    register(
+        "bm25_index_count_not", _mk_count(["the"], "disjunctive", ["dup"]),
+        count_oracle_sql(["the"], "disjunctive", exclude=["dup"]),
+    )
+    register("bm25_index_mlt", q_mlt, mlt_oracle_sql(42, n_terms=5, k=10))
     register("bm25_index_stats", q_index_stats, SQL_INDEX_STATS)
     register("bm25_index_suggest", q_suggest, SQL_SUGGEST)
     register(

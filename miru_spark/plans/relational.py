@@ -294,6 +294,57 @@ FROM p ORDER BY doc_id
 """.strip()
 
 
+def count_oracle_sql(
+    terms: list[str], mode: str = "conjunctive", exclude: list[str] | None = None
+) -> str:
+    """Oracle for the matching-document count, same semantics as
+    :func:`bm25_from_model` candidates (conjunctive/disjunctive + NOT)."""
+    terms = list(dict.fromkeys(terms))
+    exclude = list(dict.fromkeys(exclude or []))
+    values = ",".join("('" + _sql_quote(t) + "')" for t in terms)
+    need = "= (SELECT count(*) FROM q)" if mode == "conjunctive" else ">= 1"
+    excl = ""
+    xq = ""
+    if exclude:
+        xvalues = ",".join("('" + _sql_quote(t) + "')" for t in exclude)
+        xq = f",\nxq(term) AS (VALUES {xvalues})"
+        excl = "WHERE doc_id NOT IN (SELECT doc_id FROM tf JOIN xq USING(term))"
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf  AS (SELECT DISTINCT doc_id, term FROM tok WHERE term<>''),
+q(term) AS (VALUES {values}){xq},
+m AS (SELECT doc_id FROM tf JOIN q USING(term) GROUP BY doc_id
+      HAVING count(*) {need})
+SELECT COUNT(*) AS n_hits FROM m {excl}
+""".strip()
+
+
+def mlt_oracle_sql(
+    doc_id: int, n_terms: int = 5, k: int = 10, round_digits: int = 6
+) -> str:
+    """Oracle for more-like-this: the source doc's top-n terms by tf*idf
+    (ties: term asc), run disjunctively, source doc excluded."""
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP BY 1,2),
+dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
+df    AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+qsc AS (SELECT s.term, s.tf * ln(1+(stats.n-df.df+0.5)/(df.df+0.5)) AS w
+        FROM (SELECT term, tf FROM tf WHERE doc_id = {int(doc_id)}) s
+        JOIN df USING(term), stats),
+q AS (SELECT term FROM qsc ORDER BY w DESC, term LIMIT {int(n_terms)}),
+s AS (SELECT tf.doc_id,
+        sum( ln(1+(stats.n-df.df+0.5)/(df.df+0.5))
+             * tf.tf*(1.2+1)/(tf.tf+1.2*(1-0.75+0.75*dl.dl/stats.avgdl)) ) raw_score
+      FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc_id), stats
+      GROUP BY 1)
+SELECT doc_id, round(raw_score, {round_digits}) AS score FROM s
+WHERE doc_id <> {int(doc_id)}
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def bm25_near_oracle_sql(
     term_a: str, term_b: str, slop: int = 3, k: int = 10, round_digits: int = 6
 ) -> str:

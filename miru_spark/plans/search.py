@@ -416,6 +416,51 @@ def search_facets(
     )
 
 
+def search_count(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """Matching-document count (the 'about N results' number) as a one-row
+    DataFrame — the distributed candidate plan with a count instead of
+    top-k, so it composes with NOT and never materializes candidates."""
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude
+    )
+    return cand.agg(F.count("*").alias("n_hits"))
+
+
+def more_like_this(
+    reader: IndexReader,
+    doc_id: int,
+    corpus: DataFrame,
+    n_terms: int = 5,
+    k: int = 10,
+) -> list[tuple[int, float]]:
+    """Classic more-like-this: take the source doc's top ``n_terms`` terms
+    by tf*idf (ties: term asc), run them as a disjunctive BM25 query,
+    drop the source doc itself. The term selection reads ONE doc (pushed-
+    down doc_id filter) plus the terms' global df rows."""
+    row = corpus.filter(F.col("doc_id") == doc_id).select("content").collect()
+    if not row:
+        raise ValueError(f"doc_id {doc_id} not in corpus")
+    from collections import Counter
+
+    toks = [t for t in row[0]["content"].split(" ") if t]
+    tf = Counter(toks)
+    tps = reader.fetch_terms(list(tf))
+    scored = sorted(
+        ((t, tf[t] * tps[t].idf) for t in tf if t in tps),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    qterms = [t for t, _ in scored[:n_terms]]
+    if not qterms:
+        return []
+    hits = search_topk(reader, qterms, mode="disjunctive", k=k + 1)
+    return [(d, s) for d, s in hits if d != doc_id][:k]
+
+
 def snippets_for_hits(
     corpus: DataFrame,
     doc_ids: list[int],

@@ -83,3 +83,31 @@ def test_snippets_match_oracle(spark, reader, duck):
     ]
     assert got == want
     assert all(("join" in s.split()) or ("hash" in s.split()) for _, s in got)
+
+
+def test_search_count_matches_oracle(reader, duck):
+    from miru_spark.plans.relational import count_oracle_sql
+    from miru_spark.plans.search import search_count
+
+    for terms, mode, excl in [
+        (["join", "hash"], "conjunctive", None),
+        (["the"], "disjunctive", ["dup"]),
+    ]:
+        got = search_count(reader, terms, mode=mode, exclude=excl).first().n_hits
+        want = duck.execute(count_oracle_sql(terms, mode, exclude=excl)).fetchone()[0]
+        assert got == want
+
+
+def test_more_like_this(spark, reader, duck):
+    from miru_spark.plans.relational import mlt_oracle_sql
+    from miru_spark.plans.search import more_like_this
+    from miru_spark.schema import read_corpus
+    from tests.conftest import SF_DIR
+
+    corpus = read_corpus(spark, SF_DIR)
+    got = [(d, round(s, 6)) for d, s in more_like_this(reader, 7, corpus)]
+    want = [tuple(r) for r in duck.execute(mlt_oracle_sql(7)).fetchall()]
+    assert got == want
+    assert 7 not in {d for d, _ in got}
+    with pytest.raises(ValueError):
+        more_like_this(reader, 10**9, corpus)
