@@ -68,3 +68,19 @@ def test_conjunctive_across_edge_docs(edge_index):
 def test_stats_count_all_docs(edge_index):
     assert edge_index.n_docs == 7
     assert edge_index.stats["n_tokens"] == 10011
+
+
+def test_unicode_prefix_and_fuzzy_expansion(edge_index):
+    """Dictionary seeks handle non-ASCII prefixes (incl. the successor-char
+    range bound) and multi-byte fuzzy candidates."""
+    assert edge_index.expand_prefix("中") == ["中文"]
+    assert edge_index.expand_prefix("中文") == ["中文"]
+    assert edge_index.expand_prefix("英") == []
+    assert edge_index.expand_fuzzy("中文") == ["中文"]
+    assert edge_index.expand_fuzzy("中") == ["中文"]  # one insertion away
+    assert edge_index.expand_prefix("lon") == ["long"]
+
+
+def test_not_excluding_every_candidate(edge_index):
+    got = search_topk(edge_index, ["solo"], mode="conjunctive", k=5, exclude=["dup"])
+    assert [d for d, _ in got] == [2]  # doc 6 has dup, doc 2 survives
