@@ -98,6 +98,46 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """.strip()
 
 
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState custom stateful operator in the driver record:
+    per-source counters carried across micro-batches; the LAST update per
+    source must equal the batch totals — which is exactly what the oracle
+    recomputes, so state persistence is value-checked, not just rows-only."""
+    from miru_spark.streaming.incremental import running_source_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    src = tempfile.mkdtemp(prefix="miru_statestream_")
+    docs.filter(F.col("doc_id") < n // 2).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") >= n // 2).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"state_{os.getpid()}"
+    q = (
+        running_source_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""SELECT source, n_docs, n_chars FROM (
+              SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_docs DESC) rk
+              FROM {name}) WHERE rk = 1 ORDER BY source"""
+    )
+
+
+STREAM_STATEFUL_SQL = """
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+FROM documents GROUP BY source ORDER BY source
+""".strip()
+
+
 def register_all(register) -> None:
     register(
         "stream_incremental_bm25",
@@ -105,3 +145,4 @@ def register_all(register) -> None:
         bm25_oracle_sql(["join", "hash"], "conjunctive"),
     )
     register("stream_windowed_events", q_stream_windowed_events, STREAM_WINDOWED_SQL)
+    register("stream_stateful_source_stats", q_stream_stateful, STREAM_STATEFUL_SQL)
