@@ -111,6 +111,41 @@ ORDER BY id_a, id_b
 """.strip()
 
 
+def embedding_dedup(
+    embeddings: DataFrame, threshold: float = 0.4, round_digits: int = 6
+) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup, keep-min-id: a vector is
+    dropped iff some SMALLER-id vector is within cosine >= threshold (the
+    greedy representative rule, same keep policy as exact_dedup). This is
+    the exact O(n^2) twin; at corpus scale the candidate pairs come from
+    the LSH-banding path (``lsh_signature_df`` buckets) feeding the same
+    keep rule — banding bounds the pair generation, the rule is unchanged."""
+    dup_ids = (
+        cosine_near_pairs(embeddings, threshold, round_digits)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        embeddings.join(dup_ids, "vec_id", "left_anti")
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
+def embedding_dedup_oracle_sql(
+    threshold: float = 0.4, round_digits: int = 6
+) -> str:
+    return f"""
+SELECT vec_id FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings o
+  WHERE o.vec_id < e.vec_id
+    AND ROUND(list_cosine_similarity(o.embedding::DOUBLE[], e.embedding::DOUBLE[]),
+              {round_digits}) >= {threshold})
+ORDER BY vec_id
+""".strip()
+
+
 # -------------------------------------------------------------------- LSH --
 
 def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:

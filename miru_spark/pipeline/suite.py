@@ -115,6 +115,12 @@ def q_cosine_pairs(spark, sf):
     return cosine_near_pairs(_emb(spark, sf), threshold=0.5)
 
 
+def q_dedup_embedding(spark, sf):
+    from miru_spark.pipeline.similarity import embedding_dedup
+
+    return embedding_dedup(_emb(spark, sf), threshold=0.4)
+
+
 def q_ann_lsh(spark, sf):
     from miru_spark.pipeline.similarity import ann_lsh_topk
 
@@ -219,6 +225,9 @@ def register_all(register) -> None:
     register("pipe_dedup_simhash", q_dedup_simhash, None)
     register("pipe_ann_cosine_brute", q_ann_brute, SQL_ANN_BRUTE)
     register("pipe_cosine_near_pairs", q_cosine_pairs, cosine_near_pairs_oracle_sql(0.5))
+    from miru_spark.pipeline.similarity import embedding_dedup_oracle_sql
+
+    register("pipe_dedup_embedding", q_dedup_embedding, embedding_dedup_oracle_sql(0.4))
     register("pipe_ann_lsh", q_ann_lsh, None)
     register("pipe_ann_ivf", q_ann_ivf, None)
     register("pipe_text_quality", q_text_quality, text_quality_oracle_sql())
