@@ -81,20 +81,69 @@ FROM embeddings ORDER BY cos DESC, vec_id ASC LIMIT {k}
 
 
 def cosine_near_pairs(
-    embeddings: DataFrame, threshold: float = 0.5, round_digits: int = 6
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    round_digits: int = 6,
+    block: int = 1024,
 ) -> DataFrame:
-    """All (a < b) pairs with cosine >= threshold — exact baseline."""
-    a = embeddings.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    """All (a < b) pairs with cosine >= threshold — exact, via BLOCK-MATRIX
+    multiplication: vectors get block_id = vec_id // block, every
+    (block_a <= block_b) pair becomes one pandas group whose full cosine
+    matrix is ONE BLAS matmul, and only above-threshold pairs are emitted.
+
+    Same O(n^2) mathematics as the naive cross join (the LSH bucket join is
+    the sub-quadratic scale path) but the constant drops ~50x: per-pair
+    work is a fused matmul cell instead of a JVM higher-order-function
+    expression, and each group is bounded at block^2 doubles (~8 MB)
+    regardless of corpus size, so executors never see an unbounded task.
+    """
+    spark = embeddings.sparkSession
+    blocks = embeddings.select(
+        "vec_id", "embedding", (F.col("vec_id") / block).cast("long").alias("blk")
     )
-    b = embeddings.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+    bids = sorted(r.blk for r in blocks.select("blk").distinct().collect())
+    pairs = spark.createDataFrame(
+        [(a, b) for a in bids for b in bids if a <= b], "ba long, bb long"
     )
-    cos = F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), round_digits)
+    left = pairs.join(blocks.withColumnRenamed("blk", "ba"), "ba").select(
+        "ba", "bb", F.lit(0).alias("side"), "vec_id", "embedding"
+    )
+    right = (
+        pairs.filter(F.col("ba") != F.col("bb"))
+        .join(blocks.withColumnRenamed("blk", "bb"), "bb")
+        .select("ba", "bb", F.lit(1).alias("side"), "vec_id", "embedding")
+    )
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == 0].sort_values("vec_id")
+        b = pdf[pdf["side"] == 1].sort_values("vec_id")
+        diag = b.empty  # ba == bb: the group holds one copy of the block
+        if diag:
+            b = a
+        ids_a = a["vec_id"].to_numpy()
+        ids_b = b["vec_id"].to_numpy()
+        A = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+        B = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        cos = np.round((A @ B.T) / np.outer(na, nb), round_digits)
+        ii, jj = np.nonzero(cos >= threshold)
+        if diag:
+            keep = ids_a[ii] < ids_b[jj]
+        else:
+            keep = np.ones(ii.size, dtype=bool)
+        return pd.DataFrame(
+            {
+                "id_a": ids_a[ii[keep]],
+                "id_b": ids_b[jj[keep]],
+                "cos": cos[ii[keep], jj[keep]],
+            }
+        )
+
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos"))
-        .filter(F.col("cos") >= threshold)
+        left.unionByName(right)
+        .groupBy("ba", "bb")
+        .applyInPandas(emit, "id_a long, id_b long, cos double")
         .orderBy("id_a", "id_b")
     )
 

@@ -296,3 +296,30 @@ def test_assign_doc_ids_deterministic(spark):
     # ids follow (repo, path, commit) sort order
     by_key = sorted(a.keys())
     assert [a[k] for k in by_key] == list(range(200))
+
+
+def test_cosine_near_pairs_blocked_equals_naive(spark, emb):
+    """The block-matrix rewrite must emit exactly the naive cross-join's
+    pairs — forced multi-block (block=64) so diagonal AND cross-block
+    groups are both exercised."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.pipeline.similarity import cosine_col, cosine_near_pairs
+
+    got = [
+        (r.id_a, r.id_b, r.cos)
+        for r in cosine_near_pairs(emb, threshold=0.3, block=64).collect()
+    ]
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    naive = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+    want = [(r.id_a, r.id_b, r.cos) for r in naive.collect()]
+    assert got and got == want
