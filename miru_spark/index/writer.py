@@ -74,6 +74,16 @@ def read_manifest(index_path: str) -> dict | None:
         return json.load(f)
 
 
+def compaction_files_per_dir(
+    n_tokens: int, target_file_bytes: int = 512 << 20
+) -> int:
+    """Postings files per term_pref dir: sized so each file is ~512 MB
+    (posting bytes ~ 1.5 B/token post-compression), min 1. Bounds both the
+    per-dir file count (query fetch = file opens) and the per-task write."""
+    est_bytes = int(n_tokens * 1.5)
+    return max(1, est_bytes // (N_TERM_PREFIX_BUCKETS * target_file_bytes) + 1)
+
+
 def write_term_dictionary(
     segments: DataFrame, index_path: str, n_tokens: int
 ) -> None:
@@ -248,10 +258,23 @@ def build_index(
     stats = {"n_docs": n_docs, "avgdl": avgdl, "n_tokens": n_tokens}
     mark("manifest_agg", tick)
 
-    # merge -> final postings, directory-partitioned by term prefix
+    # merge -> final postings, directory-partitioned by term prefix.
+    # COMPACTION: without it, every merge reducer writes its own file into
+    # every term_pref dir it touches (shuffle_partitions files per dir), and
+    # query-time fetch cost becomes file-OPEN bound — measured 770 ms/query
+    # at 500k docs with 64 files/dir vs ~15 ms compacted. Repartitioning on
+    # (term_pref, term-hash % files_per_dir) gives exactly files_per_dir
+    # files per dir; files_per_dir scales with corpus bytes (~512 MB
+    # target files) so tasks stay bounded at any index size.
     merged = merge_segments(
         segments, codec=codec, target_chunk=target_chunk
     ).withColumn("term_pref", term_pref_col(F.col("term")))
+    files_per_dir = compaction_files_per_dir(n_tokens)
+    merged = merged.repartition(
+        N_TERM_PREFIX_BUCKETS * files_per_dir,
+        "term_pref",
+        F.pmod(F.xxhash64("term"), F.lit(files_per_dir)),
+    )
     if snapshots:
         from miru_spark.index import snapshots as snapmod
 

@@ -574,7 +574,7 @@ def search_topk(
 
 
 def _route_query(
-    reader, tps, terms, mode, k, strategy, excl=None
+    reader, tps, terms, mode, k, strategy, excl=None, decode_cache=None
 ) -> list[tuple[int, float]]:
     """Pick the serving strategy for one query given already-fetched
     TermPostings (shared by search_topk and search_many)."""
@@ -584,7 +584,9 @@ def _route_query(
     if strategy == "exhaustive" or (
         strategy == "auto" and total_postings <= EXHAUSTIVE_CUTOFF
     ):
-        return _exhaustive_from_tps(reader, tps, terms, mode, k, excl=excl)
+        return _exhaustive_from_tps(
+            reader, tps, terms, mode, k, excl=excl, decode_cache=decode_cache
+        )
     iters = [PostingIterator(tps[t], reader.avgdl) for t in terms if t in tps]
     if mode == "conjunctive":
         return conjunctive_topk(iters, k, excl=excl)
@@ -600,12 +602,13 @@ def search_many(
     strategy: str = "auto",
 ) -> list[list[tuple[int, float]]]:
     """Serve a batch of (terms, mode) queries with ONE pruned postings
-    fetch for the union of all query terms.
+    fetch for the union of all query terms, and ONE decode per term.
 
-    The driver fast path's latency is dominated by the pyarrow read; a
-    batch that shares terms (real workloads are Zipfian) pays it once.
-    Results are identical to per-query ``search_topk`` (same routing, same
-    TermPostings), tested against it.
+    The driver fast path's latency is dominated by the pyarrow read plus
+    the per-term posting decode; a batch that shares terms (real workloads
+    are Zipfian) pays both once — terms shared by many queries decode a
+    single time into a shared cache. Results are identical to per-query
+    ``search_topk`` (same routing, same TermPostings), tested against it.
     """
     if k <= 0:
         return [[] for _ in queries]
@@ -613,12 +616,15 @@ def search_many(
         dict.fromkeys(t for terms, _ in queries for t in terms)
     )
     tps = reader.fetch_terms(all_terms)
+    cache: dict[str, tuple] = {}
     out = []
     for terms, mode in queries:
         if mode not in ("conjunctive", "disjunctive"):
             raise ValueError(f"unknown mode {mode!r}")
         terms = list(dict.fromkeys(terms))
-        out.append(_route_query(reader, tps, terms, mode, k, strategy))
+        out.append(
+            _route_query(reader, tps, terms, mode, k, strategy, decode_cache=cache)
+        )
     return out
 
 
@@ -644,15 +650,22 @@ def search_exhaustive(
 
 
 def _exhaustive_from_tps(
-    reader, tps, terms, mode, k, excl: np.ndarray | None = None
+    reader, tps, terms, mode, k, excl: np.ndarray | None = None,
+    decode_cache: dict | None = None,
 ) -> list[tuple[int, float]]:
     per_term = []
     for t in terms:
         if t not in tps:
             continue
-        ids, tfs, dls = reader.decode_term(tps[t])
-        scores = bm25.score_np(tfs, tps[t].idf, dls, reader.avgdl)
-        per_term.append((ids.astype(np.int64), scores))
+        if decode_cache is not None and t in decode_cache:
+            ids, scores = decode_cache[t]
+        else:
+            raw_ids, tfs, dls = reader.decode_term(tps[t])
+            ids = raw_ids.astype(np.int64)
+            scores = bm25.score_np(tfs, tps[t].idf, dls, reader.avgdl)
+            if decode_cache is not None:
+                decode_cache[t] = (ids, scores)
+        per_term.append((ids, scores))
     if not per_term:
         return []
     all_ids = np.concatenate([p[0] for p in per_term])

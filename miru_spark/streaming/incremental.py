@@ -162,6 +162,18 @@ def finalize_streamed_index(
         "incremental": True,
     }
 
+    from miru_spark.index.writer import N_TERM_PREFIX_BUCKETS, compaction_files_per_dir
+
+    fpd = compaction_files_per_dir(int(stats.get("n_tokens", 0)))
+
+    def compact(df):
+        # dir-aligned compaction: same rationale as the batch writer (file
+        # opens dominate query fetch when every reducer writes every dir)
+        return df.repartition(
+            N_TERM_PREFIX_BUCKETS * fpd, "term_pref",
+            F.pmod(F.xxhash64("term"), F.lit(fpd)),
+        )
+
     prev_snap = snapmod.read_snapshot(index_path) if snapshots else None
     have_prior = prev_snap is not None if snapshots else os.path.isdir(post_path)
     if prev_batches and new_batches and have_prior:
@@ -198,7 +210,7 @@ def finalize_streamed_index(
             if carried is not None:
                 out = out.unionByName(carried.select(*merged_new.columns))
             before = snapmod._walk_postings(index_path)
-            out.write.mode("append").partitionBy("term_pref").parquet(post_path)
+            compact(out).write.mode("append").partitionBy("term_pref").parquet(post_path)
             new_files = snapmod._walk_postings(index_path) - before
             kept = {
                 p
@@ -220,13 +232,15 @@ def finalize_streamed_index(
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", "dynamic"
             )
-            out.write.mode("overwrite").partitionBy("term_pref").parquet(
+            compact(out).write.mode("overwrite").partitionBy("term_pref").parquet(
                 post_path
             )
     elif new_batches or not have_prior:
-        merged = merge_segments(
-            segments, codec=codec, target_chunk=target_chunk
-        ).withColumn("term_pref", term_pref_col(F.col("term")))
+        merged = compact(
+            merge_segments(
+                segments, codec=codec, target_chunk=target_chunk
+            ).withColumn("term_pref", term_pref_col(F.col("term")))
+        )
         if snapshots:
             before = snapmod._walk_postings(index_path)
             merged.write.mode("append").partitionBy("term_pref").parquet(post_path)
