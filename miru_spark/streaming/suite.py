@@ -138,6 +138,51 @@ FROM documents GROUP BY source ORDER BY source
 """.strip()
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session_window operator under BATCH semantics (same operator the
+    stream uses; no watermark truncation, so every session is emitted and
+    the gaps-and-islands SQL oracle checks the merge semantics exactly).
+    Streaming-specific behavior (append-mode closing) stays in pytest."""
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return (
+        events.groupBy(F.session_window("ts", "31 minutes").alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# gaps-and-islands: a new session starts when the gap to the previous event
+# of the same user is >= the session gap; session_end = last event + gap
+# (Spark's session_window semantics: the window is [first, last + gap))
+SESSION_WINDOWS_SQL = """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '31 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '31 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+""".strip()
+
+
 def register_all(register) -> None:
     register(
         "stream_incremental_bm25",
@@ -146,3 +191,4 @@ def register_all(register) -> None:
     )
     register("stream_windowed_events", q_stream_windowed_events, STREAM_WINDOWED_SQL)
     register("stream_stateful_source_stats", q_stream_stateful, STREAM_STATEFUL_SQL)
+    register("stream_session_windows", q_session_windows, SESSION_WINDOWS_SQL)
