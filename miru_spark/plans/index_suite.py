@@ -177,6 +177,14 @@ def _mk_facets(terms, mode, facet):
     return run
 
 
+def q_facets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.plans.flagship import ensure_index
+    from miru_spark.plans.search import search_facets_rollup
+
+    reader = ensure_index(spark, sf_dir)
+    return search_facets_rollup(reader, ["the", "a"], mode="conjunctive")
+
+
 def q_facets_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from miru_spark.plans.flagship import ensure_index
     from miru_spark.plans.search import search_facets_topk
@@ -413,6 +421,12 @@ def register_all(register) -> None:
     register(
         "bm25_index_facets_topk", q_facets_topk,
         facet_topk_oracle_sql(["the", "dup"], "disjunctive", "lang", k=3),
+    )
+    from miru_spark.plans.relational import facet_rollup_oracle_sql
+
+    register(
+        "bm25_index_facets_rollup", q_facets_rollup,
+        facet_rollup_oracle_sql(["the", "a"], "conjunctive"),
     )
     for name, phrase in PHRASE_DIST_CASES.items():
         register(name, _mk_phrase_dist(phrase), bm25_phrase_oracle_sql(phrase))

@@ -368,6 +368,31 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
+def facet_rollup_oracle_sql(
+    terms: list[str], mode: str = "conjunctive",
+    facet_cols: tuple[str, str] = ("lang", "repo"),
+) -> str:
+    """Oracle for hierarchical facet counts; documents.source stands in for
+    the docmap's repo column."""
+    terms = list(dict.fromkeys(terms))
+    values = ",".join("('" + _sql_quote(t) + "')" for t in terms)
+    need = "= (SELECT count(*) FROM q)" if mode == "conjunctive" else ">= 1"
+    a, b = facet_cols
+    src = {"lang": "lang", "repo": "source"}
+    sa, sb = src[a], src[b]
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf  AS (SELECT DISTINCT doc_id, term FROM tok WHERE term<>''),
+q(term) AS (VALUES {values}),
+m AS (SELECT doc_id FROM tf JOIN q USING(term) GROUP BY doc_id
+      HAVING count(*) {need})
+SELECT COALESCE({sa}, '__ALL__') AS {a}, COALESCE({sb}, '__ALL__') AS {b},
+       COUNT(*) AS n_docs
+FROM documents JOIN m USING(doc_id)
+GROUP BY ROLLUP ({sa}, {sb}) ORDER BY {a}, {b}
+""".strip()
+
+
 def facet_topk_oracle_sql(
     terms: list[str],
     mode: str = "conjunctive",

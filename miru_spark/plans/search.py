@@ -490,6 +490,35 @@ def snippets_for_hits(
     ).orderBy("doc_id")
 
 
+def search_facets_rollup(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    facet_cols: tuple[str, str] = ("lang", "repo"),
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """Hierarchical facet counts (search ∘ OLAP): the candidate set rolled
+    up over two docmap dimensions — per (a, b), per a, and grand total —
+    one rollup aggregation over the joined candidates; NULL subtotal
+    markers coalesce to '__ALL__' for engine-neutral comparison."""
+    a, b = facet_cols
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude
+    ).select("doc_id")
+    dm = reader.docmap_df().select("doc_id", a, b)
+    return (
+        cand.join(dm, "doc_id")
+        .rollup(a, b)
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.coalesce(a, F.lit("__ALL__")).alias(a),
+            F.coalesce(b, F.lit("__ALL__")).alias(b),
+            "n_docs",
+        )
+        .orderBy(a, b)
+    )
+
+
 def search_facets_topk(
     reader: IndexReader,
     terms: list[str],
