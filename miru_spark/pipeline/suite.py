@@ -165,6 +165,34 @@ def q_winnow_pairs(spark, sf):
     return winnow_overlap_pairs(_docs(spark, sf), min_shared=2)
 
 
+def q_contamination(spark, sf):
+    from miru_spark.pipeline.textqual import contamination_flags
+
+    # docs 0-9 stand in for the benchmark/eval set
+    return contamination_flags(_docs(spark, sf), benchmark_ids=list(range(10)), n=8)
+
+
+def q_redact(spark, sf):
+    # PII-shaped redaction plumbing over the JSON-bearing events table:
+    # digit runs -> '#'. The pattern is chosen to behave identically in
+    # Java regex and DuckDB RE2 so the driver hash-checks the rewrite.
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.select(
+            "event_id",
+            F.regexp_replace(F.col("props"), "[0-9]+", "#").alias("redacted"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+SQL_REDACT = """
+SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS redacted
+FROM events ORDER BY event_id LIMIT 500
+""".strip()
+
+
 def q_repetition(spark, sf):
     from miru_spark.pipeline.textqual import repetition_stats
 
@@ -246,6 +274,13 @@ def register_all(register) -> None:
     from miru_spark.pipeline.textqual import repetition_oracle_sql
 
     register("pipe_repetition", q_repetition, repetition_oracle_sql())
+    from miru_spark.pipeline.textqual import contamination_oracle_sql
+
+    register(
+        "pipe_contamination", q_contamination,
+        contamination_oracle_sql(list(range(10)), n=8),
+    )
+    register("pipe_redact", q_redact, SQL_REDACT)
     register("pipe_hash_sample", q_hash_sample, hash_sample_oracle_sql(0.25))
     register(
         "pipe_stratified_sample", q_stratified_sample,

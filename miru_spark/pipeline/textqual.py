@@ -234,6 +234,54 @@ FROM r ORDER BY doc_id
 """.strip()
 
 
+# --------------------------------------------------------- decontamination --
+
+def contamination_flags(
+    docs: DataFrame, benchmark_ids: list[int], n: int = 8
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM training-data hygiene
+    step): flag every non-benchmark doc sharing ANY token ``n``-gram with
+    the benchmark set. One explode->semi-join keyed on the gram string;
+    the benchmark side is tiny (distinct grams of the eval set) so the
+    join broadcasts, and the corpus side streams — no all-pairs stage."""
+    toks = F.array_remove(F.split(F.col("text"), " "), "")
+    joined = ", ".join(f"element_at(toks, i+{j})" for j in range(n))
+    gram_expr = F.when(
+        F.size("toks") >= n,
+        F.expr(
+            f"transform(sequence(1, size(toks)-{n - 1}), "
+            f"i -> concat_ws(' ', {joined}))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    grams = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.explode(gram_expr).alias("g")
+    )
+    bench = [int(i) for i in benchmark_ids]
+    bench_grams = grams.filter(F.col("doc_id").isin(bench)).select("g").distinct()
+    return (
+        grams.filter(~F.col("doc_id").isin(bench))
+        .join(bench_grams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+def contamination_oracle_sql(benchmark_ids: list[int], n: int = 8) -> str:
+    ids = ", ".join(str(int(i)) for i in benchmark_ids)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents),
+g AS (SELECT doc_id, array_to_string(l[i:i+{n - 1}], ' ') AS g
+      FROM toks, UNNEST(range(1, len(l)-{n - 2})) AS u(i)),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id IN ({ids}))
+SELECT DISTINCT doc_id FROM g
+WHERE doc_id NOT IN ({ids}) AND g IN (SELECT g FROM bench)
+ORDER BY doc_id
+""".strip()
+
+
 # ------------------------------------------------------------- language ID --
 
 # character-trigram profiles per language; tiny pinned tables (a real system
