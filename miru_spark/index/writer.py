@@ -139,7 +139,16 @@ def build_fuzzy_dictionary(spark: SparkSession, index_path: str) -> int:
         .write.mode("overwrite")
         .parquet(f"{index_path}/fuzzy")
     )
-    return spark.read.parquet(f"{index_path}/fuzzy").count()
+    # rowcount from parquet FOOTERS only (no data re-scan of an artifact
+    # that is ~(1+avg_len) rows per vocabulary term)
+    import pyarrow.dataset as pads
+
+    return sum(
+        frag.metadata.num_rows
+        for frag in pads.dataset(
+            f"{index_path}/fuzzy", format="parquet"
+        ).get_fragments()
+    )
 
 
 def build_index(

@@ -20,6 +20,15 @@ from miru_spark.functions import bm25
 from miru_spark.operators.docmap import normalize_corpus
 
 
+def check_exclude(terms: list[str], exclude) -> list[str]:
+    """Shared NOT-clause validation (used by the relational twin and every
+    plans.search serving path): dedupe, reject required∩excluded."""
+    exclude = list(dict.fromkeys(exclude or []))
+    if set(exclude) & set(terms):
+        raise ValueError("a term cannot be both required and excluded")
+    return exclude
+
+
 def term_frequencies(normalized: DataFrame) -> DataFrame:
     """(doc_id, term, tf) — explode tokens, count per (doc, term)."""
     return (
@@ -90,9 +99,7 @@ def bm25_from_model(
     terms = list(dict.fromkeys(terms))  # dedupe, keep order
     if not terms:
         raise ValueError("empty term list")
-    exclude = list(dict.fromkeys(exclude or []))
-    if set(exclude) & set(terms):
-        raise ValueError("a term cannot be both required and excluded")
+    exclude = check_exclude(terms, exclude)
     tf, dl, stats, df = model.tf, model.dl, model.stats, model.df
 
     qtf = tf.filter(F.col("term").isin(terms))
@@ -287,9 +294,12 @@ def snippet_oracle_sql(
 WITH ranked AS ({inner}),
 t AS (SELECT d.doc_id, list_filter(string_split(d.text, ' '), x -> x <> '') AS l
       FROM documents d JOIN ranked USING(doc_id)),
-p AS (SELECT doc_id, l, greatest(1, {first} - {width}) AS s FROM t)
+p AS (SELECT doc_id, l, {first} AS f FROM t)
 SELECT doc_id,
-       COALESCE(array_to_string(l[s : s + {2 * width}], ' '), '') AS snippet
+       CASE WHEN f IS NULL THEN ''
+            ELSE array_to_string(l[greatest(1, f - {width})
+                                   : greatest(1, f - {width}) + {2 * width}], ' ')
+       END AS snippet
 FROM p ORDER BY doc_id
 """.strip()
 

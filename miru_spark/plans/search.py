@@ -345,12 +345,21 @@ def search(
             "prefix/fuzzy terms in multi-term conjunctive queries are not "
             "supported (they are OR-groups); use OR"
         )
+    explicit = set(t for t in terms if not _is_multi(t))
     if has_prefix:
         terms, _ = _expand_wildcards(reader, terms, max_terms)
         mode = "disjunctive"
         if not terms:
             return []
     exclude, _ = _expand_wildcards(reader, exclude, max_terms)
+    # an expansion may legitimately overlap the NOT side ('s* NOT spark'):
+    # excluded docs are dropped regardless, so the overlapping expansion
+    # terms simply leave the positive side. Only an EXPLICITLY typed term
+    # appearing on both sides is a user contradiction (search_topk raises).
+    if exclude:
+        terms = [t for t in terms if t not in set(exclude) or t in explicit]
+        if not terms:
+            return []
     return search_topk(reader, terms, mode=mode, k=k, exclude=exclude)
 
 
@@ -485,8 +494,12 @@ def snippets_for_hits(
     first = F.least(*nonzero) if len(nonzero) > 1 else nonzero[0]
     start = F.greatest(F.lit(1), first - width)
     snip = F.array_join(F.slice("toks", start, 2 * width + 1), " ")
+    # explicit no-match branch: greatest()/least() SKIP nulls in both Spark
+    # and DuckDB, so without it a term-less doc would get the document's
+    # leading window instead of ''
     return d.select(
-        "doc_id", F.coalesce(snip, F.lit("")).alias("snippet")
+        "doc_id",
+        F.when(first.isNull(), F.lit("")).otherwise(snip).alias("snippet"),
     ).orderBy("doc_id")
 
 
@@ -567,10 +580,9 @@ def _exclusion_ids(reader: IndexReader, exclude) -> np.ndarray | None:
 
 
 def _check_exclude(terms: list[str], exclude) -> list[str]:
-    exclude = list(dict.fromkeys(exclude or []))
-    if set(exclude) & set(terms):
-        raise ValueError("a term cannot be both required and excluded")
-    return exclude
+    from miru_spark.plans.relational import check_exclude
+
+    return check_exclude(terms, exclude)
 
 
 def search_topk(
@@ -777,7 +789,10 @@ def search_phrase(
         doc_rep = np.repeat(ids, tfs)[occ_mask]
         p = pos[occ_mask] - off
         ok = p >= 0
-        keys = doc_rep[ok] * (1 << 32) + p[ok]
+        # uint64: int64 doc_id*2^32 wraps negative at doc_id >= 2^31
+        keys = doc_rep[ok].astype(np.uint64) * np.uint64(1 << 32) + p[
+            ok
+        ].astype(np.uint64)
         survivors = (
             keys
             if survivors is None
@@ -785,7 +800,7 @@ def search_phrase(
         )
         if survivors.size == 0:
             return []
-    verified = np.unique(survivors >> 32)
+    verified = np.unique(survivors >> np.uint64(32)).astype(np.int64)
     scores = np.zeros(verified.size)
     for t in uterms:
         ids, tfs, dls, _ = data[t]
@@ -850,18 +865,24 @@ def search_near(
         return []
 
     def occ_keys(t):
+        # uint64 keys: doc_id * 2^32 + position stays exact and SORTED for
+        # doc_ids up to 2^32 (int64 would wrap negative at doc_id >= 2^31
+        # and silently break the searchsorted)
         ids, tfs, _, pos = data[t]
         m = np.repeat(np.isin(ids, cand, assume_unique=True), tfs)
-        return np.repeat(ids, tfs)[m] * (1 << 32) + pos[m]
+        return np.repeat(ids, tfs)[m].astype(np.uint64) * np.uint64(
+            1 << 32
+        ) + pos[m].astype(np.uint64)
 
     ka, kb = occ_keys(term_a), occ_keys(term_b)
+    uslop = np.uint64(slop)
     j = np.searchsorted(kb, ka)
     near = np.zeros(ka.size, dtype=bool)
     left = j > 0
-    near[left] = ka[left] - kb[j[left] - 1] <= slop
+    near[left] = ka[left] - kb[j[left] - 1] <= uslop
     right = j < kb.size
-    near[right] |= kb[j[right]] - ka[right] <= slop
-    verified = np.unique(ka[near] >> 32)
+    near[right] |= kb[j[right]] - ka[right] <= uslop
+    verified = np.unique(ka[near] >> np.uint64(32)).astype(np.int64)
     if verified.size == 0:
         return []
     scores = np.zeros(verified.size)
@@ -1057,7 +1078,11 @@ def search_distributed(
             _ids_only_arrow, _DOCID_SCHEMA
         )
         agg = agg.join(ex_ids, "doc_id", "left_anti")
-    score = F.round(F.col("score"), round_digits) if round_digits else F.col("score")
+    score = (
+        F.round(F.col("score"), round_digits)
+        if round_digits is not None
+        else F.col("score")
+    )
     out = agg.select("doc_id", score.alias("score"))
     if k is None:  # unsorted candidate set (internal callers rank later)
         return out

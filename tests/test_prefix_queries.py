@@ -70,3 +70,16 @@ def test_search_wrapper_wildcards(reader):
     with pytest.raises(ValueError):
         search(reader, "dup AND sp*")  # OR-group inside conjunction
     assert search(reader, "zzz_nothing*", k=5) == []
+
+
+def test_wildcard_expansion_overlapping_not_is_allowed(reader):
+    """'s* NOT spark': the expansion overlaps the NOT side — overlapping
+    EXPANSION terms drop from the positive side instead of raising; an
+    explicitly typed contradiction still raises."""
+    got = search(reader, "s* NOT spark", k=100)
+    spark_docs = {d for d, _ in search(reader, "spark OR spark", k=10_000)}
+    assert got and not ({d for d, _ in got} & spark_docs)
+    # the whole positive side consumed by NOT -> empty, not an error
+    assert search(reader, "sp* NOT spark", k=10) == []
+    with pytest.raises(ValueError):
+        search(reader, "spark NOT spark", k=10)  # explicit contradiction

@@ -111,3 +111,25 @@ def test_more_like_this(spark, reader, duck):
     assert 7 not in {d for d, _ in got}
     with pytest.raises(ValueError):
         more_like_this(reader, 10**9, corpus)
+
+
+def test_snippets_empty_for_termless_docs(spark, reader, duck):
+    """A doc containing none of the terms gets '' — not its leading window
+    (greatest/least skip NULLs in both engines; regression for that trap)."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.plans.search import snippets_for_hits
+    from miru_spark.schema import read_corpus
+    from tests.conftest import SF_DIR
+
+    corpus = read_corpus(spark, SF_DIR)
+    # 'dup' occurs in few docs: pick one dup-doc and two docs WITHOUT dup
+    dup_docs = {r.doc_id for r in corpus.filter(
+        F.concat(F.lit(" "), F.col("content"), F.lit(" ")).contains(" dup ")
+    ).select("doc_id").collect()}
+    without = sorted(set(range(20)) - dup_docs)[:2]
+    ids = sorted(list(dup_docs)[:1] + without)
+    out = {r.doc_id: r.snippet for r in snippets_for_hits(corpus, ids, ["dup"]).collect()}
+    for d in without:
+        assert out[d] == ""
+    assert any("dup" in s.split() for s in out.values())
