@@ -143,6 +143,30 @@ def _mk_fuzzy(probe):
     return run
 
 
+# per-term boosts (Lucene 'term^w'): (terms, mode, boosts)
+BOOST_CASES = {
+    "bm25_index_boost": (["the", "dup"], "disjunctive", {"dup": 0.25}),
+    "bm25_index_dist_boost": (["join", "hash"], "conjunctive", {"hash": 3.0}),
+}
+
+
+def _mk_boost(terms, mode, boosts, distributed):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_distributed, search_topk
+
+        reader = ensure_index(spark, sf_dir)
+        if distributed:
+            return search_distributed(reader, terms, mode=mode, k=10, boosts=boosts)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search_topk(reader, terms, mode=mode, k=10, boosts=boosts)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
 _FASTSS_BUILT: set[str] = set()
 
 
@@ -391,6 +415,11 @@ def q_index_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def register_all(register) -> None:
     for name, (terms, mode) in CASES.items():
         register(name, _mk_topk(terms, mode), bm25_oracle_sql(terms, mode))
+    for i, (name, (terms, mode, boosts)) in enumerate(BOOST_CASES.items()):
+        register(
+            name, _mk_boost(terms, mode, boosts, distributed=bool(i)),
+            bm25_oracle_sql(terms, mode, boosts=boosts),
+        )
     for name, (terms, mode, excl) in NOT_CASES.items():
         register(
             name, _mk_topk(terms, mode, excl),

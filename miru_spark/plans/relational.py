@@ -432,17 +432,23 @@ def bm25_oracle_sql(
     k: int = 10,
     round_digits: int = 6,
     exclude: list[str] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> str:
     """The matching DuckDB ANSI-SQL oracle (FIXTURES.md), same rounding.
 
     ``exclude`` mirrors :func:`bm25_from_model`'s boolean-NOT semantics:
     docs containing any excluded term are dropped after scoring.
+    ``boosts`` multiplies a term's idf contribution (Lucene ``term^w``).
     """
     terms = list(dict.fromkeys(terms))
     if not terms:
         raise ValueError("empty term list")
     exclude = list(dict.fromkeys(exclude or []))
-    values = ",".join("('" + t.replace("'", "''") + "')" for t in terms)
+    boosts = boosts or {}
+    values = ",".join(
+        "('" + t.replace("'", "''") + f"', {float(boosts.get(t, 1.0))!r})"
+        for t in terms
+    )
     wheres = []
     if mode == "conjunctive":
         wheres.append("nmatch = (SELECT count(*) FROM q)")
@@ -460,9 +466,9 @@ tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP
 dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
 stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
 df    AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
-q(term) AS (VALUES {values}){xq_cte},
+q(term, boost) AS (VALUES {values}){xq_cte},
 s AS (SELECT tf.doc_id,
-        sum( ln(1+(stats.n-df.df+0.5)/(df.df+0.5))
+        sum( q.boost * ln(1+(stats.n-df.df+0.5)/(df.df+0.5))
              * tf.tf*(1.2+1)/(tf.tf+1.2*(1-0.75+0.75*dl.dl/stats.avgdl)) ) raw_score,
         count(*) nmatch
       FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc_id), stats

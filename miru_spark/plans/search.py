@@ -345,6 +345,29 @@ def search(
             "prefix/fuzzy terms in multi-term conjunctive queries are not "
             "supported (they are OR-groups); use OR"
         )
+    # 'term^2.5' boosts (Lucene syntax): strip the suffix, remember the
+    # weight; boosts on NOT terms are meaningless and silently stripped
+    boosts: dict[str, float] = {}
+
+    def strip_boost(toks: list[str], collect: bool) -> list[str]:
+        out = []
+        for t in toks:
+            base, sep, w = t.rpartition("^")
+            if sep and base:
+                try:
+                    wf = float(w)
+                except ValueError:
+                    out.append(t)
+                    continue
+                if collect:
+                    boosts[base] = wf
+                out.append(base)
+            else:
+                out.append(t)
+        return out
+
+    terms = strip_boost(terms, collect=True)
+    exclude = strip_boost(exclude, collect=False)
     explicit = set(t for t in terms if not _is_multi(t))
     if has_prefix:
         terms, _ = _expand_wildcards(reader, terms, max_terms)
@@ -360,7 +383,9 @@ def search(
         terms = [t for t in terms if t not in set(exclude) or t in explicit]
         if not terms:
             return []
-    return search_topk(reader, terms, mode=mode, k=k, exclude=exclude)
+    return search_topk(
+        reader, terms, mode=mode, k=k, exclude=exclude, boosts=boosts or None
+    )
 
 
 def search_prefix(
@@ -585,6 +610,28 @@ def _check_exclude(terms: list[str], exclude) -> list[str]:
     return check_exclude(terms, exclude)
 
 
+def _apply_boosts(tps: dict, boosts: dict[str, float] | None) -> dict:
+    """Per-term boosts scale the term's idf — every downstream quantity
+    (score contributions, term_max, block-max impact bounds) is linear in
+    idf, so WAND's upper bounds stay exact under boosting. Returns boosted
+    COPIES; the input TermPostings (possibly shared by a batch) are never
+    mutated."""
+    if not boosts:
+        return tps
+    out = {}
+    for t, tp in tps.items():
+        b = float(boosts.get(t, 1.0))
+        if b <= 0:
+            raise ValueError(f"boost for {t!r} must be positive, got {b}")
+        if b == 1.0:
+            out[t] = tp
+        else:
+            out[t] = TermPostings(
+                term=tp.term, df=tp.df, idf=tp.idf * b, chunks=tp.chunks
+            )
+    return out
+
+
 def search_topk(
     reader: IndexReader,
     terms: list[str],
@@ -592,6 +639,7 @@ def search_topk(
     k: int = 10,
     strategy: str = "auto",
     exclude: list[str] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> list[tuple[int, float]]:
     """Serve one query from the binary index (driver fast path).
 
@@ -609,7 +657,7 @@ def search_topk(
         return []
     terms = list(dict.fromkeys(terms))
     exclude = _check_exclude(terms, exclude)
-    tps = reader.fetch_terms(terms)
+    tps = _apply_boosts(reader.fetch_terms(terms), boosts)
     excl = _exclusion_ids(reader, exclude)
     return _route_query(reader, tps, terms, mode, k, strategy, excl)
 
@@ -675,6 +723,7 @@ def search_exhaustive(
     mode: str = "conjunctive",
     k: int = 10,
     exclude: list[str] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> list[tuple[int, float]]:
     """Decode-everything scoring (vectorized numpy); the WAND safety twin."""
     if mode not in ("conjunctive", "disjunctive"):
@@ -683,7 +732,7 @@ def search_exhaustive(
         return []
     terms = list(dict.fromkeys(terms))
     exclude = _check_exclude(terms, exclude)
-    tps = reader.fetch_terms(terms)
+    tps = _apply_boosts(reader.fetch_terms(terms), boosts)
     if mode == "conjunctive" and len(tps) < len(terms):
         return []
     excl = _exclusion_ids(reader, exclude)
@@ -1005,6 +1054,7 @@ def search_distributed(
     k: int | None = 10,
     round_digits: int | None = 6,
     exclude: list[str] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Pure-DataFrame scoring over chunk rows (scatter-gather top-k).
 
@@ -1031,6 +1081,10 @@ def search_distributed(
         ]
     )
 
+    boost_map = {t: float(b) for t, b in (boosts or {}).items()}
+    if any(b <= 0 for b in boost_map.values()):
+        raise ValueError("boosts must be positive")
+
     def score_chunks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from miru_spark.index.format import unpack_chunk
 
@@ -1041,6 +1095,7 @@ def search_distributed(
                     row["blob"], row["blocks"], int(row["codec"])
                 )
                 idf = float(bm25.idf_np(float(row["df_global"]), n_docs))
+                idf *= boost_map.get(row["term"], 1.0)
                 contrib = bm25.score_np(tfs, idf, dls, avgdl)
                 yield pa.RecordBatch.from_arrays(
                     [

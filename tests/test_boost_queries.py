@@ -1,0 +1,70 @@
+"""Per-term boosts (Lucene 'term^w'): boost scales the term's idf, keeping
+WAND's upper bounds exact — all paths rank-identical and oracle-checked."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from miru_spark.plans.relational import bm25_oracle_sql
+from miru_spark.plans.search import (
+    search,
+    search_distributed,
+    search_exhaustive,
+    search_topk,
+)
+
+CASES = [
+    (["the", "dup"], "disjunctive", {"dup": 0.25}),
+    (["join", "hash"], "conjunctive", {"hash": 3.0}),
+    (["join", "hash", "dup"], "disjunctive", {"join": 2.0, "dup": 0.5}),
+]
+
+
+@pytest.mark.parametrize("terms,mode,boosts", CASES, ids=lambda x: str(x))
+def test_boost_matches_oracle(reader, duck, terms, mode, boosts):
+    got = search_topk(reader, terms, mode=mode, k=10, boosts=boosts)
+    want = duck.execute(bm25_oracle_sql(terms, mode, boosts=boosts)).fetchall()
+    assert [(d, round(s, 6)) for d, s in got] == [tuple(r) for r in want]
+
+
+@pytest.mark.parametrize("terms,mode,boosts", CASES, ids=lambda x: str(x))
+def test_boost_wand_equals_exhaustive(reader, terms, mode, boosts):
+    a = search_topk(reader, terms, mode=mode, k=10, strategy="wand", boosts=boosts)
+    b = search_exhaustive(reader, terms, mode=mode, k=10, boosts=boosts)
+    assert [d for d, _ in a] == [d for d, _ in b]
+    np.testing.assert_allclose([s for _, s in a], [s for _, s in b], atol=1e-9)
+
+
+def test_boost_distributed_matches_oracle(reader, duck):
+    terms, mode, boosts = ["join", "hash"], "conjunctive", {"hash": 3.0}
+    got = [
+        (r.doc_id, r.score)
+        for r in search_distributed(reader, terms, mode=mode, boosts=boosts).collect()
+    ]
+    want = [tuple(r) for r in duck.execute(bm25_oracle_sql(terms, mode, boosts=boosts)).fetchall()]
+    assert got == want
+
+
+def test_boost_changes_ranking(reader):
+    plain = [d for d, _ in search_topk(reader, ["the", "dup"], "disjunctive", k=10)]
+    damped = [
+        d for d, _ in search_topk(
+            reader, ["the", "dup"], "disjunctive", k=10, boosts={"dup": 0.01}
+        )
+    ]
+    assert plain != damped  # dup-dominant docs lose their lead
+
+
+def test_boost_via_query_syntax(reader):
+    assert search(reader, "the OR dup^0.25", k=5) == search_topk(
+        reader, ["the", "dup"], mode="disjunctive", k=5, boosts={"dup": 0.25}
+    )
+    with pytest.raises(ValueError):
+        search_topk(reader, ["the"], boosts={"the": -1.0})
+
+
+def test_boost_one_is_identity(reader):
+    a = search_topk(reader, ["join", "hash"], k=10)
+    b = search_topk(reader, ["join", "hash"], k=10, boosts={"join": 1.0})
+    assert a == b
