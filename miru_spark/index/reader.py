@@ -233,6 +233,51 @@ class IndexReader:
             )
         return out
 
+    def expand_regex(self, pattern: str, max_terms: int = 1024) -> list[str]:
+        """Vocabulary terms fully matching ``pattern`` (grep-style code
+        search). The pattern's longest LITERAL prefix (chars before the
+        first regex metacharacter) prunes the sorted dictionary exactly
+        like a prefix query; survivors go through ``re.fullmatch``. A
+        pattern with no literal prefix scans the (columnar) dictionary —
+        the same bound every grep-style engine has."""
+        import re as _re
+
+        if not pattern:
+            raise ValueError("empty pattern")
+        rx = _re.compile(pattern)
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        if getattr(self, "_df_dset", None) is None:
+            self._df_dset = pads.dataset(
+                f"{self.index_path}/df", format="parquet"
+            )
+        meta = set(".^$*+?()[]{}|\\")
+        lit = ""
+        for ch in pattern:
+            if ch in meta:
+                break
+            lit += ch
+        flt = None
+        if lit:
+            f = pc.field("term")
+            flt = f >= lit
+            last = ord(lit[-1])
+            if last < 0xD7FF or 0xE000 <= last < 0x10FFFF:
+                flt &= f < (lit[:-1] + chr(last + 1))
+        cands = (
+            self._df_dset.to_table(columns=["term"], filter=flt)
+            .column("term")
+            .to_pylist()
+        )
+        out = sorted(t for t in cands if rx.fullmatch(t))
+        if len(out) > max_terms:
+            raise ValueError(
+                f"regex {pattern!r} matches {len(out)} terms "
+                f"(max_terms={max_terms}); narrow the pattern"
+            )
+        return out
+
     # ------------------------------------------------------- driver fetch --
     def fetch_terms(
         self, terms: list[str], with_positions: bool = False

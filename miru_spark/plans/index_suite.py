@@ -51,6 +51,12 @@ DIST_PREFIX_CASES = {
     "bm25_index_dist_prefix_c": "c",  # column customer
 }
 
+# regex term queries (grep-style): name -> pattern (re/RE2 common subset)
+REGEX_CASES = {
+    "bm25_index_regex_alt": "s(ort|low)",  # -> sort, slow (literal-prefix 's')
+    "bm25_index_regex_class": "[bd]a[tc].*",  # -> batch, data
+}
+
 # fuzzy queries (Levenshtein <=1 dictionary expansion): name -> probe term
 FUZZY_CASES = {
     "bm25_index_fuzzy_ag": "ag",  # -> a, agg (misspelling hits two terms)
@@ -124,6 +130,21 @@ def _mk_prefix_dist(prefix):
         reader = ensure_index(spark, sf_dir)
         terms = reader.expand_prefix(prefix)
         return search_distributed(reader, terms, mode="disjunctive", k=10)
+
+    return run
+
+
+def _mk_regex(pattern):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_regex
+
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search_regex(reader, pattern, k=10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
 
     return run
 
@@ -436,6 +457,10 @@ def register_all(register) -> None:
         register(name, _mk_prefix(prefix), bm25_prefix_oracle_sql(prefix))
     for name, prefix in DIST_PREFIX_CASES.items():
         register(name, _mk_prefix_dist(prefix), bm25_prefix_oracle_sql(prefix))
+    from miru_spark.plans.relational import bm25_regex_oracle_sql
+
+    for name, pattern in REGEX_CASES.items():
+        register(name, _mk_regex(pattern), bm25_regex_oracle_sql(pattern))
     for name, probe in FUZZY_CASES.items():
         register(name, _mk_fuzzy(probe), bm25_fuzzy_oracle_sql(probe, max_edits=1))
     register(

@@ -246,6 +246,17 @@ def bm25_prefix_oracle_sql(prefix: str, k: int = 10, round_digits: int = 6) -> s
     )
 
 
+def bm25_regex_oracle_sql(pattern: str, k: int = 10, round_digits: int = 6) -> str:
+    """Oracle for a regex term query: disjunctive BM25 over every
+    vocabulary term fully matching the pattern (RE2 full-match; use
+    patterns from the re/RE2 common subset)."""
+    if not pattern:
+        raise ValueError("empty pattern")
+    return _expansion_oracle_sql(
+        f"regexp_full_match(term, '{_sql_quote(pattern)}')", k, round_digits
+    )
+
+
 def bm25_fuzzy_oracle_sql(
     term: str, max_edits: int = 1, k: int = 10, round_digits: int = 6
 ) -> str:

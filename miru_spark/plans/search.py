@@ -423,6 +423,24 @@ def search_fuzzy(
     return search_topk(reader, terms, mode="disjunctive", k=k, strategy=strategy)
 
 
+def search_regex(
+    reader: IndexReader,
+    pattern: str,
+    k: int = 10,
+    max_terms: int = 1024,
+    strategy: str = "auto",
+) -> list[tuple[int, float]]:
+    """Regex term query (grep-style, the code-search staple): expand the
+    pattern against the term dictionary (literal-prefix pruned), then
+    disjunctive BM25 over the matches — same scoring-boolean rewrite as
+    prefix/fuzzy. Python-re semantics driver-side; entries pin patterns
+    from the re∩RE2 common subset so the oracle agrees."""
+    terms = reader.expand_regex(pattern, max_terms=max_terms)
+    if not terms:
+        return []
+    return search_topk(reader, terms, mode="disjunctive", k=k, strategy=strategy)
+
+
 def search_facets(
     reader: IndexReader,
     terms: list[str],

@@ -83,3 +83,29 @@ def test_wildcard_expansion_overlapping_not_is_allowed(reader):
     assert search(reader, "sp* NOT spark", k=10) == []
     with pytest.raises(ValueError):
         search(reader, "spark NOT spark", k=10)  # explicit contradiction
+
+
+# ------------------------------------------------------------ regex terms --
+
+def test_expand_regex_matches_vocab(reader, duck):
+    import re
+
+    vocab = _vocab(duck)
+    for pat in ["s(ort|low)", "[bd]a[tc].*", "qu.*", "z+", ".*dow"]:
+        want = sorted(t for t in vocab if re.fullmatch(pat, t))
+        assert reader.expand_regex(pat) == want, pat
+    with pytest.raises(ValueError):
+        reader.expand_regex("")
+    with pytest.raises(ValueError):
+        reader.expand_regex(".*", max_terms=3)  # whole vocab > cap
+
+
+def test_regex_search_matches_oracle(reader, duck):
+    from miru_spark.plans.relational import bm25_regex_oracle_sql
+    from miru_spark.plans.search import search_regex
+
+    for pat in ["s(ort|low)", "[bd]a[tc].*"]:
+        got = [(d, round(s, 6)) for d, s in search_regex(reader, pat, k=10)]
+        want = [tuple(r) for r in duck.execute(bm25_regex_oracle_sql(pat)).fetchall()]
+        assert got == want, pat
+    assert search_regex(reader, "zzz.*") == []
