@@ -193,6 +193,31 @@ FROM events ORDER BY event_id LIMIT 500
 """.strip()
 
 
+def q_grep_content(spark, sf):
+    # grep over document CONTENT (not the vocabulary): per-doc match counts
+    # of a pattern from the Java-regex/RE2 common subset; the doc filter is
+    # whole-stage codegen over the scan, no UDF
+    d = _docs(spark, sf)
+    pat = "(jo|ha)[a-z]+"
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+        .orderBy("doc_id")
+    )
+
+
+SQL_GREP = r"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '(jo|ha)[a-z]+')) AS BIGINT)
+         AS n_matches
+FROM documents
+WHERE len(regexp_extract_all(text, '(jo|ha)[a-z]+')) > 0
+ORDER BY doc_id
+""".strip()
+
+
 def q_repetition(spark, sf):
     from miru_spark.pipeline.textqual import repetition_stats
 
@@ -281,6 +306,7 @@ def register_all(register) -> None:
         contamination_oracle_sql(list(range(10)), n=8),
     )
     register("pipe_redact", q_redact, SQL_REDACT)
+    register("pipe_grep_content", q_grep_content, SQL_GREP)
     register("pipe_hash_sample", q_hash_sample, hash_sample_oracle_sql(0.25))
     register(
         "pipe_stratified_sample", q_stratified_sample,
