@@ -311,6 +311,58 @@ def unpack_block(blob, meta: dict, prev_last_docid: int, codec: int):
     return docids, tfs, dls
 
 
+def best_block_scores(
+    fr_off: np.ndarray, fr_tf: np.ndarray, fr_dl: np.ndarray, avgdl: float
+) -> np.ndarray:
+    """Per-block max UNSCALED BM25 score (idf excluded — multiply by the
+    query term's idf for the exact block-max bound) from flattened impact
+    frontiers: one vectorized pass over every (tf, dl) pair of every block
+    + a segmented max. Replaces the per-block Python loop the driver paid
+    once per block per query."""
+    nb = fr_off.size - 1
+    if nb <= 0:
+        return np.empty(0, dtype=np.float64)
+    k1, b = bm25.K1, bm25.B
+    tf = fr_tf.astype(np.float64)
+    dl = fr_dl.astype(np.float64)
+    s = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    # frontiers are non-empty by construction; reduceat needs that
+    return np.maximum.reduceat(s, fr_off[:-1].astype(np.int64))
+
+
+def unpack_block_bm(blob, bm: dict, j: int, prev_last_docid: int, codec: int):
+    """Decode block ``j`` of a chunk described by numpy block metadata."""
+    n = int(bm["n"][j])
+    gaps, _ = _dec(blob, int(bm["off_g"][j]), n, codec)
+    tfs, _ = _dec(blob, int(bm["off_t"][j]), n, codec)
+    dls, _ = _dec(blob, int(bm["off_d"][j]), n, codec)
+    return delta_decode(gaps, base=prev_last_docid), tfs, dls
+
+
+def unpack_chunk_bm(blob, bm: dict, codec: int):
+    """Decode a whole chunk from numpy block metadata (driver fast path —
+    no per-block dict materialization; varint is one decode per stream)."""
+    nb = int(bm["n"].size)
+    if nb == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e.copy(), e.copy()
+    total = int(bm["n"].sum())
+    if codec == CODEC_VARINT:
+        gaps, _ = varint_decode(blob, int(bm["off_g"][0]), count=total)
+        tfs, _ = varint_decode(blob, int(bm["off_t"][0]), count=total)
+        dls, _ = varint_decode(blob, int(bm["off_d"][0]), count=total)
+        return delta_decode(gaps), tfs, dls
+    ids_l, tf_l, dl_l = [], [], []
+    prev = 0
+    for j in range(nb):
+        ids, tfs, dls = unpack_block_bm(blob, bm, j, prev, codec)
+        ids_l.append(ids)
+        tf_l.append(tfs)
+        dl_l.append(dls)
+        prev = int(bm["last"][j])
+    return np.concatenate(ids_l), np.concatenate(tf_l), np.concatenate(dl_l)
+
+
 def unpack_chunk(blob, metas: list[dict], codec: int):
     """Decode a whole chunk -> (docids, tfs, dls); for varint this is one
     vectorized decode per stream."""

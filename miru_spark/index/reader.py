@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from miru_spark.functions import bm25
-from miru_spark.index.format import impact_bound, unpack_block, unpack_chunk
+from miru_spark.index.format import impact_bound
 from miru_spark.index.writer import term_pref_py
 
 
@@ -57,6 +57,25 @@ class TermPostings:
         return max(
             (impact_bound(r["i_tf"], r["i_dl"], self.idf, avgdl) for r in self.chunks),
             default=0.0,
+        )
+
+    def block_arrays(self, avgdl: float):
+        """Concatenated per-block numpy metadata across this term's chunks
+        (bucket-ordered): (last_docids, idf-scaled max bounds, sources) —
+        the vectorized feed for PostingIterator; no per-block Python."""
+        lasts, bests, srcs = [], [], []
+        for r in self.chunks:
+            bm = r["bm"]
+            lasts.append(bm["last"])
+            bests.append(bm["best"])
+            srcs.append((r["blob"], bm, int(r["codec"])))
+        if not lasts:
+            e = np.empty(0, dtype=np.int64)
+            return e, e.astype(np.float64), []
+        return (
+            np.concatenate(lasts),
+            self.idf * np.concatenate(bests),
+            srcs,
         )
 
 
@@ -323,9 +342,72 @@ class IndexReader:
             flt = pc.field("term_pref").isin(prefs) & pc.field("term").isin(terms)
         cols = [n for n in dset.schema.names if n != "pos_blob" or with_positions]
         tbl = dset.to_table(columns=cols, filter=flt)
-        rows = tbl.to_pylist()
+        # COLUMN-WISE materialization: per-block metadata stays numpy (one
+        # flatten of the arrow list<struct> column) instead of ~blocks-many
+        # Python dicts per query — this was ~half of warm-query latency on
+        # hot terms. Per-chunk dict rows keep only scalars + numpy views.
+        tbl = tbl.sort_by([("term", "ascending"), ("bucket", "ascending")])
+        nrows = tbl.num_rows
+        terms_l = tbl.column("term").to_pylist()
+        buckets = tbl.column("bucket").to_pylist()
+        codecs = tbl.column("codec").to_pylist()
+        dfs = tbl.column("df_chunk").to_pylist()
+        blobs = tbl.column("blob").to_pylist()
+        itf_rows = tbl.column("i_tf").to_pylist()
+        idl_rows = tbl.column("i_dl").to_pylist()
+        pos_blobs = (
+            tbl.column("pos_blob").to_pylist() if with_positions else None
+        )
+        bcol = tbl.column("blocks").combine_chunks()
+        row_off = bcol.offsets.to_numpy().astype(np.int64)
+        sv = bcol.values
+        n_np = sv.field("n").to_numpy().astype(np.int64)
+        last_np = sv.field("last_docid").to_numpy().astype(np.int64)
+        og = sv.field("off_g").to_numpy().astype(np.int64)
+        ot = sv.field("off_t").to_numpy().astype(np.int64)
+        od = sv.field("off_d").to_numpy().astype(np.int64)
+        names = {f.name for f in sv.type}
+        op = (
+            sv.field("off_p").to_numpy().astype(np.int64)
+            if "off_p" in names
+            else np.full(n_np.size, -1, dtype=np.int64)
+        )
+        fitf = sv.field("i_tf").combine_chunks() if hasattr(sv.field("i_tf"), "combine_chunks") else sv.field("i_tf")
+        fr_off_all = fitf.offsets.to_numpy().astype(np.int64)
+        fr_tf_all = fitf.values.to_numpy().astype(np.int64)
+        fr_dl_all = sv.field("i_dl").values.to_numpy().astype(np.int64)
+        from miru_spark.index.format import best_block_scores
+
         out: dict[str, TermPostings] = {}
-        for r in sorted(rows, key=lambda r: (r["term"], r["bucket"])):
+        for i in range(nrows):
+            lo, hi = int(row_off[i]), int(row_off[i + 1])
+            flo, fhi = int(fr_off_all[lo]), int(fr_off_all[hi])
+            bm_meta = {
+                "n": n_np[lo:hi],
+                "last": last_np[lo:hi],
+                "off_g": og[lo:hi],
+                "off_t": ot[lo:hi],
+                "off_d": od[lo:hi],
+                "off_p": op[lo:hi],
+                "best": best_block_scores(
+                    fr_off_all[lo : hi + 1] - flo,
+                    fr_tf_all[flo:fhi],
+                    fr_dl_all[flo:fhi],
+                    self.avgdl,
+                ),
+            }
+            r = {
+                "term": terms_l[i],
+                "bucket": buckets[i],
+                "codec": codecs[i],
+                "df_chunk": dfs[i],
+                "blob": blobs[i],
+                "i_tf": itf_rows[i],
+                "i_dl": idl_rows[i],
+                "bm": bm_meta,
+            }
+            if with_positions:
+                r["pos_blob"] = pos_blobs[i]
             tp = out.get(r["term"])
             if tp is None:
                 tp = out[r["term"]] = TermPostings(term=r["term"], df=0.0, idf=0.0)
@@ -337,12 +419,11 @@ class IndexReader:
 
     def decode_term(self, tp: TermPostings):
         """Full decode -> (docids, tfs, dls) across chunks (exhaustive path)."""
+        from miru_spark.index.format import unpack_chunk_bm
+
         ids, tfs, dls = [], [], []
         for r in tp.chunks:
-            metas = [
-                b.asDict() if hasattr(b, "asDict") else dict(b) for b in r["blocks"]
-            ]
-            i, t, d = unpack_chunk(r["blob"], metas, int(r["codec"]))
+            i, t, d = unpack_chunk_bm(r["blob"], r["bm"], int(r["codec"]))
             ids.append(i)
             tfs.append(t)
             dls.append(d)

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from miru_spark.functions import bm25
-from miru_spark.index.format import unpack_block
+from miru_spark.index.format import unpack_chunk_bm
 from miru_spark.index.reader import IndexReader, TermPostings
 
 _EXHAUSTED = 1 << 62
@@ -39,41 +39,47 @@ class PostingIterator:
     """Lazy cursor over one term's chunk rows; decodes one block at a time."""
 
     __slots__ = (
-        "idf", "avgdl", "term_max", "blk_last", "blk_max", "_blk_src",
+        "idf", "avgdl", "term_max", "blk_last", "blk_max", "_srcs",
+        "_chunk_id", "_local_j", "_prev_last", "n_blocks",
         "bi", "pos", "_ids", "_tfs", "_dls", "exhausted",
     )
 
     def __init__(self, tp: TermPostings, avgdl: float):
-        from miru_spark.index.format import impact_bound
-
         self.idf = tp.idf
         self.avgdl = avgdl
         self.term_max = tp.max_score(avgdl)
-        last, mx, src = [], [], []
-        for row in tp.chunks:
-            blob = bytes(row["blob"])
-            codec = int(row["codec"])
-            prev = 0
-            for b in row["blocks"]:
-                m = b.asDict() if hasattr(b, "asDict") else dict(b)
-                last.append(int(m["last_docid"]))
-                # block-max bound from stored impacts under current stats
-                mx.append(impact_bound(m["i_tf"], m["i_dl"], self.idf, avgdl))
-                src.append((blob, m, prev, codec))
-                prev = int(m["last_docid"])
-        self.blk_last = np.array(last, dtype=np.int64)
-        self.blk_max = np.array(mx, dtype=np.float64)
-        self._blk_src = src
+        # fully vectorized block metadata: lasts/bounds concatenated by the
+        # reader (numpy views over the arrow fetch), (chunk, local) index
+        # mapping built with repeat/arange — no per-block Python until a
+        # block is actually decoded
+        self.blk_last, self.blk_max, self._srcs = tp.block_arrays(avgdl)
+        sizes = [src[1]["n"].size for src in self._srcs]
+        self.n_blocks = int(sum(sizes))
+        self._chunk_id = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1])).astype(np.int64) \
+            if sizes else np.empty(0, dtype=np.int64)
+        self._local_j = (
+            np.arange(self.n_blocks, dtype=np.int64) - np.repeat(starts, sizes)
+        )
+        # block j's docid base = previous block's last docid (0 at chunk start)
+        self._prev_last = np.empty(self.n_blocks, dtype=np.int64)
+        if self.n_blocks:
+            self._prev_last[1:] = self.blk_last[:-1]
+            self._prev_last[starts] = 0
         self.bi = -1
         self.pos = 0
         self._ids = self._tfs = self._dls = None
-        self.exhausted = not src
+        self.exhausted = self.n_blocks == 0
         if not self.exhausted:
             self._load(0)
 
     def _load(self, bi: int) -> None:
-        blob, meta, prev, codec = self._blk_src[bi]
-        ids, tfs, dls = unpack_block(blob, meta, prev, codec)
+        from miru_spark.index.format import unpack_block_bm
+
+        blob, bm, codec = self._srcs[int(self._chunk_id[bi])]
+        ids, tfs, dls = unpack_block_bm(
+            blob, bm, int(self._local_j[bi]), int(self._prev_last[bi]), codec
+        )
         self._ids = ids.astype(np.int64)
         self._tfs = tfs
         self._dls = dls
@@ -87,7 +93,7 @@ class PostingIterator:
     def next(self) -> None:
         self.pos += 1
         if self.pos >= self._ids.size:
-            if self.bi + 1 >= len(self._blk_src):
+            if self.bi + 1 >= self.n_blocks:
                 self.exhausted = True
             else:
                 self._load(self.bi + 1)
@@ -98,7 +104,7 @@ class PostingIterator:
         if self.exhausted or self.cur_docid >= target:
             return
         j = int(np.searchsorted(self.blk_last, target))
-        if j >= len(self._blk_src):
+        if j >= self.n_blocks:
             self.exhausted = True
             return
         if j != self.bi:
@@ -111,7 +117,7 @@ class PostingIterator:
         """(max_score, last_docid) of the block that would contain docid —
         WITHOUT decoding it (the shallow pointer of BMW)."""
         j = int(np.searchsorted(self.blk_last, docid))
-        if j >= len(self._blk_src):
+        if j >= self.n_blocks:
             return 0.0, _EXHAUSTED
         return float(self.blk_max[j]), int(self.blk_last[j])
 
@@ -828,12 +834,9 @@ def search_phrase(
     for t in uterms:
         ids_l, tf_l, dl_l, pos_l = [], [], [], []
         for r in tps[t].chunks:
-            metas = [
-                b.asDict() if hasattr(b, "asDict") else dict(b) for b in r["blocks"]
-            ]
-            from miru_spark.index.format import unpack_chunk
+            from miru_spark.index.format import unpack_chunk_bm
 
-            ids, tfs, dls = unpack_chunk(r["blob"], metas, int(r["codec"]))
+            ids, tfs, dls = unpack_chunk_bm(r["blob"], r["bm"], int(r["codec"]))
             ids_l.append(ids.astype(np.int64))
             tf_l.append(tfs.astype(np.int64))
             dl_l.append(dls.astype(np.int64))
@@ -896,7 +899,7 @@ def search_near(
     proximity, so one searchsorted of a's keys into b's sorted keys (check
     both neighbors) decides every candidate at once — no per-doc loop.
     """
-    from miru_spark.index.format import unpack_chunk, unpack_positions
+    from miru_spark.index.format import unpack_positions
 
     if slop < 0:
         raise ValueError("slop must be >= 0")
@@ -913,10 +916,7 @@ def search_near(
     for t in (term_a, term_b):
         ids_l, tf_l, dl_l, pos_l = [], [], [], []
         for r in tps[t].chunks:
-            metas = [
-                b.asDict() if hasattr(b, "asDict") else dict(b) for b in r["blocks"]
-            ]
-            ids, tfs, dls = unpack_chunk(r["blob"], metas, int(r["codec"]))
+            ids, tfs, dls = unpack_chunk_bm(r["blob"], r["bm"], int(r["codec"]))
             ids_l.append(ids.astype(np.int64))
             tf_l.append(tfs.astype(np.int64))
             dl_l.append(dls.astype(np.int64))

@@ -213,7 +213,7 @@ def test_positions_roundtrip_through_merge(spark, pos_index):
     """Decoded positions reproduce each doc's actual token offsets."""
     import numpy as np
 
-    from miru_spark.index.format import unpack_chunk, unpack_positions
+    from miru_spark.index.format import unpack_chunk_bm, unpack_positions
     from miru_spark.schema import read_corpus
 
     texts = {
@@ -224,8 +224,7 @@ def test_positions_roundtrip_through_merge(spark, pos_index):
     checked = 0
     for t, tp in tps.items():
         for r in tp.chunks:
-            metas = [dict(b.asDict() if hasattr(b, "asDict") else b) for b in r["blocks"]]
-            ids, tfs, dls = unpack_chunk(r["blob"], metas, int(r["codec"]))
+            ids, tfs, dls = unpack_chunk_bm(r["blob"], r["bm"], int(r["codec"]))
             pos = unpack_positions(r["pos_blob"], tfs)
             starts = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))[:-1]))
             for j, d in enumerate(ids.astype(np.int64)):
