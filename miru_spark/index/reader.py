@@ -63,11 +63,23 @@ class TermPostings:
         """Concatenated per-block numpy metadata across this term's chunks
         (bucket-ordered): (last_docids, idf-scaled max bounds, sources) —
         the vectorized feed for PostingIterator; no per-block Python."""
+        from miru_spark.index.format import best_block_scores
+
         lasts, bests, srcs = [], [], []
         for r in self.chunks:
             bm = r["bm"]
             lasts.append(bm["last"])
-            bests.append(bm["best"])
+            if bm["avgdl"] == avgdl:
+                bests.append(bm["best"])
+            else:
+                # caller scores under DIFFERENT corpus stats (e.g. a
+                # time-traveled snapshot): re-derive exact bounds from the
+                # stats-free frontiers instead of using the baked avgdl
+                bests.append(
+                    best_block_scores(
+                        bm["fr_off"], bm["fr_tf"], bm["fr_dl"], avgdl
+                    )
+                )
             srcs.append((r["blob"], bm, int(r["codec"])))
         if not lasts:
             e = np.empty(0, dtype=np.int64)
@@ -150,6 +162,29 @@ class IndexReader:
     def df_df(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_path}/df")
 
+    def _term_dict(self):
+        import pyarrow.dataset as pads
+
+        if getattr(self, "_df_dset", None) is None:
+            self._df_dset = pads.dataset(
+                f"{self.index_path}/df", format="parquet"
+            )
+        return self._df_dset
+
+    @staticmethod
+    def _range_bound(flt, lit: str):
+        """AND a statistics-prunable [lit, succ(lit)) range onto ``flt``
+        when the last char has a clean successor (skipped at surrogate /
+        plane edges; the caller's exact filter keeps correctness)."""
+        import pyarrow.compute as pc
+
+        f = pc.field("term")
+        flt = flt & (f >= lit) if flt is not None else (f >= lit)
+        last = ord(lit[-1])
+        if last < 0xD7FF or 0xE000 <= last < 0x10FFFF:
+            flt &= f < (lit[:-1] + chr(last + 1))
+        return flt
+
     def expand_prefix(self, prefix: str, max_terms: int = 1024) -> list[str]:
         """All index terms matching ``prefix*``, from the sorted term
         dictionary (index/df) — driver-side pyarrow read, no Spark job.
@@ -164,21 +199,12 @@ class IndexReader:
         if not prefix:
             raise ValueError("empty prefix")
         import pyarrow.compute as pc
-        import pyarrow.dataset as pads
 
-        if getattr(self, "_df_dset", None) is None:
-            self._df_dset = pads.dataset(
-                f"{self.index_path}/df", format="parquet"
-            )
-        f = pc.field("term")
-        flt = (f >= prefix) & pc.starts_with(f, prefix)
-        last = ord(prefix[-1])
-        # statistics-prunable upper bound when the last char has a clean
-        # successor (skip at surrogate/plane edges; starts_with stays exact)
-        if last < 0xD7FF or 0xE000 <= last < 0x10FFFF:
-            flt &= f < (prefix[:-1] + chr(last + 1))
+        flt = self._range_bound(
+            pc.starts_with(pc.field("term"), prefix), prefix
+        )
         terms = sorted(
-            self._df_dset.to_table(columns=["term"], filter=flt)
+            self._term_dict().to_table(columns=["term"], filter=flt)
             .column("term")
             .to_pylist()
         )
@@ -234,14 +260,10 @@ class IndexReader:
                 .to_pylist()
             )
         else:
-            if getattr(self, "_df_dset", None) is None:
-                self._df_dset = pads.dataset(
-                    f"{self.index_path}/df", format="parquet"
-                )
             n = len(term)
             length = pc.utf8_length(pc.field("term"))
             flt = (length >= n - max_edits) & (length <= n + max_edits)
-            cands = self._df_dset.to_table(
+            cands = self._term_dict().to_table(
                 columns=["term"], filter=flt
             ).column("term").to_pylist()
         out = sorted(t for t in cands if _lev_within(term, t, max_edits))
@@ -264,28 +286,23 @@ class IndexReader:
         if not pattern:
             raise ValueError("empty pattern")
         rx = _re.compile(pattern)
-        import pyarrow.compute as pc
-        import pyarrow.dataset as pads
-
-        if getattr(self, "_df_dset", None) is None:
-            self._df_dset = pads.dataset(
-                f"{self.index_path}/df", format="parquet"
-            )
         meta = set(".^$*+?()[]{}|\\")
         lit = ""
         for ch in pattern:
             if ch in meta:
                 break
             lit += ch
-        flt = None
-        if lit:
-            f = pc.field("term")
-            flt = f >= lit
-            last = ord(lit[-1])
-            if last < 0xD7FF or 0xE000 <= last < 0x10FFFF:
-                flt &= f < (lit[:-1] + chr(last + 1))
+        # a quantifier after the last literal char makes that char optional
+        # ('slow?' matches 'slo'); a top-level alternation can bypass the
+        # prefix entirely ('sort|slow') — in both cases the naive prefix
+        # would silently PRUNE true matches
+        if lit and len(lit) < len(pattern) and pattern[len(lit)] in "?*{":
+            lit = lit[:-1]
+        if "|" in pattern:
+            lit = ""
+        flt = self._range_bound(None, lit) if lit else None
         cands = (
-            self._df_dset.to_table(columns=["term"], filter=flt)
+            self._term_dict().to_table(columns=["term"], filter=flt)
             .column("term")
             .to_pylist()
         )
@@ -372,7 +389,8 @@ class IndexReader:
             if "off_p" in names
             else np.full(n_np.size, -1, dtype=np.int64)
         )
-        fitf = sv.field("i_tf").combine_chunks() if hasattr(sv.field("i_tf"), "combine_chunks") else sv.field("i_tf")
+        # sv is a StructArray: .field() returns plain (non-chunked) arrays
+        fitf = sv.field("i_tf")
         fr_off_all = fitf.offsets.to_numpy().astype(np.int64)
         fr_tf_all = fitf.values.to_numpy().astype(np.int64)
         fr_dl_all = sv.field("i_dl").values.to_numpy().astype(np.int64)
@@ -389,6 +407,12 @@ class IndexReader:
                 "off_t": ot[lo:hi],
                 "off_d": od[lo:hi],
                 "off_p": op[lo:hi],
+                # frontier views + the avgdl the bounds were baked under, so
+                # block_arrays can re-derive exact bounds under OTHER stats
+                "fr_off": fr_off_all[lo : hi + 1] - flo,
+                "fr_tf": fr_tf_all[flo:fhi],
+                "fr_dl": fr_dl_all[flo:fhi],
+                "avgdl": self.avgdl,
                 "best": best_block_scores(
                     fr_off_all[lo : hi + 1] - flo,
                     fr_tf_all[flo:fhi],

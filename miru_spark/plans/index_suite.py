@@ -164,10 +164,10 @@ def _mk_fuzzy(probe):
     return run
 
 
-# per-term boosts (Lucene 'term^w'): (terms, mode, boosts)
+# per-term boosts (Lucene 'term^w'): (terms, mode, boosts, distributed)
 BOOST_CASES = {
-    "bm25_index_boost": (["the", "dup"], "disjunctive", {"dup": 0.25}),
-    "bm25_index_dist_boost": (["join", "hash"], "conjunctive", {"hash": 3.0}),
+    "bm25_index_boost": (["the", "dup"], "disjunctive", {"dup": 0.25}, False),
+    "bm25_index_dist_boost": (["join", "hash"], "conjunctive", {"hash": 3.0}, True),
 }
 
 
@@ -436,9 +436,9 @@ def q_index_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def register_all(register) -> None:
     for name, (terms, mode) in CASES.items():
         register(name, _mk_topk(terms, mode), bm25_oracle_sql(terms, mode))
-    for i, (name, (terms, mode, boosts)) in enumerate(BOOST_CASES.items()):
+    for name, (terms, mode, boosts, dist) in BOOST_CASES.items():
         register(
-            name, _mk_boost(terms, mode, boosts, distributed=bool(i)),
+            name, _mk_boost(terms, mode, boosts, distributed=dist),
             bm25_oracle_sql(terms, mode, boosts=boosts),
         )
     for name, (terms, mode, excl) in NOT_CASES.items():

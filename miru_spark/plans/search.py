@@ -305,6 +305,35 @@ def _is_multi(tok: str) -> bool:
     return len(tok) > 1 and tok[-1] in "*~"
 
 
+def _expand_with_boosts(
+    reader: IndexReader,
+    tokens: list[str],
+    boosts: dict[str, float],
+    max_terms: int,
+) -> tuple[list[str], dict[str, float]]:
+    """Expand wildcard tokens; a boost on a wildcard ('sp*^2') propagates
+    to every expansion (an explicit term's own boost wins on collision by
+    later assignment)."""
+    out: list[str] = []
+    bout: dict[str, float] = {}
+    for t in tokens:
+        if _is_multi(t):
+            if t[-1] == "*":
+                ex = reader.expand_prefix(t[:-1], max_terms=max_terms)
+            else:
+                ex = reader.expand_fuzzy(t[:-1], max_terms=max_terms)
+            w = boosts.get(t)
+            if w is not None:
+                for e in ex:
+                    bout[e] = w
+            out.extend(ex)
+        else:
+            out.append(t)
+            if t in boosts:
+                bout[t] = boosts[t]
+    return list(dict.fromkeys(out)), bout
+
+
 def _expand_wildcards(
     reader: IndexReader, tokens: list[str], max_terms: int
 ) -> tuple[list[str], bool]:
@@ -345,14 +374,9 @@ def search(
         if len(terms) != 2:
             raise ValueError("proximity queries take exactly two terms")
         return search_near(reader, terms[0], terms[1], slop=int(mode[5:]), k=k)
-    has_prefix = any(_is_multi(t) for t in terms)
-    if has_prefix and mode == "conjunctive" and len(terms) > 1:
-        raise ValueError(
-            "prefix/fuzzy terms in multi-term conjunctive queries are not "
-            "supported (they are OR-groups); use OR"
-        )
-    # 'term^2.5' boosts (Lucene syntax): strip the suffix, remember the
-    # weight; boosts on NOT terms are meaningless and silently stripped
+    # 'term^2.5' boosts strip FIRST so 'sp*^2' is recognized as a boosted
+    # wildcard (the boost then applies to every expansion); boosts on NOT
+    # terms are meaningless and silently stripped
     boosts: dict[str, float] = {}
 
     def strip_boost(toks: list[str], collect: bool) -> list[str]:
@@ -374,21 +398,36 @@ def search(
 
     terms = strip_boost(terms, collect=True)
     exclude = strip_boost(exclude, collect=False)
-    explicit = set(t for t in terms if not _is_multi(t))
-    if has_prefix:
-        terms, _ = _expand_wildcards(reader, terms, max_terms)
+    has_multi = any(_is_multi(t) for t in terms)
+    if has_multi and mode == "conjunctive" and len(terms) > 1:
+        raise ValueError(
+            "prefix/fuzzy terms in multi-term conjunctive queries are not "
+            "supported (they are OR-groups); use OR"
+        )
+    explicit = {t for t in terms if not _is_multi(t)}
+    explicit_excl = {t for t in exclude if not _is_multi(t)}
+    if has_multi:
+        terms, boosts = _expand_with_boosts(reader, terms, boosts, max_terms)
         mode = "disjunctive"
         if not terms:
             return []
     exclude, _ = _expand_wildcards(reader, exclude, max_terms)
-    # an expansion may legitimately overlap the NOT side ('s* NOT spark'):
-    # excluded docs are dropped regardless, so the overlapping expansion
-    # terms simply leave the positive side. Only an EXPLICITLY typed term
-    # appearing on both sides is a user contradiction (search_topk raises).
+    # overlap policy: only an EXPLICITLY typed term on BOTH sides is a user
+    # contradiction. An expansion overlapping the other side just resolves:
+    # 's* NOT spark' drops 'spark' from the positive OR-group (its docs are
+    # excluded anyway); 'spark NOT sp*' means every hit is excluded ->
+    # empty result for a required term, never an exception.
     if exclude:
-        terms = [t for t in terms if t not in set(exclude) or t in explicit]
-        if not terms:
-            return []
+        overlap = set(terms) & set(exclude)
+        if overlap & explicit & explicit_excl:
+            raise ValueError("a term cannot be both required and excluded")
+        if overlap:
+            if mode == "conjunctive" and (overlap & explicit):
+                return []
+            terms = [t for t in terms if t not in overlap]
+            if not terms:
+                return []
+            boosts = {t: b for t, b in boosts.items() if t in set(terms)}
     return search_topk(
         reader, terms, mode=mode, k=k, exclude=exclude, boosts=boosts or None
     )
@@ -642,11 +681,12 @@ def _apply_boosts(tps: dict, boosts: dict[str, float] | None) -> dict:
     mutated."""
     if not boosts:
         return tps
+    for t, b in boosts.items():
+        if not (float(b) > 0):  # catches <= 0 AND NaN
+            raise ValueError(f"boost for {t!r} must be positive, got {b}")
     out = {}
     for t, tp in tps.items():
         b = float(boosts.get(t, 1.0))
-        if b <= 0:
-            raise ValueError(f"boost for {t!r} must be positive, got {b}")
         if b == 1.0:
             out[t] = tp
         else:
@@ -1100,7 +1140,7 @@ def search_distributed(
     )
 
     boost_map = {t: float(b) for t, b in (boosts or {}).items()}
-    if any(b <= 0 for b in boost_map.values()):
+    if any(not (b > 0) for b in boost_map.values()):  # <= 0 or NaN
         raise ValueError("boosts must be positive")
 
     def score_chunks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

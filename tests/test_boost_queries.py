@@ -68,3 +68,27 @@ def test_boost_one_is_identity(reader):
     a = search_topk(reader, ["join", "hash"], k=10)
     b = search_topk(reader, ["join", "hash"], k=10, boosts={"join": 1.0})
     assert a == b
+
+
+def test_boosted_wildcard_and_overlap_policies(reader):
+    """Review regressions: 'sp*^2' boosts every expansion; 'spark NOT sp*'
+    returns [] (required term consumed by an exclusion expansion); NaN and
+    absent-term boosts are rejected on every path."""
+    import math
+
+    assert search(reader, "sp*^2", k=5) == search_topk(
+        reader, ["spark"], mode="disjunctive", k=5, boosts={"spark": 2.0}
+    )
+    assert search(reader, "dup OR s*^0.5", k=5) == search_topk(
+        reader,
+        ["dup", "scan", "slow", "small", "sort", "spark", "stream"],
+        mode="disjunctive", k=5,
+        boosts={t: 0.5 for t in ["scan", "slow", "small", "sort", "spark", "stream"]},
+    )
+    assert search(reader, "spark NOT sp*", k=5) == []
+    with pytest.raises(ValueError):
+        search_topk(reader, ["the"], boosts={"the": math.nan})
+    with pytest.raises(ValueError):
+        search_topk(reader, ["the"], boosts={"absent_term": -1.0})
+    with pytest.raises(ValueError):
+        search_distributed(reader, ["the"], boosts={"the": math.nan})

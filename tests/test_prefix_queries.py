@@ -109,3 +109,14 @@ def test_regex_search_matches_oracle(reader, duck):
         want = [tuple(r) for r in duck.execute(bm25_regex_oracle_sql(pat)).fetchall()]
         assert got == want, pat
     assert search_regex(reader, "zzz.*") == []
+
+
+def test_regex_prefix_pruning_soundness(reader, duck):
+    """Alternation and optional-quantifier patterns must not be pruned away
+    by the literal-prefix range bound (review regression)."""
+    import re
+
+    vocab = _vocab(duck)
+    for pat in ["sort|slow", "slow?", "scan*", "spar{1,2}k", "s(ort|low)"]:
+        want = sorted(t for t in vocab if re.fullmatch(pat, t))
+        assert reader.expand_regex(pat) == want, pat
