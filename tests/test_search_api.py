@@ -133,3 +133,23 @@ def test_snippets_empty_for_termless_docs(spark, reader, duck):
     for d in without:
         assert out[d] == ""
     assert any("dup" in s.split() for s in out.values())
+
+
+def test_parse_query_never_crashes():
+    """Robustness fuzz: arbitrary query strings either parse or raise
+    ValueError — never IndexError/TypeError/AttributeError."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def run(q):
+        try:
+            terms, mode, exclude = parse_query(q)
+        except ValueError:
+            return
+        assert isinstance(terms, list) and terms
+        assert mode in ("conjunctive", "disjunctive", "phrase") or mode.startswith("near:")
+        assert isinstance(exclude, list)
+
+    run()
