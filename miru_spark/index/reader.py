@@ -156,6 +156,38 @@ class IndexReader:
         )
         return self.spark.createDataFrame([], schema)
 
+    @property
+    def tombstones(self) -> np.ndarray | None:
+        """Sorted unique tombstoned doc_ids (writer.delete_docs), or None.
+        Loaded once per reader from the tombstones dir (driver-side
+        pyarrow); every serving path filters these out (Lucene live-docs
+        semantics) until purge_deleted rewrites the index."""
+        if not hasattr(self, "_tombstones"):
+            import os
+
+            import pyarrow.dataset as pads
+
+            d = f"{self.index_path}/tombstones"
+            if os.path.isdir(d):
+                ids = (
+                    pads.dataset(d, format="parquet")
+                    .to_table(columns=["doc_id"])
+                    .column("doc_id")
+                    .to_numpy()
+                )
+                self._tombstones = np.unique(ids.astype(np.int64))
+            else:
+                self._tombstones = None
+        return self._tombstones
+
+    def tombstones_df(self) -> DataFrame | None:
+        t = self.tombstones
+        if t is None or t.size == 0:
+            return None
+        return self.spark.createDataFrame(
+            [(int(i),) for i in t], "doc_id long"
+        )
+
     def docmap_df(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_path}/docmap")
 

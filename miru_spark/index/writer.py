@@ -84,6 +84,133 @@ def compaction_files_per_dir(
     return max(1, est_bytes // (N_TERM_PREFIX_BUCKETS * target_file_bytes) + 1)
 
 
+def delete_docs(index_path: str, doc_ids) -> int:
+    """Tombstone-delete documents (Lucene live-docs style): appends the ids
+    to ``index_path/tombstones/`` (one parquet file per call, driver-side,
+    no Spark job). Readers filter tombstoned docs out of every serving path
+    immediately; postings/docmap/stats stay untouched until
+    :func:`purge_deleted` physically rewrites them (standard semantics —
+    scores drift slightly until purge because df/avgdl still count deleted
+    docs, exactly as in Lucene before a merge).
+
+    Returns the total tombstone count after the append.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = sorted({int(i) for i in doc_ids})
+    if not ids:
+        raise ValueError("no doc_ids to delete")
+    d = f"{index_path}/tombstones"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64())}),
+        f"{d}/delete-{int(time.time() * 1e6)}-{os.getpid()}.parquet",
+    )
+    import pyarrow.dataset as pads
+
+    return pads.dataset(d, format="parquet").count_rows()
+
+
+def purge_deleted(spark: SparkSession, index_path: str) -> dict:
+    """Physically remove tombstoned documents: one mapInArrow pass decodes
+    every chunk, drops dead postings, and re-encodes (block metadata and
+    impact frontiers rebuilt); docmap/df/stats are recomputed and the
+    tombstone directory cleared. O(index), run it like a Lucene merge —
+    when the deleted fraction justifies the rewrite."""
+    import shutil
+
+    import pyarrow as pa
+
+    from miru_spark.index.format import pack_chunk, unpack_chunk
+    from miru_spark.index.reader import IndexReader
+
+    reader = IndexReader(spark, index_path)
+    dead = reader.tombstones
+    if dead is None or dead.size == 0:
+        return read_manifest(index_path) or {}
+    dead_list = [int(i) for i in dead]
+    codec = int(reader.stats.get("codec", CODEC_VARINT))
+    positions = bool(reader.stats.get("positions", False))
+
+    post = spark.read.parquet(f"{index_path}/postings")
+    out_schema = post.schema
+
+    def rewrite(batches):
+        import numpy as np
+
+        from miru_spark.index.format import unpack_positions
+
+        dead_np = np.array(dead_list, dtype=np.uint64)
+        for batch in batches:
+            rows = batch.to_pylist()
+            out = []
+            for row in rows:
+                ids, tfs, dls = unpack_chunk(
+                    row["blob"], row["blocks"], int(row["codec"])
+                )
+                keep = ~np.isin(ids, dead_np, assume_unique=True)
+                if keep.all():
+                    out.append(row)
+                    continue
+                if not keep.any():
+                    continue  # chunk entirely deleted
+                pos = None
+                if positions and row.get("pos_blob") is not None:
+                    flat = unpack_positions(row["pos_blob"], tfs)
+                    pos = flat[np.repeat(keep, tfs.astype(np.int64))]
+                blob, metas, (ci_tf, ci_dl), pos_blob = pack_chunk(
+                    ids[keep], tfs[keep], dls[keep],
+                    codec=int(row["codec"]),
+                    positions=pos,
+                )
+                row = dict(
+                    row,
+                    df_chunk=int(keep.sum()),
+                    first_docid=int(ids[keep][0]),
+                    last_docid=int(ids[keep][-1]),
+                    blob=blob,
+                    pos_blob=pos_blob,
+                    i_tf=ci_tf,
+                    i_dl=ci_dl,
+                    blocks=metas,
+                )
+                out.append(row)
+            if out:
+                yield pa.RecordBatch.from_pylist(out, schema=batch.schema)
+
+    tmp = f"{index_path}/postings_purged"
+    post.mapInArrow(rewrite, out_schema).write.mode("overwrite").partitionBy(
+        "term_pref"
+    ).parquet(tmp)
+    shutil.rmtree(f"{index_path}/postings")
+    os.rename(tmp, f"{index_path}/postings")
+
+    docmap = spark.read.parquet(f"{index_path}/docmap").filter(
+        ~F.col("doc_id").isin(dead_list)
+    )
+    docmap = docmap.localCheckpoint(eager=True)
+    docmap.write.mode("overwrite").parquet(f"{index_path}/docmap")
+    stats_row = docmap.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("tok")
+    ).collect()[0]
+    n_docs, n_tokens = int(stats_row["n"]), int(stats_row["tok"] or 0)
+    segs = spark.read.parquet(f"{index_path}/postings")
+    write_term_dictionary(
+        segs.withColumnRenamed("df_chunk", "df_local"), index_path, n_tokens
+    )
+    stats = dict(
+        reader.stats,
+        n_docs=n_docs,
+        n_tokens=n_tokens,
+        avgdl=n_tokens / max(n_docs, 1),
+    )
+    with open(f"{index_path}/stats.json", "w") as f:
+        json.dump(stats, f, indent=1, sort_keys=True)
+    shutil.rmtree(f"{index_path}/tombstones", ignore_errors=True)
+    return stats
+
+
 def write_term_dictionary(
     segments: DataFrame, index_path: str, n_tokens: int
 ) -> None:

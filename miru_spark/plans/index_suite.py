@@ -362,6 +362,69 @@ GROUP BY term ORDER BY df DESC, term LIMIT 5
 """.strip()
 
 
+_DELETED_DOCS = [169, 491, 7]
+_DELETE_IDX: dict[str, str] = {}
+
+
+def _delete_index(spark: SparkSession, sf_dir: str) -> str:
+    """A scratch index with three tombstoned docs (separate from the shared
+    ensure_index so no other entry sees the deletions)."""
+    import tempfile
+
+    from miru_spark.index.writer import build_index, delete_docs
+    from miru_spark.schema import read_corpus
+
+    if sf_dir not in _DELETE_IDX:
+        path = tempfile.mkdtemp(prefix="miru_del_") + "/idx"
+        build_index(spark, read_corpus(spark, sf_dir), path, num_partitions=8)
+        delete_docs(path, _DELETED_DOCS)
+        _DELETE_IDX[sf_dir] = path
+    return _DELETE_IDX[sf_dir]
+
+
+def q_delete_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstoned docs vanish from serving while stats stay pre-delete
+    (Lucene live-docs semantics) — oracled against a result-side filter."""
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.plans.search import search_topk
+
+    reader = IndexReader(spark, _delete_index(spark, sf_dir))
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_topk(reader, ["join", "hash"], mode="conjunctive", k=10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+_PURGE_IDX: dict[str, str] = {}
+
+
+def q_delete_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """After purge_deleted the index physically re-reflects the corpus
+    minus the deleted docs — stats/df recomputed, so the oracle filters
+    INSIDE the tokenization CTE."""
+    import shutil
+    import tempfile
+
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import purge_deleted
+    from miru_spark.plans.search import search_topk
+
+    if sf_dir not in _PURGE_IDX:
+        src = _delete_index(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="miru_purge_") + "/idx"
+        shutil.copytree(src, path)
+        purge_deleted(spark, path)
+        _PURGE_IDX[sf_dir] = path
+    reader = IndexReader(spark, _PURGE_IDX[sf_dir])
+    assert reader.tombstones is None
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_topk(reader, ["the", "dup"], mode="disjunctive", k=10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 _RESUME_IDX: dict[str, str] = {}
 
 
@@ -515,6 +578,18 @@ def register_all(register) -> None:
     register(
         "bm25_index_resume", q_index_resume,
         bm25_oracle_sql(["join", "hash"], "conjunctive"),
+    )
+    from miru_spark.plans.relational import bm25_delete_oracle_sql
+
+    register(
+        "bm25_index_delete", q_delete_tombstone,
+        bm25_delete_oracle_sql(["join", "hash"], "conjunctive", _DELETED_DOCS),
+    )
+    register(
+        "bm25_index_purge", q_delete_purged,
+        bm25_delete_oracle_sql(
+            ["the", "dup"], "disjunctive", _DELETED_DOCS, purged=True
+        ),
     )
     register(
         "bm25_index_snapshot", q_index_snapshot,

@@ -269,6 +269,33 @@ def bm25_fuzzy_oracle_sql(
     )
 
 
+def bm25_delete_oracle_sql(
+    terms: list[str],
+    mode: str,
+    deleted: list[int],
+    k: int = 10,
+    purged: bool = False,
+) -> str:
+    """Oracle for deletes. Tombstone phase (purged=False): corpus stats
+    still count deleted docs (Lucene pre-merge semantics) — filter results
+    only. Purge phase: stats recomputed — the deleted docs leave the
+    corpus entirely (filter inside the tokenization CTE)."""
+    ids = ", ".join(str(int(i)) for i in deleted)
+    if purged:
+        inner = bm25_oracle_sql(terms, mode, k=k)
+        return inner.replace(
+            "FROM documents",
+            f"FROM (SELECT * FROM documents WHERE doc_id NOT IN ({ids}))",
+            1,
+        )
+    inner = bm25_oracle_sql(terms, mode, k=1 << 30)
+    return f"""
+WITH ranked AS ({inner})
+SELECT doc_id, score FROM ranked WHERE doc_id NOT IN ({ids})
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def facet_oracle_sql(
     terms: list[str], mode: str = "conjunctive", facet_col: str = "lang"
 ) -> str:

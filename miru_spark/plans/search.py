@@ -726,11 +726,23 @@ def search_topk(
     return _route_query(reader, tps, terms, mode, k, strategy, excl)
 
 
+def _with_tombstones(reader, excl: np.ndarray | None) -> np.ndarray | None:
+    """Merge the index's tombstoned doc_ids (writer.delete_docs) into the
+    exclusion set — deleted docs vanish from every serving path."""
+    tomb = getattr(reader, "tombstones", None)
+    if tomb is None or tomb.size == 0:
+        return excl
+    if excl is None:
+        return tomb
+    return np.union1d(excl, tomb)
+
+
 def _route_query(
     reader, tps, terms, mode, k, strategy, excl=None, decode_cache=None
 ) -> list[tuple[int, float]]:
     """Pick the serving strategy for one query given already-fetched
     TermPostings (shared by search_topk and search_many)."""
+    excl = _with_tombstones(reader, excl)
     if mode == "conjunctive" and len([t for t in terms if t in tps]) < len(terms):
         return []  # a term matches nothing -> empty intersection
     total_postings = sum(tps[t].df for t in terms if t in tps)
@@ -799,7 +811,7 @@ def search_exhaustive(
     tps = _apply_boosts(reader.fetch_terms(terms), boosts)
     if mode == "conjunctive" and len(tps) < len(terms):
         return []
-    excl = _exclusion_ids(reader, exclude)
+    excl = _with_tombstones(reader, _exclusion_ids(reader, exclude))
     return _exhaustive_from_tps(reader, tps, terms, mode, k, excl=excl)
 
 
@@ -911,6 +923,9 @@ def search_phrase(
         if survivors.size == 0:
             return []
     verified = np.unique(survivors >> np.uint64(32)).astype(np.int64)
+    tomb = _with_tombstones(reader, None)
+    if tomb is not None:
+        verified = verified[~np.isin(verified, tomb, assume_unique=True)]
     scores = np.zeros(verified.size)
     for t in uterms:
         ids, tfs, dls, _ = data[t]
@@ -990,6 +1005,9 @@ def search_near(
     right = j < kb.size
     near[right] |= kb[j[right]] - ka[right] <= uslop
     verified = np.unique(ka[near] >> np.uint64(32)).astype(np.int64)
+    tomb = _with_tombstones(reader, None)
+    if tomb is not None:
+        verified = verified[~np.isin(verified, tomb, assume_unique=True)]
     if verified.size == 0:
         return []
     scores = np.zeros(verified.size)
@@ -1191,6 +1209,9 @@ def search_distributed(
             _ids_only_arrow, _DOCID_SCHEMA
         )
         agg = agg.join(ex_ids, "doc_id", "left_anti")
+    tomb_df = reader.tombstones_df()
+    if tomb_df is not None:
+        agg = agg.join(F.broadcast(tomb_df), "doc_id", "left_anti")
     score = (
         F.round(F.col("score"), round_digits)
         if round_digits is not None

@@ -1,0 +1,105 @@
+"""Document deletes: tombstones (live-docs filtering) + physical purge."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from miru_spark.index.reader import IndexReader
+from miru_spark.index.writer import build_index, delete_docs, purge_deleted
+from miru_spark.plans.search import (
+    search_count,
+    search_distributed,
+    search_exhaustive,
+    search_phrase,
+    search_topk,
+)
+from miru_spark.schema import read_corpus
+from tests.conftest import SF_DIR
+
+DELETED = [169, 491, 7]
+
+
+@pytest.fixture(scope="module")
+def del_index(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("delidx") / "idx")
+    build_index(
+        spark, read_corpus(spark, SF_DIR), p, num_partitions=4,
+        positions=True, target_chunk=64,
+    )
+    n = delete_docs(p, DELETED)
+    assert n == len(DELETED)
+    return p
+
+
+def test_tombstones_filter_every_path(spark, del_index, reader):
+    r = IndexReader(spark, del_index)
+    assert sorted(r.tombstones.tolist()) == sorted(DELETED)
+    base = search_topk(reader, ["join", "hash"], k=10)
+    assert any(d in DELETED for d, _ in base)  # deletions actually bite
+    for got in [
+        search_topk(r, ["join", "hash"], k=10),
+        search_topk(r, ["join", "hash"], k=10, strategy="wand"),
+        search_exhaustive(r, ["join", "hash"], k=10),
+        [(x.doc_id, x.score) for x in search_distributed(r, ["join", "hash"]).collect()],
+        search_phrase(r, "the a", k=100),
+    ]:
+        assert not ({d for d, _ in got} & set(DELETED))
+    # survivors keep their exact scores (tombstones only REMOVE docs)
+    base_scores = dict(base)
+    for d, s in search_topk(r, ["join", "hash"], k=10):
+        if d in base_scores:
+            assert s == pytest.approx(base_scores[d], abs=1e-12)
+    n = search_count(r, ["the"], "disjunctive").first().n_hits
+    n0 = search_count(reader, ["the"], "disjunctive").first().n_hits
+    dead_with_the = {
+        x.doc_id
+        for x in read_corpus(spark, SF_DIR)
+        .filter(F.col("doc_id").isin(DELETED))
+        .filter(F.concat(F.lit(" "), F.col("content"), F.lit(" ")).contains(" the "))
+        .collect()
+    }
+    assert n == n0 - len(dead_with_the)
+
+
+def test_delete_accumulates_and_validates(spark, tmp_path):
+    p = str(tmp_path / "idx2")
+    build_index(spark, read_corpus(spark, SF_DIR), p, num_partitions=2)
+    assert delete_docs(p, [1, 2]) == 2
+    assert delete_docs(p, [2, 3]) == 4  # raw rows; reader dedups
+    r = IndexReader(spark, p)
+    assert r.tombstones.tolist() == [1, 2, 3]
+    with pytest.raises(ValueError):
+        delete_docs(p, [])
+
+
+def test_purge_matches_fresh_build_of_remaining_corpus(spark, del_index):
+    """After purge, the index must be RANK-IDENTICAL (docids + scores) to a
+    fresh build over the corpus minus the deleted docs — stats, df, and
+    postings all physically reflect the deletion."""
+    import shutil
+    import tempfile
+
+    p = tempfile.mkdtemp(prefix="purge_") + "/idx"
+    shutil.copytree(del_index, p)
+    stats = purge_deleted(spark, p)
+    assert stats["n_docs"] == 500 - len(DELETED)
+    r = IndexReader(spark, p)
+    assert r.tombstones is None
+
+    fresh_p = tempfile.mkdtemp(prefix="fresh_") + "/idx"
+    remaining = read_corpus(spark, SF_DIR).filter(~F.col("doc_id").isin(DELETED))
+    build_index(spark, remaining, fresh_p, num_partitions=4, positions=True)
+    fr = IndexReader(spark, fresh_p)
+    assert r.n_docs == fr.n_docs and r.stats["n_tokens"] == fr.stats["n_tokens"]
+    for terms, mode in [
+        (["join", "hash"], "conjunctive"),
+        (["the", "dup"], "disjunctive"),
+        (["dup"], "conjunctive"),
+    ]:
+        a = search_topk(r, terms, mode=mode, k=10)
+        b = search_topk(fr, terms, mode=mode, k=10)
+        assert [d for d, _ in a] == [d for d, _ in b]
+        np.testing.assert_allclose([s for _, s in a], [s for _, s in b], atol=1e-9)
+    assert search_phrase(r, "the a", k=10) == search_phrase(fr, "the a", k=10)
