@@ -121,6 +121,9 @@ class IndexReader:
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
         self.positions = bool(self.stats.get("positions", False))
+        # a time-traveled reader views a HISTORICAL snapshot: tombstones
+        # written later must not leak into it
+        self._pinned_snapshot = snapshot_id is not None
 
     # -------------------------------------------------------------- scans --
     def _snapshot_file_list(self, terms: list[str] | None) -> list[str]:
@@ -168,7 +171,9 @@ class IndexReader:
             import pyarrow.dataset as pads
 
             d = f"{self.index_path}/tombstones"
-            if os.path.isdir(d):
+            if self._pinned_snapshot:
+                self._tombstones = None  # historical view: docs were live
+            elif os.path.isdir(d):
                 ids = (
                     pads.dataset(d, format="parquet")
                     .to_table(columns=["doc_id"])
@@ -181,12 +186,19 @@ class IndexReader:
         return self._tombstones
 
     def tombstones_df(self) -> DataFrame | None:
+        """Distinct tombstoned ids as a DataFrame — read straight from the
+        on-disk parquet (no driver->JVM row shipping) and cached per
+        reader; None when the reader has no applicable tombstones."""
         t = self.tombstones
         if t is None or t.size == 0:
             return None
-        return self.spark.createDataFrame(
-            [(int(i),) for i in t], "doc_id long"
-        )
+        if getattr(self, "_tombstones_df", None) is None:
+            self._tombstones_df = (
+                self.spark.read.parquet(f"{self.index_path}/tombstones")
+                .select(F.col("doc_id").cast("long"))
+                .distinct()
+            )
+        return self._tombstones_df
 
     def docmap_df(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_path}/docmap")

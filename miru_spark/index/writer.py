@@ -122,15 +122,33 @@ def purge_deleted(spark: SparkSession, index_path: str) -> dict:
 
     import pyarrow as pa
 
+    from miru_spark.index import snapshots as snapmod
     from miru_spark.index.format import pack_chunk, unpack_chunk
     from miru_spark.index.reader import IndexReader
 
+    if snapmod.read_snapshot(index_path) is not None:
+        raise NotImplementedError(
+            "purge_deleted targets directory-layout indexes; a snapshot-"
+            "protocol index needs the rewrite committed as a NEW snapshot "
+            "(append-only files are never rewritten in place) — tombstone "
+            "filtering still applies to current-state readers"
+        )
+    if os.path.exists(f"{index_path}/_merged.json"):
+        raise NotImplementedError(
+            "purge_deleted does not support incrementally-finalized indexes "
+            "(their delta-merge re-reads the segment checkpoint); filter at "
+            "the stream source and re-finalize instead"
+        )
     reader = IndexReader(spark, index_path)
     dead = reader.tombstones
     if dead is None or dead.size == 0:
-        return read_manifest(index_path) or {}
+        return dict(reader.stats)
+    if dead.size >= reader.n_docs:
+        raise ValueError(
+            "purge would delete every remaining document; drop the index "
+            "instead of purging it"
+        )
     dead_list = [int(i) for i in dead]
-    codec = int(reader.stats.get("codec", CODEC_VARINT))
     positions = bool(reader.stats.get("positions", False))
 
     post = spark.read.parquet(f"{index_path}/postings")
@@ -208,6 +226,15 @@ def purge_deleted(spark: SparkSession, index_path: str) -> dict:
     with open(f"{index_path}/stats.json", "w") as f:
         json.dump(stats, f, indent=1, sort_keys=True)
     shutil.rmtree(f"{index_path}/tombstones", ignore_errors=True)
+    # the segment checkpoint still contains the dead postings: any later
+    # resume/re-merge from it would RESURRECT them. Invalidate it — a
+    # resumed build regenerates segments from the (corrected) corpus.
+    shutil.rmtree(f"{index_path}/segments", ignore_errors=True)
+    man = read_manifest(index_path)
+    if man is not None:
+        man["partitions"] = {}
+        man["purged"] = sorted(dead_list)
+        _write_manifest(f"{index_path}/manifest.json", man)
     return stats
 
 

@@ -103,3 +103,60 @@ def test_purge_matches_fresh_build_of_remaining_corpus(spark, del_index):
         assert [d for d, _ in a] == [d for d, _ in b]
         np.testing.assert_allclose([s for _, s in a], [s for _, s in b], atol=1e-9)
     assert search_phrase(r, "the a", k=10) == search_phrase(fr, "the a", k=10)
+
+
+def test_purge_guards_and_idempotence(spark, tmp_path):
+    import json
+    import os
+
+    from miru_spark.index.writer import read_manifest
+
+    p = str(tmp_path / "gidx")
+    build_index(spark, read_corpus(spark, SF_DIR), p, num_partitions=2)
+    # no tombstones: purge is a stats-shaped no-op
+    stats = purge_deleted(spark, p)
+    assert stats["n_docs"] == 500 and "avgdl" in stats
+    # deleting EVERYTHING is refused before any mutation
+    delete_docs(p, list(range(500)))
+    with pytest.raises(ValueError):
+        purge_deleted(spark, p)
+    # real purge invalidates the segment checkpoint so a later re-merge
+    # cannot resurrect the dead docs
+    import shutil
+
+    shutil.rmtree(f"{p}/tombstones")
+    delete_docs(p, [1, 2, 3])
+    purge_deleted(spark, p)
+    assert not os.path.isdir(f"{p}/segments")
+    man = read_manifest(p)
+    assert man["partitions"] == {} and man["purged"] == [1, 2, 3]
+    # second purge: clean no-op with the updated stats
+    assert purge_deleted(spark, p)["n_docs"] == 497
+    # incremental (delta-merge) indexes are refused
+    with open(f"{p}/_merged.json", "w") as f:
+        json.dump({"merged_batches": []}, f)
+    delete_docs(p, [10])
+    with pytest.raises(NotImplementedError):
+        purge_deleted(spark, p)
+
+
+def test_snapshot_time_travel_ignores_later_tombstones(spark, tmp_path):
+    """Deletes after a snapshot must NOT leak into a time-traveled view;
+    current-state readers DO see them; purge on snapshot indexes refuses."""
+    from miru_spark.index.snapshots import list_snapshots
+
+    p = str(tmp_path / "sidx")
+    build_index(
+        spark, read_corpus(spark, SF_DIR), p, num_partitions=2, snapshots=True
+    )
+    snap0 = list_snapshots(p)[-1]
+    base = search_topk(IndexReader(spark, p), ["join", "hash"], k=10)
+    victims = [base[0][0], base[1][0]]
+    delete_docs(p, victims)
+    pinned = IndexReader(spark, p, snapshot_id=snap0)
+    assert search_topk(pinned, ["join", "hash"], k=10) == base
+    current = IndexReader(spark, p)
+    got = {d for d, _ in search_topk(current, ["join", "hash"], k=10)}
+    assert not (got & set(victims))
+    with pytest.raises(NotImplementedError):
+        purge_deleted(spark, p)
