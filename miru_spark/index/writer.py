@@ -8,10 +8,17 @@ would — SURVEY.md section 7 M8 note):
     index_path/
       docmap/                parquet, sorted by doc_id
       segments/              parquet, partitioned by partition_id  (checkpoint)
-      postings/              parquet, partitioned by term_pref = xxhash64(term) % NB
-      df/                    parquet (term, df)
+      postings/              parquet, partitioned by term_pref = crc32(term) % NB,
+                             dir-aligned compaction (~512 MB files)
+      df/                    TERM DICTIONARY: range-partitioned, term-sorted
+                             (statistics-pruned prefix/regex/suggest seeks)
+      fuzzy/                 optional FastSS deletion-neighborhood table
+                             (build_fuzzy_dictionary)
+      tombstones/            optional delete tombstones (delete_docs;
+                             purge_deleted rewrites and clears)
       stats.json             {n_docs, avgdl, n_tokens, codec, ...}
       manifest.json          per-logical-partition lineage + metrics, atomic
+      _snapshots/            optional Iceberg-style snapshot manifests
 
 ``term_pref`` directory-partitioning is the "seek to the posting list": a
 query computes its terms' prefixes and Catalyst prunes every other directory
