@@ -312,10 +312,12 @@ def _expand_with_boosts(
     max_terms: int,
 ) -> tuple[list[str], dict[str, float]]:
     """Expand wildcard tokens; a boost on a wildcard ('sp*^2') propagates
-    to every expansion (an explicit term's own boost wins on collision by
-    later assignment)."""
+    to every expansion. An explicit term's own boost wins on collision
+    regardless of token order ('spark^2 sp*^3' keeps spark at 2.0): wildcard
+    boosts land in a first pass, explicit boosts overwrite in a second."""
     out: list[str] = []
     bout: dict[str, float] = {}
+    explicit: dict[str, float] = {}
     for t in tokens:
         if _is_multi(t):
             if t[-1] == "*":
@@ -330,7 +332,8 @@ def _expand_with_boosts(
         else:
             out.append(t)
             if t in boosts:
-                bout[t] = boosts[t]
+                explicit[t] = boosts[t]
+    bout.update(explicit)
     return list(dict.fromkeys(out)), bout
 
 

@@ -151,6 +151,17 @@ def finalize_streamed_index(
         "pos" in segments.columns
         and segments.filter(F.col("pos").isNotNull()).limit(1).count() > 0
     )
+    if has_pos and segments.filter(F.col("pos").isNull()).limit(1).count() > 0:
+        # Positions were enabled mid-stream: the merge would silently drop
+        # the position stream for terms whose (term,bucket) groups mix null
+        # and non-null pos rows while stats still said positions=true, and
+        # phrase/near queries would then crash or miss matches. Fail fast —
+        # mirrors the batch resume guard on manifest['positions'].
+        raise ValueError(
+            "segments mix positional and non-positional micro-batches "
+            "(positions toggled mid-stream); rebuild the index with a "
+            "consistent positions= setting"
+        )
     stats = {
         "n_docs": int(n_docs),
         "avgdl": float(avgdl),
@@ -229,12 +240,13 @@ def finalize_streamed_index(
             out = merged_new.unionByName(carried.select(*merged_new.columns))
             # materialize BEFORE overwriting the directory we just read from
             out = out.localCheckpoint(eager=True)
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            compact(out).write.mode("overwrite").partitionBy("term_pref").parquet(
-                post_path
-            )
+            # per-writer option, NOT spark.conf.set: a session-level
+            # partitionOverwriteMode=dynamic would silently turn every later
+            # mode('overwrite').partitionBy(...) write in this session into a
+            # partition-level overwrite that keeps stale files
+            compact(out).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("term_pref").parquet(post_path)
     elif new_batches or not have_prior:
         merged = compact(
             merge_segments(

@@ -132,8 +132,11 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CAST(SUM(..) AS BIGINT): DuckDB's SUM over an integer column returns
+# HUGEINT, Spark emits BIGINT — the driver's type-aware value hash differs
+# even when every value matches (same artifact rel_b24 hit in round 1).
 STREAM_STATEFUL_SQL = """
-SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
 FROM documents GROUP BY source ORDER BY source
 """.strip()
 

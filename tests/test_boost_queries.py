@@ -86,6 +86,14 @@ def test_boosted_wildcard_and_overlap_policies(reader):
         boosts={t: 0.5 for t in ["scan", "slow", "small", "sort", "spark", "stream"]},
     )
     assert search(reader, "spark NOT sp*", k=5) == []
+    # explicit boost wins over a wildcard-propagated one in EITHER token
+    # order (r2 ADVICE: wildcard-after-explicit used to overwrite it)
+    assert search(reader, "spark^2 OR sp*^3", k=5) == search(
+        reader, "sp*^3 OR spark^2", k=5
+    )
+    assert search(reader, "spark^2 OR sp*^3", k=5) == search_topk(
+        reader, ["spark"], mode="disjunctive", k=5, boosts={"spark": 2.0}
+    )
     with pytest.raises(ValueError):
         search_topk(reader, ["the"], boosts={"the": math.nan})
     with pytest.raises(ValueError):

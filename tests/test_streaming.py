@@ -293,3 +293,32 @@ def test_streamed_index_serves_prefix_and_fuzzy(spark, tmp_path):
     assert streamed.expand_prefix("s") == batch.expand_prefix("s")
     assert streamed.expand_fuzzy("hsh") == batch.expand_fuzzy("hsh")
     assert search_prefix(streamed, "s", k=10) == search_prefix(batch, "s", k=10)
+
+
+def test_finalize_rejects_mixed_positional_batches(spark, tmp_path):
+    """Positions toggled mid-stream must fail fast at finalize (r2 ADVICE):
+    a silent merge would drop position streams for mixed terms while
+    stats.json still claimed positions=true."""
+    from miru_spark.streaming.incremental import (
+        finalize_streamed_index,
+        incremental_index_stream,
+        stream_corpus,
+    )
+
+    corpus = read_corpus(spark, SF_DIR)
+    n = corpus.count()
+    half = n // 2
+    idx = str(tmp_path / "idx")
+    drops = str(tmp_path / "drops")
+    # one source dir + one checkpoint: the second run resumes from the
+    # checkpointed offsets, so the new file lands as batch 1 (not a
+    # restarted batch 0 that would overwrite the first run's segments)
+    for flt, pos in [(F.col("doc_id") < half, False), (F.col("doc_id") >= half, True)]:
+        corpus.filter(flt).coalesce(1).write.mode("append").parquet(drops)
+        q = incremental_index_stream(
+            stream_corpus(spark, drops), idx,
+            docs_per_part=max(1, -(-n // 4)), num_partitions=4, positions=pos,
+        )
+        q.awaitTermination(300)
+    with pytest.raises(ValueError, match="mix positional"):
+        finalize_streamed_index(spark, idx, num_partitions=4)
