@@ -268,49 +268,72 @@ def sql_frame_sample():
 
 
 def register_all(register) -> None:
-    from miru_spark.pipeline.textqual import TOKEN_STATS_SQL, text_quality_oracle_sql
-    from miru_spark.pipeline.similarity import cosine_near_pairs_oracle_sql
-
-    register("pipe_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT)
-    register("pipe_dedup_exact_keep", q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP)
-    register("pipe_dedup_ngram_jaccard", q_dedup_ngram_jaccard, sql_dedup_ngram_jaccard())
-    register("pipe_dedup_minhash_lsh", q_dedup_minhash, None)
-    register("pipe_dedup_simhash", q_dedup_simhash, None)
-    register("pipe_ann_cosine_brute", q_ann_brute, SQL_ANN_BRUTE)
-    register("pipe_cosine_near_pairs", q_cosine_pairs, cosine_near_pairs_oracle_sql(0.5))
-    from miru_spark.pipeline.similarity import embedding_dedup_oracle_sql
-
-    register("pipe_dedup_embedding", q_dedup_embedding, embedding_dedup_oracle_sql(0.4))
-    register("pipe_ann_lsh", q_ann_lsh, None)
-    register("pipe_ann_ivf", q_ann_ivf, None)
-    register("pipe_text_quality", q_text_quality, text_quality_oracle_sql())
-    register("pipe_token_stats", q_token_stats, TOKEN_STATS_SQL)
-    from miru_spark.pipeline.textqual import token_counts_oracle_sql
-
-    register("pipe_token_counts", q_token_counts, token_counts_oracle_sql())
-    from miru_spark.pipeline.textqual import lang_id_oracle_sql
-
-    register("pipe_lang_id", q_lang_id, lang_id_oracle_sql())
-    register("pipe_winnow_pairs", q_winnow_pairs, None)
+    """16 pipeline driver entries (was 23): same-family cases packed into
+    tagged-union composites; tags = the old entry names."""
     from miru_spark.pipeline.sampling import (
         hash_sample_oracle_sql,
         stratified_sample_oracle_sql,
     )
-    from miru_spark.pipeline.textqual import repetition_oracle_sql
+    from miru_spark.pipeline.similarity import (
+        cosine_near_pairs_oracle_sql,
+        embedding_dedup_oracle_sql,
+    )
+    from miru_spark.pipeline.textqual import (
+        TOKEN_STATS_SQL,
+        contamination_oracle_sql,
+        lang_id_oracle_sql,
+        repetition_oracle_sql,
+        text_quality_oracle_sql,
+        token_counts_oracle_sql,
+    )
+    from miru_spark.plans.composite import register_composite
 
+    register_composite(register, "pipe_dedup_exact", [
+        ("pipe_dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT,
+         ("keep_doc_id", "n_docs")),
+        ("pipe_dedup_exact_keep", q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP,
+         ("doc_id",)),
+    ])
+    register("pipe_dedup_ngram_jaccard", q_dedup_ngram_jaccard, sql_dedup_ngram_jaccard())
+    # rows-only (seeded-random signatures; recall/identity covered in pytest)
+    register_composite(register, "pipe_dedup_fingerprint", [
+        ("pipe_dedup_minhash_lsh", q_dedup_minhash, None,
+         ("doc_a", "doc_b", "jaccard")),
+        ("pipe_dedup_simhash", q_dedup_simhash, None,
+         ("doc_a", "doc_b", "hamming")),
+    ])
+    register_composite(register, "pipe_similarity", [
+        ("pipe_ann_cosine_brute", q_ann_brute, SQL_ANN_BRUTE, ("vec_id", "cos")),
+        ("pipe_cosine_near_pairs", q_cosine_pairs,
+         cosine_near_pairs_oracle_sql(0.5), ("id_a", "id_b", "cos")),
+        ("pipe_dedup_embedding", q_dedup_embedding,
+         embedding_dedup_oracle_sql(0.4), ("vec_id",)),
+    ])
+    register_composite(register, "pipe_ann", [
+        ("pipe_ann_lsh", q_ann_lsh, None, ("vec_id", "cos")),
+        ("pipe_ann_ivf", q_ann_ivf, None, ("vec_id", "cos")),
+    ])
+    register("pipe_text_quality", q_text_quality, text_quality_oracle_sql())
+    register_composite(register, "pipe_tokens", [
+        ("pipe_token_stats", q_token_stats, TOKEN_STATS_SQL,
+         ("bucket", "n_docs")),
+        ("pipe_token_counts", q_token_counts, token_counts_oracle_sql(),
+         ("doc_id", "n_ws_tokens", "n_bpe_tokens", "chars_per_token")),
+    ])
+    register("pipe_lang_id", q_lang_id, lang_id_oracle_sql())
+    register("pipe_winnow_pairs", q_winnow_pairs, None)
     register("pipe_repetition", q_repetition, repetition_oracle_sql())
-    from miru_spark.pipeline.textqual import contamination_oracle_sql
-
     register(
         "pipe_contamination", q_contamination,
         contamination_oracle_sql(list(range(10)), n=8),
     )
     register("pipe_redact", q_redact, SQL_REDACT)
     register("pipe_grep_content", q_grep_content, SQL_GREP)
-    register("pipe_hash_sample", q_hash_sample, hash_sample_oracle_sql(0.25))
-    register(
-        "pipe_stratified_sample", q_stratified_sample,
-        stratified_sample_oracle_sql(5),
-    )
+    register_composite(register, "pipe_sample", [
+        ("pipe_hash_sample", q_hash_sample, hash_sample_oracle_sql(0.25),
+         ("doc_id",)),
+        ("pipe_stratified_sample", q_stratified_sample,
+         stratified_sample_oracle_sql(5), ("source", "doc_id")),
+    ])
     register("pipe_media_features", q_media_features, None)
     register("pipe_frame_sample", q_frame_sample, sql_frame_sample())

@@ -93,6 +93,9 @@ def corpus_model(spark: SparkSession, sf_dir: str) -> CorpusModel:
 
 
 def _register_bm25() -> None:
+    from miru_spark.plans.composite import register_composite
+
+    DS = ("doc_id", "score")
     cases = {
         "bm25_rel_conj2": (["join", "hash"], "conjunctive"),
         "bm25_rel_conj3": (["the", "a", "data"], "conjunctive"),
@@ -101,17 +104,15 @@ def _register_bm25() -> None:
         "bm25_rel_disj5": (["join", "hash", "dup", "tree", "node"], "disjunctive"),
         "bm25_rel_rare": (["dup"], "conjunctive"),
     }
-    for name, (terms, mode) in cases.items():
-        register(
-            name,
-            _mk_bm25(terms, mode),
-            bm25_oracle_sql(terms, mode),
-        )
-    register(
-        "bm25_rel_not",
-        _mk_bm25(["the", "a"], "conjunctive", exclude=["dup"]),
-        bm25_oracle_sql(["the", "a"], "conjunctive", exclude=["dup"]),
-    )
+    register_composite(register, "bm25_rel", [
+        (name, _mk_bm25(terms, mode), bm25_oracle_sql(terms, mode), DS)
+        for name, (terms, mode) in cases.items()
+    ] + [
+        ("bm25_rel_not",
+         _mk_bm25(["the", "a"], "conjunctive", exclude=["dup"]),
+         bm25_oracle_sql(["the", "a"], "conjunctive", exclude=["dup"]), DS),
+    ])
+
     def _mk_phrase(phrase):
         def run(spark, sf_dir):
             # served from the POSITIONAL binary index — no corpus scan; the
@@ -129,11 +130,13 @@ def _register_bm25() -> None:
 
         return run
 
-    for name, phrase in {
-        "bm25_phrase2": "the a",
-        "bm25_phrase3": "data the table",
-    }.items():
-        register(name, _mk_phrase(phrase), bm25_phrase_oracle_sql(phrase))
+    register_composite(register, "bm25_phrase", [
+        (name, _mk_phrase(phrase), bm25_phrase_oracle_sql(phrase), DS)
+        for name, phrase in {
+            "bm25_phrase2": "the a",
+            "bm25_phrase3": "data the table",
+        }.items()
+    ])
 
 
 def _mk_bm25(terms: list[str], mode: str, exclude: list[str] | None = None):

@@ -464,6 +464,11 @@ WHERE rk <= {k} ORDER BY {facet_col}, rk
 """.strip()
 
 
+DEFAULT_TOK_SQL = (
+    "SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents"
+)
+
+
 def bm25_oracle_sql(
     terms: list[str],
     mode: str = "conjunctive",
@@ -471,12 +476,15 @@ def bm25_oracle_sql(
     round_digits: int = 6,
     exclude: list[str] | None = None,
     boosts: dict[str, float] | None = None,
+    tok_sql: str = DEFAULT_TOK_SQL,
 ) -> str:
     """The matching DuckDB ANSI-SQL oracle (FIXTURES.md), same rounding.
 
     ``exclude`` mirrors :func:`bm25_from_model`'s boolean-NOT semantics:
     docs containing any excluded term are dropped after scoring.
     ``boosts`` multiplies a term's idf contribution (Lucene ``term^w``).
+    ``tok_sql`` swaps the tokenization CTE (e.g. code-mode tokenization over
+    a decorated corpus) — everything downstream of ``tok`` is unchanged.
     """
     terms = list(dict.fromkeys(terms))
     if not terms:
@@ -499,7 +507,7 @@ def bm25_oracle_sql(
         )
     where = ("WHERE " + " AND ".join(wheres)) if wheres else ""
     return f"""
-WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+WITH tok AS ({tok_sql}),
 tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP BY 1,2),
 dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
 stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),

@@ -730,7 +730,65 @@ QUERIES = {
     "rel_b27_cogroup": (q_b27_cogroup, SQL_B27),
 }
 
+# per-query output columns (for the tagged-union composite oracle branches)
+COLUMNS = {
+    "rel_b01_projection": ("l_orderkey", "l_linenumber", "revenue"),
+    "rel_b02_filter": ("n", "total"),
+    "rel_b03_inner_join": ("c_mktsegment", "n_orders", "total"),
+    "rel_b04_broadcast_join": ("p_brand", "qty"),
+    "rel_b05_outer_join": ("n_orders", "n_customers"),
+    "rel_b06_semi_anti": ("kind", "n"),
+    "rel_b07_theta_join": ("p_brand", "n"),
+    "rel_b08_hash_agg": (
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "avg_qty", "count_order",
+    ),
+    "rel_b09_distinct": ("l_returnflag", "n_parts", "n_supps"),
+    "rel_b11_rollup": ("l_returnflag", "l_linestatus", "n"),
+    "rel_b12_window_rank": ("o_custkey", "rk", "o_orderkey"),
+    "rel_b13_window_lag": ("o_custkey", "o_orderkey", "prev_price", "run_cnt"),
+    "rel_b14_topk": ("o_orderkey", "o_totalprice"),
+    "rel_b15_set_ops": ("kind", "l_suppkey"),
+    "rel_b16_explode": ("term", "n"),
+    "rel_b17_strings": ("c_custkey", "seg_upper", "name_prefix", "name_len", "joined"),
+    "rel_b18_sha": ("c_custkey", "h"),
+    "rel_b19_math": ("p_partkey", "log_price", "size_pow", "ratio"),
+    "rel_b20_dates": ("day", "event_type", "n", "total_value"),
+    "rel_b21_arrays": ("doc_id", "n_tokens", "has_dup", "n_unique"),
+    "rel_b22_json": ("event_id", "k"),
+    "rel_b23_pandas_udf": ("doc_id", "n_tokens"),
+    "rel_b24_apply_in_pandas": ("lang", "n_docs", "total_chars", "max_chars"),
+    "rel_b25_map_in_arrow": ("doc_id", "text_len"),
+    "rel_b27_cogroup": ("o_orderkey", "o_totalprice", "net_cents", "n_lines"),
+}
+
+# operator-family composites: 27 individual cases -> 11 driver entries
+# (the driver records at most 50 entries; tags = the old entry names)
+GROUPS = {
+    "rel_scan_filter": ("rel_b01_projection", "rel_b02_filter"),
+    "rel_joins": (
+        "rel_b03_inner_join", "rel_b04_broadcast_join", "rel_b05_outer_join",
+        "rel_b06_semi_anti", "rel_b07_theta_join",
+    ),
+    "rel_agg_rollup": ("rel_b08_hash_agg", "rel_b09_distinct", "rel_b11_rollup"),
+    "rel_window": ("rel_b12_window_rank", "rel_b13_window_lag", "rel_b14_topk"),
+    "rel_set_explode": ("rel_b15_set_ops", "rel_b16_explode"),
+    "rel_scalar_funcs": (
+        "rel_b17_strings", "rel_b18_sha", "rel_b19_math", "rel_b20_dates",
+    ),
+    "rel_nested": ("rel_b21_arrays", "rel_b22_json"),
+    "rel_pandas_arrow": ("rel_b23_pandas_udf", "rel_b25_map_in_arrow"),
+    "rel_apply_cogroup": ("rel_b24_apply_in_pandas", "rel_b27_cogroup"),
+}
+
 
 def register_all(register) -> None:
-    for name, (fn, sql) in QUERIES.items():
-        register(name, fn, sql)
+    from miru_spark.plans.composite import register_composite
+
+    for group, names in GROUPS.items():
+        register_composite(register, group, [
+            (n, QUERIES[n][0], QUERIES[n][1], COLUMNS[n]) for n in names
+        ])
+    # rows-only by design (approx / float-order nondeterminism): standalone
+    register("rel_b10_approx_distinct", q_b10_approx_distinct, None)
+    register("rel_b26_grouped_agg_udaf", q_b26_grouped_agg_udaf, None)
