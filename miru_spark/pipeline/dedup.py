@@ -13,9 +13,17 @@ Four tiers, all Spark-first (SURVEY.md's training-data mandate):
                candidates only. The 100TB-scale path: no quadratic stage
                ever materializes; bucket sizes bound the pair blow-up.
 * simhash    — 64-bit SimHash fingerprints (same shuffle-free mapInPandas
-               shape), banded into four 16-bit chunks for candidate
-               generation, verified by ``bit_count(xor)`` hamming distance —
-               JVM-side popcount.
+               shape), banded into ``max_hamming + 1`` disjoint bit chunks
+               (pigeonhole-sound for any radius), verified by
+               ``bit_count(xor)`` hamming distance — JVM-side popcount.
+
+The *_pairs operators emit every qualifying pair — O(m^2) per duplicate
+cluster of size m, fine at verification scale, wrong at 100TB where web/code
+boilerplate forms million-doc clusters. The *_clusters operators are the
+scale path: star edges to each bucket's min doc_id (O(m) per bucket),
+verification on those edges only, then connected components by min-label
+propagation -> (doc_id, cluster_rep). ``max_bucket_size`` additionally lets
+the pairs operators skip degenerate buckets.
 
 Shingle definition shared by all tiers: token 3-grams joined by one space,
 docs with <3 tokens excluded.
@@ -239,24 +247,13 @@ def minhash_signatures(
     return hashed.mapInPandas(sigs, out_schema)
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    threshold: float = 0.5,
-    n_perms: int = MINHASH_PERMS,
-    n_bands: int = MINHASH_BANDS,
-    seed: int = 42,
-    round_digits: int = 6,
+def _minhash_bands(
+    docs: DataFrame, n_perms: int, n_bands: int, seed: int
 ) -> DataFrame:
-    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
-
-    Stages: signatures -> band buckets (xxhash64 of band slice, JVM-side) ->
-    same-bucket candidate pairs (distinct) -> exact Jaccard on candidates
-    ONLY (shingle-set join restricted by a semi-join). Output identical to
-    ``ngram_jaccard_pairs`` restricted to LSH-recalled pairs.
-    """
+    """(doc_id, band_idx, bucket) — xxhash64 of each signature band slice."""
     rows_per_band = n_perms // n_bands
     sig = minhash_signatures(docs, n_perms, seed)
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -266,6 +263,50 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band_idx", "bucket"),
+    )
+
+
+def _cap_buckets(bands: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop (band_idx, bucket) groups larger than the cap BEFORE the pair
+    self-join: one boilerplate cluster of m near-identical docs would emit
+    O(m^2) candidate pairs per band otherwise. Capped docs are still
+    recalled through their other (smaller) band buckets; truly mega-bucket
+    content is boilerplate you want a cluster representative for anyway
+    (use the *_clusters operators, whose per-bucket cost is O(m))."""
+    if max_bucket_size is None:
+        return bands
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band_idx", "bucket")
+    return (
+        bands.withColumn("_bn", F.count("*").over(w))
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_perms: int = MINHASH_PERMS,
+    n_bands: int = MINHASH_BANDS,
+    seed: int = 42,
+    round_digits: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    Stages: signatures -> band buckets (xxhash64 of band slice, JVM-side) ->
+    same-bucket candidate pairs (distinct) -> exact Jaccard on candidates
+    ONLY (shingle-set join restricted by a semi-join). Output identical to
+    ``ngram_jaccard_pairs`` restricted to LSH-recalled pairs.
+
+    Pair output is inherently O(m^2) per duplicate cluster of size m; set
+    ``max_bucket_size`` to skip degenerate buckets, or use
+    :func:`minhash_dedup_clusters` for O(m) doc->representative output.
+    """
+    bands = _cap_buckets(
+        _minhash_bands(docs, n_perms, n_bands, seed), max_bucket_size
     )
     cand = (
         bands.alias("x")
@@ -278,13 +319,22 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification restricted to candidates
+    return (
+        _verify_jaccard(docs, cand, round_digits)
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _verify_jaccard(docs: DataFrame, cand: DataFrame, round_digits: int) -> DataFrame:
+    """Exact token-3-gram Jaccard for the given (doc_a, doc_b) candidate
+    pairs only: shingle join restricted by a semi-join on the candidate doc
+    set. Plain semi-join, no broadcast hint — on dup-heavy corpora the
+    candidate set is unbounded, and AQE broadcasts it when small."""
     sh = doc_shingles(docs)
     cand_docs = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select("doc_b")
     ).distinct()
-    # plain semi-join, no broadcast hint: on dup-heavy corpora the candidate
-    # set is unbounded, and AQE already broadcasts it when it is small
     sh = sh.join(cand_docs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -304,9 +354,126 @@ def minhash_lsh_pairs(
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
         .select("doc_a", "doc_b", F.round(jac, round_digits).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------------- cluster representatives --
+
+def min_label_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components of an undirected (a, b) edge set by iterative
+    min-label propagation: every node's label converges to the smallest
+    doc_id in its component. Returns (doc_id, cluster_rep).
+
+    Each round is one distributed join + aggregate (no driver-side
+    adjacency); rounds needed = graph diameter. LSH candidate graphs are
+    near-star-shaped (every bucket contributes doc->bucket-min edges), so
+    the diameter is tiny — a handful of rounds even when bands chain
+    clusters together. ``localCheckpoint`` truncates the growing lineage;
+    the loop stops early at the first round with zero label changes.
+    """
+    und = edges.select(F.col("a"), F.col("b")).union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    und = und.persist()
+    labels = (
+        und.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            und.join(labels, und.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        new = (
+            labels.join(nb_min, labels.doc_id == nb_min.a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
+def minhash_dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_perms: int = MINHASH_PERMS,
+    n_bands: int = MINHASH_BANDS,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(doc_id, cluster_rep) for near-duplicate docs — the 100TB-scale
+    output shape. A duplicate cluster of m docs costs O(m), never O(m^2):
+
+    1. band buckets as in :func:`minhash_lsh_pairs`;
+    2. STAR edges only — every doc links to its bucket's min doc_id
+       (m-1 edges per bucket, not m(m-1)/2 pairs);
+    3. exact-Jaccard verification of the star edges only (O(edges));
+    4. connected components by min-label propagation over verified edges.
+
+    Verification is doc<->bucket-representative, not all-pairs: a doc whose
+    similarity to the representative falls below threshold drops out even
+    if a pairwise chain exists — the conservative, bounded-cost tradeoff
+    (the pairs operator remains the exact-recall twin at small scale).
+    Output rows: one per doc that belongs to a verified cluster, including
+    the representative itself (cluster_rep == min doc_id of the cluster).
+    """
+    from pyspark.sql.window import Window
+
+    bands = _minhash_bands(docs, n_perms, n_bands, seed)
+    w = Window.partitionBy("band_idx", "bucket")
+    star = (
+        bands.withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = _verify_jaccard(docs, star, round_digits).filter(
+        F.col("jaccard") >= threshold
+    )
+    edges = verified.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    return min_label_components(edges).orderBy("doc_id")
+
+
+def simhash_dedup_clusters(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_id, cluster_rep) via SimHash chunk buckets: star edges to the
+    chunk-bucket min doc_id, verified by hamming distance on the full
+    fingerprint, then min-label components — O(m) per duplicate cluster."""
+    from pyspark.sql.window import Window
+
+    fp = simhash_fingerprints(docs)
+    chunks = _simhash_chunks(fp, max_hamming)
+    w = Window.partitionBy("chunk_idx", "chunk")
+    star = (
+        chunks.withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    f_a = fp.select(F.col("doc_id").alias("doc_a"), F.col("fingerprint").alias("fp_a"))
+    f_b = fp.select(F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("fp_b"))
+    verified = (
+        star.join(f_a, "doc_a")
+        .join(f_b, "doc_b")
+        .filter(F.expr("bit_count(fp_a ^ fp_b)") <= max_hamming)
+    )
+    edges = verified.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    return min_label_components(edges).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------- simhash --
@@ -356,20 +523,63 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return hashed.mapInPandas(fp, out_schema)
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs sharing any 16-bit fingerprint chunk, verified with
-    JVM-side ``bit_count(a ^ b) <= max_hamming``."""
-    fp = simhash_fingerprints(docs)
-    chunks = fp.select(
+def simhash_chunk_spec(max_hamming: int) -> list[tuple[int, int]]:
+    """Disjoint (bit_offset, width) chunks covering all 64 fingerprint bits.
+
+    PIGEONHOLE SOUNDNESS: two fingerprints within ``max_hamming`` bit flips
+    must share at least one chunk verbatim, which requires
+    ``n_chunks >= max_hamming + 1`` — the fixed 4x16-bit geometry of round 2
+    was only sound for max_hamming <= 3 and silently missed pairs above it.
+    Chunk count is now derived from the query (never below the default 4);
+    widths differ by at most one bit (wider chunks first)."""
+    n_chunks = max(SIMHASH_CHUNKS, max_hamming + 1)
+    if n_chunks > SIMHASH_BITS:
+        raise ValueError(f"max_hamming={max_hamming} needs more chunks than bits")
+    base, rem = divmod(SIMHASH_BITS, n_chunks)
+    spec, off = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < rem else 0)
+        spec.append((off, w))
+        off += w
+    return spec
+
+
+def _simhash_chunks(fp: DataFrame, max_hamming: int) -> DataFrame:
+    """(doc_id, fingerprint, chunk_idx, chunk) under the pigeonhole-sound
+    geometry for ``max_hamming``."""
+    spec = simhash_chunk_spec(max_hamming)
+    exprs = ", ".join(
+        f"shiftright(fingerprint, {off}) & {(1 << w) - 1}" for off, w in spec
+    )
+    return fp.select(
         "doc_id",
         "fingerprint",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {SIMHASH_CHUNKS - 1}), "
-                "c -> shiftright(fingerprint, c * 16) & 65535)"
-            )
-        ).alias("chunk_idx", "chunk"),
+        F.posexplode(F.expr(f"array({exprs})")).alias("chunk_idx", "chunk"),
     )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Candidate pairs sharing any fingerprint chunk (chunk count derived
+    from ``max_hamming`` — see :func:`simhash_chunk_spec`), verified with
+    JVM-side ``bit_count(a ^ b) <= max_hamming``.
+
+    Pair output is O(m^2) per duplicate cluster; ``max_bucket_size`` skips
+    degenerate buckets (recall falls back to the other chunks), and
+    :func:`simhash_dedup_clusters` is the O(m) doc->representative path.
+    """
+    fp = simhash_fingerprints(docs)
+    chunks = _simhash_chunks(fp, max_hamming)
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("chunk_idx", "chunk")
+        chunks = (
+            chunks.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     x, y = chunks.alias("x"), chunks.alias("y")
     return (
         x.join(

@@ -75,6 +75,19 @@ def q_dedup_simhash(spark, sf):
     return simhash_near_pairs(_docs(spark, sf), max_hamming=10)
 
 
+def q_dedup_minhash_clusters(spark, sf):
+    # the O(m)-per-cluster scale path: (doc_id, cluster_rep)
+    from miru_spark.pipeline.dedup import minhash_dedup_clusters
+
+    return minhash_dedup_clusters(_docs(spark, sf), threshold=0.12)
+
+
+def q_dedup_simhash_clusters(spark, sf):
+    from miru_spark.pipeline.dedup import simhash_dedup_clusters
+
+    return simhash_dedup_clusters(_docs(spark, sf), max_hamming=10)
+
+
 # ---- similarity -----------------------------------------------------------
 
 _QUERY_VEC: dict[str, list[float]] = {}
@@ -301,6 +314,10 @@ def register_all(register) -> None:
          ("doc_a", "doc_b", "jaccard")),
         ("pipe_dedup_simhash", q_dedup_simhash, None,
          ("doc_a", "doc_b", "hamming")),
+        ("pipe_dedup_minhash_clusters", q_dedup_minhash_clusters, None,
+         ("doc_id", "cluster_rep")),
+        ("pipe_dedup_simhash_clusters", q_dedup_simhash_clusters, None,
+         ("doc_id", "cluster_rep")),
     ])
     register_composite(register, "pipe_similarity", [
         ("pipe_ann_cosine_brute", q_ann_brute, SQL_ANN_BRUTE, ("vec_id", "cos")),
