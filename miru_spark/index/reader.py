@@ -104,9 +104,14 @@ class IndexReader:
     ):
         from miru_spark.index import snapshots as snapmod
 
+        from miru_spark.index.writer import complete_purge_swap
+
         self.spark = spark
         self.index_path = index_path
         self._snapmod = snapmod
+        # roll forward a purge swap a previous process crashed mid-way
+        # through (no-op unless the sentinel file exists)
+        complete_purge_swap(index_path)
         self.snapshot = snapmod.read_snapshot(index_path, snapshot_id)
         if self.snapshot is not None:
             self.stats = self.snapshot["stats"]
@@ -201,7 +206,12 @@ class IndexReader:
         return self._tombstones_df
 
     def docmap_df(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_path}/docmap")
+        # a purge commit records its own docmap version in the snapshot;
+        # pre-purge snapshots keep reading the original (full) docmap
+        d = "docmap"
+        if self.snapshot is not None:
+            d = self.snapshot.get("docmap", "docmap")
+        return self.spark.read.parquet(f"{self.index_path}/{d}")
 
     def df_df(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_path}/df")

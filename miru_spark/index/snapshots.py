@@ -87,11 +87,14 @@ def commit_snapshot(
     files: set[str],
     stats: dict,
     operation: str,
+    extra: dict | None = None,
 ) -> dict:
     """Write snap-<id>.json for ``files`` then atomically flip ``current``.
 
     Call ONLY after every file in ``files`` is durably written. Everything
-    before the final ``os.replace`` is invisible to readers.
+    before the final ``os.replace`` is invisible to readers. ``extra``
+    merges additional version-scoped keys into the snapshot (e.g. the purge
+    commit records its own ``docmap`` version directory).
     """
     d = _snap_dir(index_path)
     os.makedirs(d, exist_ok=True)
@@ -104,6 +107,7 @@ def commit_snapshot(
         "operation": operation,
         "stats": stats,
         "files": {p: _pref_of(p) for p in sorted(files)},
+        **(extra or {}),
     }
     with open(os.path.join(d, f"snap-{sid}.json"), "w") as f:
         json.dump(snap, f, indent=1, sort_keys=True)

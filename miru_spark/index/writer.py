@@ -119,12 +119,60 @@ def delete_docs(index_path: str, doc_ids) -> int:
     return pads.dataset(d, format="parquet").count_rows()
 
 
+_PURGE_SENTINEL = "_purge_swap.json"
+
+
+def complete_purge_swap(index_path: str) -> bool:
+    """Crash-safe directory swap for the purge rewrite, as a ROLL-FORWARD
+    routine: the purge writes ``<dir>_purged`` completely, drops a sentinel
+    listing the dirs, then calls this to swap. A crash anywhere mid-swap
+    leaves the sentinel behind, and the next reader/purge call re-enters
+    here and finishes the same sequence (every state is distinguishable
+    from the dirs present). Round 2 did ``rmtree + rename`` — a crash
+    between the two lost the postings directory outright.
+
+    Returns True when a sentinel was found (swap performed/completed).
+    """
+    import shutil
+
+    p = os.path.join(index_path, _PURGE_SENTINEL)
+    if not os.path.exists(p):
+        return False
+    with open(p) as f:
+        dirs = json.load(f)["dirs"]
+    for d in dirs:
+        cur = os.path.join(index_path, d)
+        old = os.path.join(index_path, f"{d}_old")
+        new = os.path.join(index_path, f"{d}_purged")
+        if os.path.isdir(new):
+            if os.path.isdir(cur):
+                os.rename(cur, old)  # retire the pre-purge dir
+            os.rename(new, cur)  # atomic: readers flip to the purged dir
+        # else: rename already happened before the crash
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    os.unlink(p)
+    return True
+
+
 def purge_deleted(spark: SparkSession, index_path: str) -> dict:
     """Physically remove tombstoned documents: one mapInArrow pass decodes
     every chunk, drops dead postings, and re-encodes (block metadata and
     impact frontiers rebuilt); docmap/df/stats are recomputed and the
     tombstone directory cleared. O(index), run it like a Lucene merge —
-    when the deleted fraction justifies the rewrite."""
+    when the deleted fraction justifies the rewrite.
+
+    Directory-layout indexes swap ``postings``/``docmap`` via the
+    crash-safe roll-forward protocol (:func:`complete_purge_swap`).
+    Snapshot-protocol indexes never rewrite committed files: the rewritten
+    chunks land as NEW data files and a new snapshot (operation='purge')
+    is committed with recomputed stats and its own docmap version, so
+    time travel to any pre-purge snapshot still works (and, since pinned
+    readers ignore tombstones, shows the pre-DELETE document set with that
+    version's scores). Limitation: the term dictionary (df/dictionary
+    dirs) always reflects the CURRENT state — a time-traveled prefix/fuzzy
+    expansion may miss terms whose last posting was purged.
+    """
     import shutil
 
     import pyarrow as pa
@@ -133,13 +181,7 @@ def purge_deleted(spark: SparkSession, index_path: str) -> dict:
     from miru_spark.index.format import pack_chunk, unpack_chunk
     from miru_spark.index.reader import IndexReader
 
-    if snapmod.read_snapshot(index_path) is not None:
-        raise NotImplementedError(
-            "purge_deleted targets directory-layout indexes; a snapshot-"
-            "protocol index needs the rewrite committed as a NEW snapshot "
-            "(append-only files are never rewritten in place) — tombstone "
-            "filtering still applies to current-state readers"
-        )
+    complete_purge_swap(index_path)  # finish any crashed prior purge first
     if os.path.exists(f"{index_path}/_merged.json"):
         raise NotImplementedError(
             "purge_deleted does not support incrementally-finalized indexes "
@@ -158,7 +200,15 @@ def purge_deleted(spark: SparkSession, index_path: str) -> dict:
     dead_list = [int(i) for i in dead]
     positions = bool(reader.stats.get("positions", False))
 
-    post = spark.read.parquet(f"{index_path}/postings")
+    snap = reader.snapshot
+    if snap is not None:
+        # read exactly the current snapshot's files (the postings dir may
+        # hold files of other snapshots — append-only protocol)
+        post = spark.read.option("basePath", f"{index_path}/postings").parquet(
+            *snapmod.snapshot_files(index_path)
+        )
+    else:
+        post = spark.read.parquet(f"{index_path}/postings")
     out_schema = post.schema
 
     def rewrite(batches):
@@ -204,31 +254,59 @@ def purge_deleted(spark: SparkSession, index_path: str) -> dict:
             if out:
                 yield pa.RecordBatch.from_pylist(out, schema=batch.schema)
 
-    tmp = f"{index_path}/postings_purged"
-    post.mapInArrow(rewrite, out_schema).write.mode("overwrite").partitionBy(
-        "term_pref"
-    ).parquet(tmp)
-    shutil.rmtree(f"{index_path}/postings")
-    os.rename(tmp, f"{index_path}/postings")
+    if snap is not None:
+        # ---- snapshot protocol: never rewrite committed files ----
+        before = snapmod._walk_postings(index_path)
+        post.mapInArrow(rewrite, out_schema).write.mode("append").partitionBy(
+            "term_pref"
+        ).parquet(f"{index_path}/postings")
+        new_files = snapmod._walk_postings(index_path) - before
+        next_sid = (snapmod.current_snapshot_id(index_path) or 0) + 1
+        docmap_dir = f"docmap-v{next_sid}"
+        docmap = spark.read.parquet(
+            f"{index_path}/{snap.get('docmap', 'docmap')}"
+        ).filter(~F.col("doc_id").isin(dead_list))
+        # overwrite: a purge that crashed after this write but before its
+        # snapshot commit left an orphan docmap version; retrying reuses it
+        docmap.write.mode("overwrite").parquet(f"{index_path}/{docmap_dir}")
+        docmap = spark.read.parquet(f"{index_path}/{docmap_dir}")
+    else:
+        # ---- directory layout: crash-safe roll-forward swap ----
+        post.mapInArrow(rewrite, out_schema).write.mode("overwrite").partitionBy(
+            "term_pref"
+        ).parquet(f"{index_path}/postings_purged")
+        spark.read.parquet(f"{index_path}/docmap").filter(
+            ~F.col("doc_id").isin(dead_list)
+        ).write.mode("overwrite").parquet(f"{index_path}/docmap_purged")
+        # both _purged dirs are durable -> sentinel -> swap (re-entrant on
+        # crash: the next reader/purge rolls the same sequence forward)
+        with open(f"{index_path}/{_PURGE_SENTINEL}", "w") as f:
+            json.dump({"dirs": ["postings", "docmap"]}, f)
+        complete_purge_swap(index_path)
+        docmap = spark.read.parquet(f"{index_path}/docmap")
 
-    docmap = spark.read.parquet(f"{index_path}/docmap").filter(
-        ~F.col("doc_id").isin(dead_list)
-    )
-    docmap = docmap.localCheckpoint(eager=True)
-    docmap.write.mode("overwrite").parquet(f"{index_path}/docmap")
     stats_row = docmap.agg(
         F.count("*").alias("n"), F.sum("doc_len").alias("tok")
     ).collect()[0]
     n_docs, n_tokens = int(stats_row["n"]), int(stats_row["tok"] or 0)
-    segs = spark.read.parquet(f"{index_path}/postings")
-    write_term_dictionary(
-        segs.withColumnRenamed("df_chunk", "df_local"), index_path, n_tokens
-    )
     stats = dict(
         reader.stats,
         n_docs=n_docs,
         n_tokens=n_tokens,
         avgdl=n_tokens / max(n_docs, 1),
+    )
+    if snap is not None:
+        snapmod.commit_snapshot(
+            index_path, new_files, stats, operation="purge",
+            extra={"docmap": docmap_dir, "purged_doc_ids": sorted(dead_list)},
+        )
+        segs = spark.read.option("basePath", f"{index_path}/postings").parquet(
+            *snapmod.snapshot_files(index_path)
+        )
+    else:
+        segs = spark.read.parquet(f"{index_path}/postings")
+    write_term_dictionary(
+        segs.withColumnRenamed("df_chunk", "df_local"), index_path, n_tokens
     )
     with open(f"{index_path}/stats.json", "w") as f:
         json.dump(stats, f, indent=1, sort_keys=True)

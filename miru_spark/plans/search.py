@@ -1214,7 +1214,15 @@ def search_distributed(
         agg = agg.join(ex_ids, "doc_id", "left_anti")
     tomb_df = reader.tombstones_df()
     if tomb_df is not None:
-        agg = agg.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+        # size-gated hint: tombstones are usually tiny (pre-purge deltas),
+        # but a mass delete before purge can hold millions of ids — forcing
+        # a broadcast there ships the whole set to every executor. The
+        # reader already knows the exact count driver-side; below the gate
+        # the hint skips AQE's estimation, above it plain left-anti lets
+        # AQE pick (sort-merge/shuffled-hash) from runtime sizes.
+        if reader.tombstones.size <= 5_000_000:
+            tomb_df = F.broadcast(tomb_df)
+        agg = agg.join(tomb_df, "doc_id", "left_anti")
     score = (
         F.round(F.col("score"), round_digits)
         if round_digits is not None

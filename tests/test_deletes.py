@@ -158,5 +158,91 @@ def test_snapshot_time_travel_ignores_later_tombstones(spark, tmp_path):
     current = IndexReader(spark, p)
     got = {d for d, _ in search_topk(current, ["join", "hash"], k=10)}
     assert not (got & set(victims))
-    with pytest.raises(NotImplementedError):
-        purge_deleted(spark, p)
+
+    # ---- round 3: purge on a snapshot index commits a NEW snapshot ----
+    stats = purge_deleted(spark, p)
+    assert stats["n_docs"] == 498
+    cur = IndexReader(spark, p)
+    assert cur.snapshot["operation"] == "purge"
+    assert cur.snapshot["purged_doc_ids"] == sorted(victims)
+    assert cur.tombstones is None  # physically gone
+    # purged current state ranks identically to a fresh build of the
+    # remaining corpus
+    fresh = str(tmp_path / "fresh")
+    build_index(
+        spark,
+        read_corpus(spark, SF_DIR).filter(~F.col("doc_id").isin(victims)),
+        fresh, num_partitions=2,
+    )
+    fr = IndexReader(spark, fresh)
+    for terms, mode in [(["join", "hash"], "conjunctive"), (["the", "dup"], "disjunctive")]:
+        a = search_topk(cur, terms, mode=mode, k=10)
+        b = search_topk(fr, terms, mode=mode, k=10)
+        assert [d for d, _ in a] == [d for d, _ in b]
+        np.testing.assert_allclose([s for _, s in a], [s for _, s in b], atol=1e-9)
+    # time travel to the pre-purge snapshot: pre-delete document set with
+    # that version's stats (pinned readers ignore tombstones by design)
+    pre = IndexReader(spark, p, snapshot_id=snap0)
+    assert search_topk(pre, ["join", "hash"], k=10) == base
+    assert pre.n_docs == 500
+    # its docmap still carries every doc (purge wrote a NEW docmap version)
+    assert pre.docmap_df().count() == 500
+    assert cur.docmap_df().count() == 498
+    # vacuum to the current snapshot only: purged chunks disappear,
+    # current-state serving is unaffected
+    from miru_spark.index.snapshots import vacuum
+
+    removed = vacuum(p, keep_snapshots=1)
+    assert removed  # the pre-purge files were orphaned
+    cur2 = IndexReader(spark, p)
+    assert search_topk(cur2, ["join", "hash"], k=10) == search_topk(
+        cur, ["join", "hash"], k=10
+    )
+
+
+def test_purge_swap_roll_forward_from_every_crash_state(spark, tmp_path):
+    """The dir-layout purge swap is re-entrant: simulate a crash at each
+    point of the rename sequence and assert the next reader/purge call
+    completes it (round 2's rmtree+rename lost postings on a mid-crash)."""
+    import json
+    import os
+    import shutil
+
+    from miru_spark.index.writer import _PURGE_SENTINEL, complete_purge_swap
+
+    def mk(state: str):
+        root = tmp_path / f"swap_{state}"
+        root.mkdir()
+        for d, marker in [("postings", "old"), ("docmap", "old")]:
+            if state in ("before_rename1", "after_rename2"):
+                (root / d).mkdir()
+                (root / d / "marker.txt").write_text(
+                    "old" if state == "before_rename1" else "new"
+                )
+            if state == "between_renames":
+                (root / f"{d}_old").mkdir()
+                (root / f"{d}_old" / "marker.txt").write_text("old")
+            if state == "after_rename2":
+                (root / f"{d}_old").mkdir()
+                (root / f"{d}_old" / "marker.txt").write_text("old")
+            if state in ("before_rename1", "between_renames"):
+                (root / f"{d}_purged").mkdir()
+                (root / f"{d}_purged" / "marker.txt").write_text("new")
+        (root / _PURGE_SENTINEL).write_text(
+            json.dumps({"dirs": ["postings", "docmap"]})
+        )
+        return str(root)
+
+    for state in ("before_rename1", "between_renames", "after_rename2"):
+        root = mk(state)
+        assert complete_purge_swap(root) is True
+        for d in ("postings", "docmap"):
+            assert (
+                open(f"{root}/{d}/marker.txt").read() == "new"
+            ), f"{state}: {d} not rolled forward"
+            assert not os.path.isdir(f"{root}/{d}_old")
+            assert not os.path.isdir(f"{root}/{d}_purged")
+        assert not os.path.exists(f"{root}/{_PURGE_SENTINEL}")
+        shutil.rmtree(root)
+    # no sentinel -> no-op
+    assert complete_purge_swap(str(tmp_path)) is False

@@ -160,3 +160,70 @@ def test_minhash_lsh_verify_has_no_forced_broadcast(spark):
         assert "BroadcastExchange" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _anti_join_nodes(plan: str) -> list:
+    """Join-strategy node names of every LeftAnti join in a formatted plan."""
+    import re
+
+    names = (
+        "BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin|"
+        "BroadcastNestedLoopJoin|CartesianProduct"
+    )
+    return [
+        m.group(1)
+        for line in plan.splitlines()
+        if "LeftAnti" in line
+        for m in [re.search(rf"\b({names})\b", line)]
+        if m
+    ]
+
+
+def test_tombstone_join_gated_not_forced_broadcast(spark, tmp_path):
+    """Round-3 fix: the distributed scorer's tombstone exclusion only hints
+    a broadcast below a size gate. A synthetic >5M-id tombstone set with
+    auto-broadcast disabled must fall back to a shuffle join (round 2
+    force-broadcast the whole set regardless of size); a tiny set keeps the
+    broadcast hint."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from miru_spark.index.writer import build_index, delete_docs
+    from miru_spark.plans.search import search_distributed
+    from miru_spark.schema import read_corpus
+
+    p = str(tmp_path / "idx")
+    build_index(spark, read_corpus(spark, SF_DIR), p, num_partitions=2)
+
+    # small set: broadcast hint survives even with auto-broadcast off
+    delete_docs(p, [1, 2, 3])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        r = IndexReader(spark, p)
+        plan = _plan(search_distributed(r, ["the"], mode="disjunctive"))
+        assert _anti_join_nodes(plan) == ["BroadcastHashJoin"]
+
+        # mass delete: > gate -> no forced broadcast anywhere in the plan
+        import os
+        import shutil
+
+        shutil.rmtree(f"{p}/tombstones")
+        os.makedirs(f"{p}/tombstones")
+        pq.write_table(
+            pa.table({"doc_id": pa.array(
+                np.arange(5_000_001, dtype=np.int64) + 1_000_000
+            )}),
+            f"{p}/tombstones/delete-mass.parquet",
+        )
+        r2 = IndexReader(spark, p)
+        assert r2.tombstones.size > 5_000_000
+        # note: the per-term df_global join (one row per query term) keeps
+        # its unconditional broadcast hint, so assert on the LeftAnti join
+        # node specifically, not on BroadcastExchange anywhere in the plan
+        plan2 = _plan(search_distributed(r2, ["the"], mode="disjunctive"))
+        nodes2 = _anti_join_nodes(plan2)
+        assert nodes2 and all(n != "BroadcastHashJoin" for n in nodes2)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
