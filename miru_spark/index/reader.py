@@ -208,10 +208,61 @@ class IndexReader:
     def docmap_df(self) -> DataFrame:
         # a purge commit records its own docmap version in the snapshot;
         # pre-purge snapshots keep reading the original (full) docmap
-        d = "docmap"
+        return self.spark.read.parquet(f"{self.index_path}/{self._docmap_dir()}")
+
+    def _docmap_dir(self) -> str:
         if self.snapshot is not None:
-            d = self.snapshot.get("docmap", "docmap")
-        return self.spark.read.parquet(f"{self.index_path}/{d}")
+            return self.snapshot.get("docmap", "docmap")
+        return "docmap"
+
+    def docmap_columns(self) -> list[str]:
+        """Metadata column names of the docmap (driver-side schema peek)."""
+        return [f.name for f in self._docmap_dset().schema]
+
+    def _docmap_dset(self):
+        import pyarrow.dataset as pads
+
+        if getattr(self, "_dm_dset", None) is None:
+            self._dm_dset = pads.dataset(
+                f"{self.index_path}/{self._docmap_dir()}", format="parquet"
+            )
+        return self._dm_dset
+
+    def filter_doc_ids(self, where: dict) -> np.ndarray:
+        """Sorted unique doc_ids whose docmap metadata matches ``where`` —
+        the filtered-search allowlist (A34). ``where`` maps column ->
+        value (equality) or list of values (IN); conditions AND together.
+
+        Driver fast path: a pushed-down pyarrow scan of the docmap
+        projected to the single doc_id column — row groups whose column
+        statistics exclude the predicate are never read, no Spark job.
+        Cost class: O(matching docs) driver memory, same class as the
+        candidate arrays the scatter-gather path already holds; at cluster
+        scale use ``search_distributed(where=...)``, which keeps the
+        filter as a distributed semi-join instead of a driver array.
+        """
+        import pyarrow.compute as pc
+
+        cols = set(self.docmap_columns())
+        flt = None
+        for col, val in where.items():
+            if col not in cols:
+                raise ValueError(
+                    f"unknown docmap column {col!r}; have {sorted(cols)}"
+                )
+            cond = (
+                pc.field(col).isin(list(val))
+                if isinstance(val, (list, tuple, set))
+                else pc.field(col) == val
+            )
+            flt = cond if flt is None else flt & cond
+        ids = (
+            self._docmap_dset()
+            .to_table(columns=["doc_id"], filter=flt)
+            .column("doc_id")
+            .to_numpy()
+        )
+        return np.unique(ids.astype(np.int64))
 
     def df_df(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_path}/df")

@@ -81,7 +81,7 @@ NEAR_CASES = {
 }
 
 
-def _mk_topk(terms, mode, exclude=None):
+def _mk_topk(terms, mode, exclude=None, where=None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
         from miru_spark.plans.search import search_topk
@@ -89,20 +89,24 @@ def _mk_topk(terms, mode, exclude=None):
         reader = ensure_index(spark, sf_dir)
         rows = [
             (int(d), round(float(s), 6))
-            for d, s in search_topk(reader, terms, mode=mode, k=10, exclude=exclude)
+            for d, s in search_topk(
+                reader, terms, mode=mode, k=10, exclude=exclude, where=where
+            )
         ]
         return spark.createDataFrame(rows, "doc_id long, score double")
 
     return run
 
 
-def _mk_dist(terms, mode, exclude=None):
+def _mk_dist(terms, mode, exclude=None, where=None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
         from miru_spark.plans.search import search_distributed
 
         reader = ensure_index(spark, sf_dir)
-        return search_distributed(reader, terms, mode=mode, k=10, exclude=exclude)
+        return search_distributed(
+            reader, terms, mode=mode, k=10, exclude=exclude, where=where
+        )
 
     return run
 
@@ -572,6 +576,13 @@ def register_all(register) -> None:
     register_composite(register, "bm25_index_bool", [
         (n, _mk_topk(t, m), bm25_oracle_sql(t, m), DS)
         for n, (t, m) in CASES.items()
+    ] + [
+        # metadata-filtered search (A34): docmap allowlist enforced at
+        # heap-insert, scores stay corpus-wide (Lucene filtered query)
+        ("bm25_index_filter_lang",
+         _mk_topk(["the", "a"], "conjunctive", where={"lang": "en"}),
+         bm25_oracle_sql(["the", "a"], "conjunctive", meta_where="lang = 'en'"),
+         DS),
     ])
     register_composite(register, "bm25_index_boost", [
         (n, _mk_boost(t, m, b, distributed=d), bm25_oracle_sql(t, m, boosts=b), DS)
@@ -587,6 +598,15 @@ def register_all(register) -> None:
     ] + [
         (n, _mk_dist(t, m, x), bm25_oracle_sql(t, m, exclude=x), DS)
         for n, (t, m, x) in DIST_NOT_CASES.items()
+    ] + [
+        # distributed A34: pushed-down docmap scan -> doc_id semi-join
+        # before the score aggregation (no driver-side id list)
+        ("bm25_index_dist_filter",
+         _mk_dist(["join", "dup"], "disjunctive",
+                  where={"lang": ["fr", "es"]}),
+         bm25_oracle_sql(["join", "dup"], "disjunctive",
+                         meta_where="lang IN ('fr','es')"),
+         DS),
     ])
     register_composite(register, "bm25_index_prefix", [
         (n, _mk_prefix(p), bm25_prefix_oracle_sql(p), DS)

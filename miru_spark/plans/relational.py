@@ -477,6 +477,7 @@ def bm25_oracle_sql(
     exclude: list[str] | None = None,
     boosts: dict[str, float] | None = None,
     tok_sql: str = DEFAULT_TOK_SQL,
+    meta_where: str | None = None,
 ) -> str:
     """The matching DuckDB ANSI-SQL oracle (FIXTURES.md), same rounding.
 
@@ -485,6 +486,11 @@ def bm25_oracle_sql(
     ``boosts`` multiplies a term's idf contribution (Lucene ``term^w``).
     ``tok_sql`` swaps the tokenization CTE (e.g. code-mode tokenization over
     a decorated corpus) — everything downstream of ``tok`` is unchanged.
+    ``meta_where`` is a SQL predicate over ``documents`` metadata columns —
+    the twin of the engine's ``where=`` filter (A34): candidates outside
+    the filter are dropped, surviving docs keep their corpus-wide BM25
+    scores (df/avgdl from the FULL corpus — Lucene filtered-query
+    semantics, not search-within-subcorpus).
     """
     terms = list(dict.fromkeys(terms))
     if not terms:
@@ -504,6 +510,10 @@ def bm25_oracle_sql(
         xq_cte = f",\nxq(term) AS (VALUES {xvalues})"
         wheres.append(
             "doc_id NOT IN (SELECT doc_id FROM tf JOIN xq USING(term))"
+        )
+    if meta_where:
+        wheres.append(
+            f"doc_id IN (SELECT doc_id FROM documents WHERE {meta_where})"
         )
     where = ("WHERE " + " AND ".join(wheres)) if wheres else ""
     return f"""

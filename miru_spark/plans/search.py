@@ -140,8 +140,26 @@ def _is_excluded(excl: np.ndarray | None, docid: int) -> bool:
     return j < excl.size and int(excl[j]) == docid
 
 
+def _is_eligible(
+    incl: np.ndarray | None, excl: np.ndarray | None, docid: int
+) -> bool:
+    """Candidate eligibility: inside the metadata-filter allowlist (A34,
+    None = unfiltered) and not excluded (boolean NOT / tombstones). Both
+    checks are applied at heap-insert time, which keeps WAND's theta a
+    valid lower bound over eligible docs — skipping an ineligible pivot
+    without scoring can only raise future thetas."""
+    if incl is not None:
+        j = int(np.searchsorted(incl, docid))
+        if j >= incl.size or int(incl[j]) != docid:
+            return False
+    return not _is_excluded(excl, docid)
+
+
 def wand_topk(
-    iters: list[PostingIterator], k: int, excl: np.ndarray | None = None
+    iters: list[PostingIterator],
+    k: int,
+    excl: np.ndarray | None = None,
+    incl: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND (Ding & Suel 2011) over per-term lazy iterators.
 
@@ -189,10 +207,11 @@ def wand_topk(
                 for it in iters[: pivot_idx + 1]:
                     it.seek(nxt)
                 continue
-            # excluded pivots (boolean NOT) advance without scoring; they
-            # never enter the heap, so theta stays a valid lower bound over
-            # eligible docs and block-skipping stays safe
-            if not _is_excluded(excl, pivot):
+            # ineligible pivots (boolean NOT / metadata filter) advance
+            # without scoring; they never enter the heap, so theta stays a
+            # valid lower bound over eligible docs and block-skipping stays
+            # safe
+            if _is_eligible(incl, excl, pivot):
                 score = 0.0
                 for it in iters:
                     if it.cur_docid == pivot:
@@ -212,7 +231,10 @@ def wand_topk(
 
 
 def conjunctive_topk(
-    iters: list[PostingIterator], k: int, excl: np.ndarray | None = None
+    iters: list[PostingIterator],
+    k: int,
+    excl: np.ndarray | None = None,
+    incl: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Galloping k-list intersection driven by the rarest term (A16)."""
     if not iters or any(it.exhausted for it in iters):
@@ -233,7 +255,7 @@ def conjunctive_topk(
                 break
         if not matched:
             continue
-        if not _is_excluded(excl, docid):
+        if _is_eligible(incl, excl, docid):
             score = sum(it.score_current() for it in iters)
             entry = (score, -docid)
             if len(heap) < k:
@@ -369,6 +391,15 @@ def search(
     mode keeps the semantics exact: disjunctive queries, or a query that is
     a single prefix token. In a NOT clause any match excludes the doc, so
     prefix exclusions are always allowed.
+
+    ``field:value`` tokens (Lucene field-query syntax) whose field names
+    a docmap metadata column become metadata filters (A34): ``lang:py
+    join hash`` restricts to docs with lang=py; repeating a field ORs its
+    values (``lang:py lang:go`` = lang IN (py, go)); distinct fields AND.
+    A ``foo:bar`` token whose prefix is NOT a metadata column stays a
+    corpus term (e.g. code tokens like ``std::map`` fragments). Phrase and
+    proximity queries are fully quoted, so the grammar can't carry filter
+    tokens there — pass ``where=`` to search_phrase/search_near directly.
     """
     terms, mode, exclude = parse_query(query)
     if mode == "phrase":
@@ -377,6 +408,32 @@ def search(
         if len(terms) != 2:
             raise ValueError("proximity queries take exactly two terms")
         return search_near(reader, terms[0], terms[1], slop=int(mode[5:]), k=k)
+    # string metadata only: ints (doc_id/doc_len) and the content hash
+    # can't be equality-filtered from a text token sensibly
+    meta_cols = set(reader.docmap_columns()) - {
+        "doc_id", "doc_len", "content_sha256"
+    }
+    filters: dict[str, list[str]] = {}
+
+    def split_filters(toks: list[str]) -> list[str]:
+        kept = []
+        for t in toks:
+            col, sep, val = t.partition(":")
+            if sep and val and col in meta_cols:
+                filters.setdefault(col, []).append(val)
+            else:
+                kept.append(t)
+        return kept
+
+    terms = split_filters(terms)
+    where = (
+        {c: (v[0] if len(v) == 1 else v) for c, v in filters.items()}
+        or None
+    )
+    if not terms:
+        raise ValueError(
+            "query needs at least one positive term besides filters"
+        )
     # 'term^2.5' boosts strip FIRST so 'sp*^2' is recognized as a boosted
     # wildcard (the boost then applies to every expansion); boosts on NOT
     # terms are meaningless and silently stripped
@@ -432,7 +489,8 @@ def search(
                 return []
             boosts = {t: b for t, b in boosts.items() if t in set(terms)}
     return search_topk(
-        reader, terms, mode=mode, k=k, exclude=exclude, boosts=boosts or None
+        reader, terms, mode=mode, k=k, exclude=exclude, boosts=boosts or None,
+        where=where,
     )
 
 
@@ -495,6 +553,7 @@ def search_facets(
     mode: str = "conjunctive",
     facet_col: str = "lang",
     exclude: list[str] | None = None,
+    where: dict | None = None,
 ) -> DataFrame:
     """Per-facet hit counts over the FULL candidate set (not just top-k) —
     the aggregation a search UI renders beside results.
@@ -505,7 +564,8 @@ def search_facets(
     at scan time; AQE picks the join strategy from the candidate set's
     runtime size."""
     cand = search_distributed(
-        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
     ).select("doc_id")
     dm = reader.docmap_df().select("doc_id", facet_col)
     return (
@@ -521,12 +581,14 @@ def search_count(
     terms: list[str],
     mode: str = "conjunctive",
     exclude: list[str] | None = None,
+    where: dict | None = None,
 ) -> DataFrame:
     """Matching-document count (the 'about N results' number) as a one-row
     DataFrame — the distributed candidate plan with a count instead of
     top-k, so it composes with NOT and never materializes candidates."""
     cand = search_distributed(
-        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
     )
     return cand.agg(F.count("*").alias("n_hits"))
 
@@ -707,6 +769,7 @@ def search_topk(
     strategy: str = "auto",
     exclude: list[str] | None = None,
     boosts: dict[str, float] | None = None,
+    where: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Serve one query from the binary index (driver fast path).
 
@@ -716,7 +779,12 @@ def search_topk(
     identical rankings (fuzz-tested), so the switch is purely a latency
     decision. ``strategy`` in {auto, wand, exhaustive} forces a path
     (tests use this to pin WAND). ``exclude`` = boolean NOT: docs containing
-    any excluded term are dropped (posting-list difference).
+    any excluded term are dropped (posting-list difference). ``where`` =
+    metadata filter (A34): ``{"lang": "py"}`` / ``{"repo": [..]}``
+    restricts results to docs whose docmap row matches; resolved by a
+    pushed-down docmap scan and enforced at heap-insert time (Lucene
+    filtered-query semantics — filtered docs never enter the heap, scores
+    of surviving docs are unchanged).
     """
     if mode not in ("conjunctive", "disjunctive"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -726,7 +794,10 @@ def search_topk(
     exclude = _check_exclude(terms, exclude)
     tps = _apply_boosts(reader.fetch_terms(terms), boosts)
     excl = _exclusion_ids(reader, exclude)
-    return _route_query(reader, tps, terms, mode, k, strategy, excl)
+    incl = reader.filter_doc_ids(where) if where else None
+    if incl is not None and incl.size == 0:
+        return []
+    return _route_query(reader, tps, terms, mode, k, strategy, excl, incl=incl)
 
 
 def _with_tombstones(reader, excl: np.ndarray | None) -> np.ndarray | None:
@@ -741,7 +812,8 @@ def _with_tombstones(reader, excl: np.ndarray | None) -> np.ndarray | None:
 
 
 def _route_query(
-    reader, tps, terms, mode, k, strategy, excl=None, decode_cache=None
+    reader, tps, terms, mode, k, strategy, excl=None, decode_cache=None,
+    incl=None,
 ) -> list[tuple[int, float]]:
     """Pick the serving strategy for one query given already-fetched
     TermPostings (shared by search_topk and search_many)."""
@@ -753,13 +825,14 @@ def _route_query(
         strategy == "auto" and total_postings <= EXHAUSTIVE_CUTOFF
     ):
         return _exhaustive_from_tps(
-            reader, tps, terms, mode, k, excl=excl, decode_cache=decode_cache
+            reader, tps, terms, mode, k, excl=excl, decode_cache=decode_cache,
+            incl=incl,
         )
     iters = [PostingIterator(tps[t], reader.avgdl) for t in terms if t in tps]
     if mode == "conjunctive":
-        return conjunctive_topk(iters, k, excl=excl)
+        return conjunctive_topk(iters, k, excl=excl, incl=incl)
     if mode == "disjunctive":
-        return wand_topk(iters, k, excl=excl)
+        return wand_topk(iters, k, excl=excl, incl=incl)
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -768,6 +841,7 @@ def search_many(
     queries: list[tuple[list[str], str]],
     k: int = 10,
     strategy: str = "auto",
+    where: dict | None = None,
 ) -> list[list[tuple[int, float]]]:
     """Serve a batch of (terms, mode) queries with ONE pruned postings
     fetch for the union of all query terms, and ONE decode per term.
@@ -777,6 +851,10 @@ def search_many(
     are Zipfian) pays both once — terms shared by many queries decode a
     single time into a shared cache. Results are identical to per-query
     ``search_topk`` (same routing, same TermPostings), tested against it.
+
+    ``where`` (A34) applies ONE metadata filter to the whole batch — the
+    search-UI shape (a user pins lang:py, then fires many queries), so
+    the docmap allowlist is also resolved once and shared.
     """
     if k <= 0:
         return [[] for _ in queries]
@@ -784,6 +862,9 @@ def search_many(
         dict.fromkeys(t for terms, _ in queries for t in terms)
     )
     tps = reader.fetch_terms(all_terms)
+    incl = reader.filter_doc_ids(where) if where else None
+    if incl is not None and incl.size == 0:
+        return [[] for _ in queries]
     cache: dict[str, tuple] = {}
     out = []
     for terms, mode in queries:
@@ -791,7 +872,10 @@ def search_many(
             raise ValueError(f"unknown mode {mode!r}")
         terms = list(dict.fromkeys(terms))
         out.append(
-            _route_query(reader, tps, terms, mode, k, strategy, decode_cache=cache)
+            _route_query(
+                reader, tps, terms, mode, k, strategy,
+                decode_cache=cache, incl=incl,
+            )
         )
     return out
 
@@ -803,6 +887,7 @@ def search_exhaustive(
     k: int = 10,
     exclude: list[str] | None = None,
     boosts: dict[str, float] | None = None,
+    where: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Decode-everything scoring (vectorized numpy); the WAND safety twin."""
     if mode not in ("conjunctive", "disjunctive"):
@@ -815,12 +900,13 @@ def search_exhaustive(
     if mode == "conjunctive" and len(tps) < len(terms):
         return []
     excl = _with_tombstones(reader, _exclusion_ids(reader, exclude))
-    return _exhaustive_from_tps(reader, tps, terms, mode, k, excl=excl)
+    incl = reader.filter_doc_ids(where) if where else None
+    return _exhaustive_from_tps(reader, tps, terms, mode, k, excl=excl, incl=incl)
 
 
 def _exhaustive_from_tps(
     reader, tps, terms, mode, k, excl: np.ndarray | None = None,
-    decode_cache: dict | None = None,
+    decode_cache: dict | None = None, incl: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     per_term = []
     for t in terms:
@@ -850,6 +936,9 @@ def _exhaustive_from_tps(
     if excl is not None and uids.size:
         keep = ~np.isin(uids, excl, assume_unique=True)
         uids, agg = uids[keep], agg[keep]
+    if incl is not None and uids.size:
+        keep = np.isin(uids, incl, assume_unique=True)
+        uids, agg = uids[keep], agg[keep]
     order = np.lexsort((uids, -agg))[:k]
     return [(int(uids[i]), float(agg[i])) for i in order]
 
@@ -860,6 +949,7 @@ def search_phrase(
     k: int = 10,
     tokenizer: str = "whitespace",
     round_digits: int | None = 6,
+    where: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Exact phrase search served ENTIRELY from the positional index — no
     corpus access. Candidates come from the conjunctive docid intersection
@@ -907,6 +997,14 @@ def search_phrase(
         cand = np.intersect1d(cand, data[t][0], assume_unique=True)
         if cand.size == 0:
             return []
+    if where:
+        # metadata filter applied BEFORE position verification — shrinking
+        # the candidate set shrinks every occurrence mask below
+        cand = np.intersect1d(
+            cand, reader.filter_doc_ids(where), assume_unique=True
+        )
+        if cand.size == 0:
+            return []
     survivors = None
     for off, t in enumerate(seq):
         ids, tfs, _, pos = data[t]
@@ -947,6 +1045,7 @@ def search_near(
     slop: int = 3,
     k: int = 10,
     round_digits: int | None = 6,
+    where: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Proximity search (``'"a b"~N'``): docs where the two terms occur
     within ``slop`` token positions of each other (either order), ranked by
@@ -986,6 +1085,10 @@ def search_near(
             np.concatenate(pos_l),
         )
     cand = np.intersect1d(data[term_a][0], data[term_b][0], assume_unique=True)
+    if where:
+        cand = np.intersect1d(
+            cand, reader.filter_doc_ids(where), assume_unique=True
+        )
     if cand.size == 0:
         return []
 
@@ -1134,6 +1237,7 @@ def search_distributed(
     round_digits: int | None = 6,
     exclude: list[str] | None = None,
     boosts: dict[str, float] | None = None,
+    where: dict | None = None,
 ) -> DataFrame:
     """Pure-DataFrame scoring over chunk rows (scatter-gather top-k).
 
@@ -1142,7 +1246,13 @@ def search_distributed(
     rounded order-by + limit. Shuffles only the per-doc partial scores of
     matching docs. ``exclude`` (boolean NOT) anti-joins the aggregated docs
     against the excluded terms' decoded doc_ids — a distributed posting-list
-    difference, no driver materialization.
+    difference, no driver materialization. ``where`` (metadata filter, A34)
+    semi-joins the scored contributions against the docmap rows matching
+    the predicate BEFORE the aggregation: the docmap scan pushes the
+    predicate down and prunes to doc_id, the semi-join and the groupBy
+    share the doc_id hash partitioning (no extra exchange), and AQE
+    broadcasts the filtered side when it's small — fully distributed, no
+    driver-side id list.
     """
     terms = list(dict.fromkeys(terms))
     exclude = _check_exclude(terms, exclude)
@@ -1185,6 +1295,17 @@ def search_distributed(
                 )
 
     scored = chunks.mapInArrow(score_chunks, out_schema)
+    if where:
+        allow = reader.docmap_df()
+        for col, val in where.items():
+            if col not in allow.columns:
+                raise ValueError(f"unknown docmap column {col!r}")
+            allow = allow.filter(
+                F.col(col).isin(list(val))
+                if isinstance(val, (list, tuple, set))
+                else F.col(col) == F.lit(val)
+            )
+        scored = scored.join(allow.select("doc_id"), "doc_id", "left_semi")
     if mode == "conjunctive" and len(terms) > 1:
         # rarest-term pre-filter: conjunctive hits are a subset of the
         # rarest term's postings, so semi-join every term's contributions

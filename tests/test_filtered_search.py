@@ -1,0 +1,179 @@
+"""Metadata-filtered search (A34): ``where=`` on every serving path and
+the ``field:value`` query grammar.
+
+Semantics under test are Lucene's filtered query: the filter restricts
+WHICH docs may match, but scores of surviving docs are the corpus-wide
+BM25 scores (df/avgdl unchanged) — so a filtered top-k must equal
+"unfiltered ranking, drop ineligible docs, take k".
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from miru_spark.plans.search import (
+    search,
+    search_distributed,
+    search_exhaustive,
+    search_many,
+    search_near,
+    search_phrase,
+    search_topk,
+)
+
+@pytest.fixture(scope="module")
+def reader_pos(spark, tmp_path_factory):
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.schema import read_corpus
+    from tests.conftest import SF_DIR
+
+    p = str(tmp_path_factory.mktemp("fidx") / "idx")
+    build_index(spark, read_corpus(spark, SF_DIR), p, num_partitions=4,
+                positions=True, target_chunk=64)
+    return IndexReader(spark, p)
+
+
+WHERE_LANG = {"lang": "en"}
+WHERE_IN = {"lang": ["fr", "es"]}
+WHERE_TWO = {"lang": "en", "repo": "web"}
+
+
+def _postfilter(reader, terms, mode, where, k=10):
+    """Ground truth: unfiltered ranking with unbounded k, then drop docs
+    outside the allowlist, then take k."""
+    allow = set(int(d) for d in reader.filter_doc_ids(where))
+    full = search_topk(reader, terms, mode=mode, k=10**9)
+    return [(d, s) for d, s in full if d in allow][:k]
+
+
+def test_filter_doc_ids_matches_docmap(reader):
+    ids = reader.filter_doc_ids(WHERE_LANG)
+    via_spark = sorted(
+        r.doc_id
+        for r in reader.docmap_df().filter("lang = 'en'").select("doc_id").collect()
+    )
+    assert ids.tolist() == via_spark
+    assert np.all(np.diff(ids) > 0)  # sorted unique
+    # IN-list form
+    ids_in = reader.filter_doc_ids(WHERE_IN)
+    via_spark_in = sorted(
+        r.doc_id
+        for r in reader.docmap_df()
+        .filter("lang in ('fr','es')")
+        .select("doc_id")
+        .collect()
+    )
+    assert ids_in.tolist() == via_spark_in
+
+
+def test_filter_unknown_column_raises(reader):
+    with pytest.raises(ValueError, match="unknown docmap column"):
+        reader.filter_doc_ids({"nope": "x"})
+    with pytest.raises(ValueError, match="unknown docmap column"):
+        search_distributed(reader, ["the"], where={"nope": "x"}).collect()
+
+
+@pytest.mark.parametrize("mode", ["conjunctive", "disjunctive"])
+@pytest.mark.parametrize("where", [WHERE_LANG, WHERE_IN, WHERE_TWO])
+def test_filtered_topk_is_postfiltered_ranking(reader, mode, where):
+    terms = ["the", "a"]
+    got = search_topk(reader, terms, mode=mode, k=10, where=where)
+    assert got == _postfilter(reader, terms, mode, where, k=10)
+
+
+@pytest.mark.parametrize("mode", ["conjunctive", "disjunctive"])
+def test_filtered_strategies_agree(reader, mode):
+    """WAND heap-insert filtering == exhaustive allowlist mask — the two
+    serving strategies must rank identically under a filter."""
+    terms = ["the", "dup", "a"]
+    r6 = lambda res: [(d, round(s, 6)) for d, s in res]
+    wand = r6(search_topk(
+        reader, terms, mode=mode, k=10, strategy="wand", where=WHERE_LANG
+    ))
+    exh = r6(search_topk(
+        reader, terms, mode=mode, k=10, strategy="exhaustive", where=WHERE_LANG
+    ))
+    assert wand == exh
+    assert exh == r6(search_exhaustive(
+        reader, terms, mode=mode, k=10, where=WHERE_LANG
+    ))
+
+
+def test_filter_composes_with_not_and_boosts(reader):
+    got = search_topk(
+        reader,
+        ["the", "a"],
+        mode="conjunctive",
+        k=10,
+        exclude=["dup"],
+        boosts={"a": 2.0},
+        where=WHERE_LANG,
+    )
+    allow = set(int(d) for d in reader.filter_doc_ids(WHERE_LANG))
+    full = search_topk(
+        reader, ["the", "a"], mode="conjunctive", k=10**9,
+        exclude=["dup"], boosts={"a": 2.0},
+    )
+    assert got == [(d, s) for d, s in full if d in allow][:10]
+
+
+def test_empty_allowlist_returns_empty(reader):
+    assert search_topk(
+        reader, ["the"], mode="disjunctive", k=10, where={"lang": "xx"}
+    ) == []
+    assert search_many(
+        reader, [(["the"], "disjunctive")], k=10, where={"lang": "xx"}
+    ) == [[]]
+
+
+def test_search_many_filtered_matches_per_query(reader):
+    qs = [(["the", "a"], "conjunctive"), (["dup", "the"], "disjunctive")]
+    batched = search_many(reader, qs, k=10, where=WHERE_IN)
+    for (terms, mode), got in zip(qs, batched):
+        assert got == search_topk(reader, terms, mode=mode, k=10, where=WHERE_IN)
+
+
+def test_phrase_and_near_filtered(reader_pos):
+    """Filtered phrase/near == unfiltered result intersected with the
+    allowlist (scores unchanged for survivors)."""
+    allow = set(int(d) for d in reader_pos.filter_doc_ids(WHERE_LANG))
+    full = search_phrase(reader_pos, "the a", k=10**9)
+    got = search_phrase(reader_pos, "the a", k=10, where=WHERE_LANG)
+    assert got == [(d, s) for d, s in full if d in allow][:10]
+    full_n = search_near(reader_pos, "the", "dup", slop=5, k=10**9)
+    got_n = search_near(reader_pos, "the", "dup", slop=5, k=10, where=WHERE_LANG)
+    assert got_n == [(d, s) for d, s in full_n if d in allow][:10]
+
+
+def test_distributed_filtered_matches_driver(reader):
+    rows = search_distributed(
+        reader, ["the", "a"], mode="conjunctive", k=10, where=WHERE_IN
+    ).collect()
+    got = sorted(
+        ((r.doc_id, round(r.score, 6)) for r in rows),
+        key=lambda t: (-t[1], t[0]),
+    )
+    want = [
+        (d, round(s, 6))
+        for d, s in search_topk(
+            reader, ["the", "a"], mode="conjunctive", k=10, where=WHERE_IN
+        )
+    ]
+    assert got == want
+
+
+def test_field_value_grammar(reader):
+    assert search(reader, "lang:en the AND a") == search_topk(
+        reader, ["the", "a"], mode="conjunctive", k=10, where=WHERE_LANG
+    )
+    # repeated field ORs into an IN-list
+    assert search(reader, "lang:fr lang:es the OR dup") == search_topk(
+        reader, ["the", "dup"], mode="disjunctive", k=10, where=WHERE_IN
+    )
+    # a colon token whose prefix is NOT a metadata column stays a term
+    # (matches nothing in this corpus -> conjunctive empty)
+    assert search(reader, "foo:bar AND the") == []
+    # filters alone are not a query
+    with pytest.raises(ValueError, match="positive term"):
+        search(reader, "lang:en")
