@@ -21,6 +21,40 @@ from miru_spark.index.format import impact_bound
 from miru_spark.index.writer import term_pref_py
 
 
+def _relaxed(schema):
+    """The same arrow schema with every field (recursively) nullable.
+
+    A full build's mapInArrow schema declares the chunk columns non-null
+    ("required" in parquet), but the delta-merge finalize routes carried
+    rows through unionByName + localCheckpoint, which relaxes them to
+    "optional" — so an incrementally-updated index legitimately mixes
+    required- and optional-field files in one postings dataset. Reading
+    with the strict first-fragment schema then fails the nullable→
+    non-nullable cast; scanning with the relaxed schema accepts both
+    generations (nullability is layout metadata here, never semantics).
+    """
+    import pyarrow as pa
+
+    def relax(t):
+        if pa.types.is_struct(t):
+            return pa.struct(
+                [pa.field(f.name, relax(f.type), nullable=True) for f in t]
+            )
+        if pa.types.is_list(t):
+            vf = t.value_field
+            return pa.list_(pa.field(vf.name, relax(vf.type), nullable=True))
+        if pa.types.is_large_list(t):
+            vf = t.value_field
+            return pa.large_list(
+                pa.field(vf.name, relax(vf.type), nullable=True)
+            )
+        return t
+
+    return pa.schema(
+        [pa.field(f.name, relax(f.type), nullable=True) for f in schema]
+    )
+
+
 def _lev_within(a: str, b: str, k: int) -> bool:
     """Banded Levenshtein: True iff dist(a, b) <= k; early-exits when a DP
     row's minimum exceeds k (Ukkonen's cutoff)."""
@@ -446,7 +480,10 @@ class IndexReader:
                 return {}
             key = tuple(files)
             if getattr(self, "_dset_key", None) != key:
-                self._dset = pads.dataset(files, format="parquet")
+                probe = pads.dataset(files, format="parquet")
+                self._dset = pads.dataset(
+                    files, format="parquet", schema=_relaxed(probe.schema)
+                )
                 self._dset_key = key
             dset = self._dset
             flt = pc.field("term").isin(terms)
@@ -455,10 +492,16 @@ class IndexReader:
             # the dataset handle (directory listing + schema) is immutable
             # for a committed index — build it once per reader, not per query
             if getattr(self, "_dset", None) is None:
+                probe = pads.dataset(
+                    f"{self.index_path}/postings",
+                    format="parquet",
+                    partitioning="hive",
+                )
                 self._dset = pads.dataset(
                     f"{self.index_path}/postings",
                     format="parquet",
                     partitioning="hive",
+                    schema=_relaxed(probe.schema),
                 )
             dset = self._dset
             flt = pc.field("term_pref").isin(prefs) & pc.field("term").isin(terms)

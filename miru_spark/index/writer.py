@@ -245,6 +245,7 @@ def purge_deleted(spark: SparkSession, index_path: str) -> dict:
                     first_docid=int(ids[keep][0]),
                     last_docid=int(ids[keep][-1]),
                     blob=blob,
+                    blob_bytes=len(blob),  # dropped if schema predates it
                     pos_blob=pos_blob,
                     i_tf=ci_tf,
                     i_dl=ci_dl,
@@ -496,8 +497,19 @@ def build_index(
             F.count("*").alias("n_terms"),
             F.sum("df_local").alias("n_postings"),
             F.sum("n_tokens").alias("n_tokens"),
-            F.sum(F.length("blob")).alias("bytes"),
-            F.expr("bit_xor(xxhash64(term, df_local, blob))").alias("checksum"),
+            # scalar lineage columns written by build_segments: the agg scan
+            # prunes to ints and never touches the blob pages (pre-columns
+            # indexes fall back to the read-back expressions)
+            (
+                F.sum("blob_bytes")
+                if "blob_bytes" in segments.columns
+                else F.sum(F.length("blob"))
+            ).alias("bytes"),
+            (
+                F.expr("bit_xor(row_xxh)")
+                if "row_xxh" in segments.columns
+                else F.expr("bit_xor(xxhash64(term, df_local, blob))")
+            ).alias("checksum"),
         )
         .collect()
     }
@@ -535,10 +547,14 @@ def build_index(
         merged.write.mode("overwrite").partitionBy("term_pref").parquet(
             f"{index_path}/postings"
         )
+    # compression metrics from scalar columns only: count(*) is a parquet
+    # rowcount pushdown and df_chunk/blob_bytes are tiny int pages — the
+    # blob pages themselves are never re-read (this agg used to read the
+    # whole index back and serialized the tail of every build)
     post = spark.read.parquet(f"{index_path}/postings").agg(
         F.count("*").alias("chunks"),
         F.sum("df_chunk").alias("postings"),
-        F.sum(F.length("blob")).alias("bytes"),
+        F.sum("blob_bytes").alias("bytes"),
     ).collect()[0]
     compression = {
         "n_chunks": int(post["chunks"]),

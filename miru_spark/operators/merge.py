@@ -45,6 +45,10 @@ CHUNK_SCHEMA = T.StructType(
         T.StructField("i_tf", T.ArrayType(T.LongType()), False),
         T.StructField("i_dl", T.ArrayType(T.LongType()), False),
         T.StructField("blob", T.BinaryType(), False),
+        # blob size as a scalar column: post-build metrics aggregate THIS
+        # instead of re-reading every blob page (sum(length(blob)) forces a
+        # full postings read-back)
+        T.StructField("blob_bytes", T.LongType(), False),
         T.StructField("pos_blob", T.BinaryType(), True),
         T.StructField(
             "blocks",
@@ -155,6 +159,7 @@ def merge_segments(
                 "i_tf": [c_tf],
                 "i_dl": [c_dl],
                 "blob": [blob],
+                "blob_bytes": [len(blob)],
                 "pos_blob": [pos_blob],
                 "blocks": [metas],
             }

@@ -214,4 +214,11 @@ def build_segments(
         .select("doc_id", toks.alias("tokens"))
         .withColumn("doc_len", F.size("tokens").cast("long"))
         .mapInArrow(_make_segment_builder(docs_per_part, positions), SEGMENT_SCHEMA)
+        # lineage columns, computed IN the write pass while the blob is in
+        # memory: the manifest aggregation then reads only these scalars
+        # instead of re-reading every blob from disk (a full-index read-back
+        # that serialized the build — parquet page CRCs already guard
+        # bit-rot; this hash guards logical identity across resume)
+        .withColumn("row_xxh", F.xxhash64("term", "df_local", "blob"))
+        .withColumn("blob_bytes", F.length("blob").cast("long"))
     )

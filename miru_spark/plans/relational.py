@@ -478,6 +478,7 @@ def bm25_oracle_sql(
     boosts: dict[str, float] | None = None,
     tok_sql: str = DEFAULT_TOK_SQL,
     meta_where: str | None = None,
+    raw_where: str | None = None,
 ) -> str:
     """The matching DuckDB ANSI-SQL oracle (FIXTURES.md), same rounding.
 
@@ -515,6 +516,11 @@ def bm25_oracle_sql(
         wheres.append(
             f"doc_id IN (SELECT doc_id FROM documents WHERE {meta_where})"
         )
+    if raw_where:
+        # raw predicate on the RESULT doc_id (e.g. tombstone exclusion for
+        # the upsert twin, where the filtered ids aren't rows of
+        # ``documents`` and meta_where therefore can't reach them)
+        wheres.append(f"({raw_where})")
     where = ("WHERE " + " AND ".join(wheres)) if wheres else ""
     return f"""
 WITH tok AS ({tok_sql}),

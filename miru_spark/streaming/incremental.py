@@ -273,6 +273,136 @@ def finalize_streamed_index(
     return stats
 
 
+def update_documents(
+    spark: SparkSession,
+    index_path: str,
+    updates: DataFrame,
+    num_partitions: int = 8,
+    tokenizer: str = "whitespace",
+    snapshots: bool = False,
+) -> dict:
+    """Upsert documents into an incremental-layout index — Lucene
+    ``IndexWriter.updateDocument`` semantics: atomically (a) tombstone the
+    replaced doc_ids and (b) index the new versions as a fresh delta batch,
+    then delta-merge so only the terms the updated docs touch are
+    re-merged (O(delta), not O(index)).
+
+    ``updates`` carries the corpus columns (repo, path, commit, lang,
+    content) plus an optional ``doc_id`` = the CURRENT id of the doc each
+    row replaces; rows with a null ``doc_id`` (or no column) are pure
+    inserts. New versions always get FRESH doc_ids above the current max
+    (doc_id space is append-only — ids are never reused, so pre-update
+    readers and time-traveled snapshots stay consistent).
+
+    Standard pre-merge drift applies: until a purge/rebuild, corpus stats
+    (n_docs/avgdl/df) still count the superseded versions, exactly as
+    Lucene scores drift between updateDocument and the next segment merge.
+    Tombstoned versions are filtered from every serving path immediately.
+
+    Scale shape: the delta batch is built/merged distributed; only the
+    replaced-id list passes through the driver (one column of the update
+    batch — for bulk reindexing beyond driver memory, shard into multiple
+    calls or rebuild). Returns {n_updated, n_inserted, batch, stats} plus
+    an ``id_map`` list of (old_doc_id, new_doc_id) pairs.
+    """
+    import json
+
+    from miru_spark.index.writer import delete_docs
+
+    seg_root = f"{index_path}/segments"
+    # the batch builder also keeps a segments/ dir (resume unit) — the
+    # incremental layout is distinguished by its batch= partitioning
+    if not (
+        os.path.isdir(seg_root)
+        and any(e.startswith("batch=") for e in os.listdir(seg_root))
+    ):
+        raise ValueError(
+            "update_documents needs the incremental layout (segments/batch=N "
+            "+ docmap batches); for a batch-built index, rebuild or use "
+            "delete_docs + a new build"
+        )
+    with open(f"{index_path}/stats.json") as f:
+        stats0 = json.load(f)
+
+    docmap = spark.read.parquet(f"{index_path}/docmap")
+    max_id = docmap.agg(F.max("doc_id")).collect()[0][0] or 0
+    live_ids = docmap.select("doc_id")
+
+    has_old = "doc_id" in updates.columns
+    # fresh ids: deterministic dense rank over the natural key, shifted
+    # past the current max — identical to assign_doc_ids but offset
+    from miru_spark.schema import assign_doc_ids
+
+    body = updates.drop("doc_id") if has_old else updates
+    renumbered = assign_doc_ids(body).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(int(max_id) + 1)
+    )
+    n_new = renumbered.count()
+    if n_new == 0:
+        raise ValueError("no update rows")
+
+    existing = {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(seg_root)
+        if e.startswith("batch=")
+    }
+    bid = (max(existing) + 1) if existing else 0
+
+    segs = build_segments(
+        renumbered,
+        num_partitions,
+        n_docs=n_new,
+        tokenizer=tokenizer,
+        positions=bool(stats0.get("positions", False)),
+    )
+    segs.write.mode("overwrite").partitionBy("partition_id").parquet(
+        f"{seg_root}/batch={bid}"
+    )
+    docmap_direct(renumbered, tokenizer).write.mode("overwrite").parquet(
+        f"{index_path}/docmap/batch={bid}"
+    )
+
+    id_map: list[tuple[int, int]] = []
+    n_updated = 0
+    if has_old:
+        pairs = (
+            updates.select(F.col("doc_id").alias("old_id"), "repo", "path", "commit")
+            .filter(F.col("old_id").isNotNull())
+            # replacements must name a doc that actually exists
+            .join(live_ids, F.col("old_id") == F.col("doc_id"), "left_semi")
+            .join(
+                renumbered.select(
+                    F.col("doc_id").alias("new_id"), "repo", "path", "commit"
+                ),
+                ["repo", "path", "commit"],
+            )
+            .select("old_id", "new_id")
+            .collect()
+        )
+        id_map = [(int(r.old_id), int(r.new_id)) for r in pairs]
+        old_ids = [o for o, _ in id_map]
+        if old_ids:
+            # tombstone AFTER the new batch lands: a crash in between
+            # leaves both versions live (a duplicate), never a lost doc
+            delete_docs(index_path, old_ids)
+            n_updated = len(old_ids)
+
+    stats = finalize_streamed_index(
+        spark,
+        index_path,
+        num_partitions=num_partitions,
+        codec=int(stats0.get("codec")) if stats0.get("codec") else None,
+        snapshots=snapshots,
+    )
+    return {
+        "n_updated": n_updated,
+        "n_inserted": n_new - n_updated,
+        "batch": bid,
+        "id_map": id_map,
+        "stats": stats,
+    }
+
+
 # ------------------------------------------------------- stream analytics --
 
 def windowed_event_counts(

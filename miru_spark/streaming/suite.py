@@ -62,6 +62,77 @@ def q_stream_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+_UPSERT_IDX: dict[str, str] = {}
+_UPSERT_TEXT = "zzznew join hash zzznew"
+# the oracle's corpus twin of update_documents: documents plus the updated
+# versions under fresh ids (max+dense-rank over the engine's natural key
+# (repo=source, path=printf(doc_id), commit const) — same order, same ids),
+# with the replaced ids tombstoned out of the RESULT but still counted in
+# every stat (Lucene pre-merge drift, exactly what the engine serves)
+_UPSERT_TOK_SQL = f"""
+SELECT doc_id, unnest(string_split(text,' ')) AS term FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT (SELECT MAX(doc_id) FROM documents)
+         + ROW_NUMBER() OVER (ORDER BY source, printf('doc_%05d.txt', doc_id))
+         AS doc_id,
+         '{_UPSERT_TEXT}' AS text
+  FROM documents WHERE doc_id IN (7, 11)
+)
+""".strip()
+
+
+def _upserted_index(spark: SparkSession, sf_dir: str) -> str:
+    """A second streamed index with docs 7 and 11 replaced via
+    update_documents (tombstone + delta batch + delta-merge)."""
+    if sf_dir in _UPSERT_IDX:
+        return _UPSERT_IDX[sf_dir]
+    from miru_spark.schema import read_corpus
+    from miru_spark.streaming.incremental import (
+        finalize_streamed_index,
+        incremental_index_stream,
+        stream_corpus,
+        update_documents,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"miru_upsert_{os.getpid()}_")
+    drops = f"{base}/drops"
+    idx = f"{base}/idx"
+    corpus = read_corpus(spark, sf_dir)
+    n = corpus.count()
+    half = n // 2
+    corpus.filter(F.col("doc_id") < half).coalesce(1).write.mode("append").parquet(drops)
+    corpus.filter(F.col("doc_id") >= half).coalesce(1).write.mode("append").parquet(drops)
+    q = incremental_index_stream(
+        stream_corpus(spark, drops), idx, docs_per_part=max(1, -(-n // 8)),
+        num_partitions=8,
+    )
+    q.awaitTermination(300)
+    finalize_streamed_index(spark, idx, num_partitions=8)
+    upd = (
+        corpus.filter(F.col("doc_id").isin([7, 11]))
+        .select("doc_id", "repo", "path", "commit", "lang")
+        .withColumn("content", F.lit(_UPSERT_TEXT))
+    )
+    update_documents(spark, idx, upd, num_partitions=8)
+    _UPSERT_IDX[sf_dir] = idx
+    return idx
+
+
+def q_stream_upsert_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.plans.search import search_topk
+
+    idx = _upserted_index(spark, sf_dir)
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_topk(
+            IndexReader(spark, idx), ["join", "hash"], mode="conjunctive", k=10
+        )
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 def q_stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from miru_spark.streaming.incremental import windowed_event_counts
 
@@ -187,11 +258,19 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 
 
 def register_all(register) -> None:
-    register(
-        "stream_incremental_bm25",
-        q_stream_incremental_bm25,
-        bm25_oracle_sql(["join", "hash"], "conjunctive"),
-    )
+    from miru_spark.plans.composite import register_composite
+
+    DS = ("doc_id", "score")
+    register_composite(register, "stream_incremental_bm25", [
+        ("incremental", q_stream_incremental_bm25,
+         bm25_oracle_sql(["join", "hash"], "conjunctive"), DS),
+        # upsert (Lucene updateDocument): same query over the index after
+        # update_documents replaced docs 7 and 11
+        ("upsert", q_stream_upsert_bm25,
+         bm25_oracle_sql(["join", "hash"], "conjunctive",
+                         tok_sql=_UPSERT_TOK_SQL,
+                         raw_where="doc_id NOT IN (7, 11)"), DS),
+    ])
     register("stream_windowed_events", q_stream_windowed_events, STREAM_WINDOWED_SQL)
     register("stream_stateful_source_stats", q_stream_stateful, STREAM_STATEFUL_SQL)
     register("stream_session_windows", q_session_windows, SESSION_WINDOWS_SQL)
