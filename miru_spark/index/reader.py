@@ -253,6 +253,16 @@ class IndexReader:
         """Metadata column names of the docmap (driver-side schema peek)."""
         return [f.name for f in self._docmap_dset().schema]
 
+    def docmap_int_columns(self) -> set[str]:
+        """Integer-typed docmap columns (range-filter bounds coerce to int)."""
+        import pyarrow as pa
+
+        return {
+            f.name
+            for f in self._docmap_dset().schema
+            if pa.types.is_integer(f.type)
+        }
+
     def _docmap_dset(self):
         import pyarrow.dataset as pads
 
@@ -265,7 +275,8 @@ class IndexReader:
     def filter_doc_ids(self, where: dict) -> np.ndarray:
         """Sorted unique doc_ids whose docmap metadata matches ``where`` —
         the filtered-search allowlist (A34). ``where`` maps column ->
-        value (equality) or list of values (IN); conditions AND together.
+        value (equality), list of values (IN), or ``filters.Range``
+        (range, A35); conditions AND together.
 
         Driver fast path: a pushed-down pyarrow scan of the docmap
         projected to the single doc_id column — row groups whose column
@@ -275,7 +286,7 @@ class IndexReader:
         scale use ``search_distributed(where=...)``, which keeps the
         filter as a distributed semi-join instead of a driver array.
         """
-        import pyarrow.compute as pc
+        from miru_spark.filters import arrow_predicate
 
         cols = set(self.docmap_columns())
         flt = None
@@ -284,11 +295,7 @@ class IndexReader:
                 raise ValueError(
                     f"unknown docmap column {col!r}; have {sorted(cols)}"
                 )
-            cond = (
-                pc.field(col).isin(list(val))
-                if isinstance(val, (list, tuple, set))
-                else pc.field(col) == val
-            )
+            cond = arrow_predicate(col, val)
             flt = cond if flt is None else flt & cond
         ids = (
             self._docmap_dset()
@@ -412,6 +419,21 @@ class IndexReader:
                 f"{len(out)} terms (max_terms={max_terms})"
             )
         return out
+
+    def term_dfs(self, terms) -> dict[str, int]:
+        """Document frequencies for a handful of terms — one pushed-down
+        pyarrow seek into the sorted term dictionary (terms absent from
+        the vocabulary are absent from the result)."""
+        import pyarrow.compute as pc
+
+        tbl = self._term_dict().to_table(
+            columns=["term", "df"],
+            filter=pc.field("term").isin(list(terms)),
+        )
+        return dict(
+            zip(tbl.column("term").to_pylist(),
+                (int(v) for v in tbl.column("df").to_pylist()))
+        )
 
     def expand_regex(self, pattern: str, max_terms: int = 1024) -> list[str]:
         """Vocabulary terms fully matching ``pattern`` (grep-style code

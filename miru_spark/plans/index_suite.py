@@ -81,6 +81,23 @@ NEAR_CASES = {
 }
 
 
+def _mk_grammar(query: str):
+    """A driver case that goes through the full query grammar (parse ->
+    filter/range extraction -> routed search), not search_topk directly."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search
+
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6)) for d, s in search(reader, query, k=10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
 def _mk_topk(terms, mode, exclude=None, where=None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -366,6 +383,32 @@ GROUP BY term ORDER BY df DESC, term LIMIT 5
 """.strip()
 
 
+def q_spell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean (Lucene DirectSpellChecker): corrections for the typo
+    'sow' within 1 edit, more-popular-only, ranked (dist, df desc, term)."""
+    from miru_spark.plans.flagship import ensure_index
+    from miru_spark.plans.search import suggest_spelling
+
+    reader = ensure_index(spark, sf_dir)
+    rows = [
+        (t, int(d), int(df))
+        for t, d, df in suggest_spelling(reader, "sow", max_edits=1, k=5)
+    ]
+    return spark.createDataFrame(rows, "term string, dist long, df long")
+
+
+SQL_SPELL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+t AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY term),
+qdf AS (SELECT coalesce((SELECT df FROM df WHERE term = 'sow'), 0) AS qdf)
+SELECT term, CAST(levenshtein(term, 'sow') AS BIGINT) AS dist, df
+FROM df, qdf
+WHERE levenshtein(term, 'sow') = 1 AND df > qdf.qdf
+ORDER BY dist, df DESC, term LIMIT 5
+""".strip()
+
+
 _DELETED_DOCS = [169, 491, 7]
 _DELETE_IDX: dict[str, str] = {}
 
@@ -556,6 +599,44 @@ def q_code_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+_MF_IDX: dict[str, str] = {}
+_MF_WEIGHTS = {"content": 1.0, "path": 3.0}
+_MF_PATH_TOK = (
+    "SELECT doc_id, unnest(string_split(regexp_replace("
+    "printf('doc_%05d.txt', doc_id), '[/._-]+', ' ', 'g'), ' ')) AS term "
+    "FROM documents"
+)
+
+
+def q_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A36 — multi-field (ES most_fields) search: content + path field
+    indexes over the same doc_id space, path weighted 3x, so the doc whose
+    FILENAME matches '00007' outranks body-only matches."""
+    import tempfile
+
+    from miru_spark.plans.multifield import (
+        build_multifield_index,
+        open_field_readers,
+        search_fields,
+    )
+    from miru_spark.schema import read_corpus
+
+    if sf_dir not in _MF_IDX:
+        base = tempfile.mkdtemp(prefix="miru_mf_") + "/idx"
+        build_multifield_index(
+            spark, read_corpus(spark, sf_dir), base, num_partitions=8
+        )
+        _MF_IDX[sf_dir] = base
+    readers = open_field_readers(spark, _MF_IDX[sf_dir])
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_fields(
+            readers, ["the", "00007"], weights=_MF_WEIGHTS, mode="disjunctive"
+        )
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 def register_all(register) -> None:
     """17 index-tier driver entries (was 38 individual ones): same-family
     cases are tagged-union composites so every family fits inside the
@@ -582,6 +663,14 @@ def register_all(register) -> None:
         ("bm25_index_filter_lang",
          _mk_topk(["the", "a"], "conjunctive", where={"lang": "en"}),
          bm25_oracle_sql(["the", "a"], "conjunctive", meta_where="lang = 'en'"),
+         DS),
+        # range-filtered search (A35): Lucene range syntax through the full
+        # grammar -> docmap doc_len range pushed to the pyarrow scan
+        ("bm25_index_filter_range",
+         _mk_grammar("the AND a doc_len:[40 TO 60]"),
+         bm25_oracle_sql(["the", "a"], "conjunctive",
+                         meta_where="len(string_split(text, ' ')) "
+                                    "BETWEEN 40 AND 60"),
          DS),
     ])
     register_composite(register, "bm25_index_boost", [
@@ -656,7 +745,12 @@ def register_all(register) -> None:
     ])
     register("bm25_index_mlt", q_mlt, mlt_oracle_sql(42, n_terms=5, k=10))
     register("bm25_index_stats", q_index_stats, SQL_INDEX_STATS)
-    register("bm25_index_suggest", q_suggest, SQL_SUGGEST)
+    register_composite(register, "bm25_index_suggest", [
+        ("prefix", q_suggest, SQL_SUGGEST, ("term", "df")),
+        # A37 spell correction: fuzzy-dictionary neighbors of a typo,
+        # more-popular-only, (dist, df desc, term) rank
+        ("spell", q_spell, SQL_SPELL, ("term", "dist", "df")),
+    ])
     register(
         "bm25_index_resume", q_index_resume,
         bm25_oracle_sql(["join", "hash"], "conjunctive"),
@@ -672,7 +766,20 @@ def register_all(register) -> None:
         ("bm25_index_snapshot", q_index_snapshot,
          bm25_oracle_sql(["the", "dup"], "disjunctive"), DS),
     ])
-    register(
-        "bm25_index_code_tokenizer", q_code_tokenizer,
-        bm25_oracle_sql(["todo_3", "join"], "conjunctive", tok_sql=CODE_TOK_SQL),
+    from miru_spark.plans.relational import (
+        DEFAULT_TOK_SQL,
+        bm25_multifield_oracle_sql,
     )
+
+    register_composite(register, "bm25_index_code_tokenizer", [
+        ("code", q_code_tokenizer,
+         bm25_oracle_sql(["todo_3", "join"], "conjunctive",
+                         tok_sql=CODE_TOK_SQL), DS),
+        # A36 multi-field most_fields: per-field BM25 stats, weighted sum
+        ("multifield", q_multifield,
+         bm25_multifield_oracle_sql(
+             ["the", "00007"],
+             {"content": (DEFAULT_TOK_SQL, _MF_WEIGHTS["content"]),
+              "path": (_MF_PATH_TOK, _MF_WEIGHTS["path"])},
+             "disjunctive"), DS),
+    ])

@@ -538,3 +538,62 @@ s AS (SELECT tf.doc_id,
 SELECT doc_id, round(raw_score, {round_digits}) AS score FROM s {where}
 ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
+
+
+def bm25_multifield_oracle_sql(
+    terms: list[str],
+    field_toks: dict[str, tuple[str, float]],
+    mode: str = "disjunctive",
+    k: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of plans.multifield (A36 — ES ``most_fields``): one
+    BM25 pipeline per field (own tf/dl/stats/df), weighted-summed per doc.
+    ``field_toks`` maps field name -> (tokenization SQL producing
+    (doc_id, term), weight). Conjunctive requires every query term in at
+    least one field (count of DISTINCT matched terms over the union)."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    values = ",".join("('" + t.replace("'", "''") + "')" for t in terms)
+    names = sorted(field_toks)
+    ctes, score_exprs, match_sels = [], [], []
+    for i, fname in enumerate(names):
+        tok_sql, weight = field_toks[fname]
+        ctes.append(
+            f"tok{i} AS ({tok_sql}),\n"
+            f"tf{i} AS (SELECT doc_id, term, count(*)::DOUBLE tf "
+            f"FROM tok{i} WHERE term<>'' GROUP BY 1,2),\n"
+            f"dl{i} AS (SELECT doc_id, sum(tf) dl FROM tf{i} GROUP BY 1),\n"
+            f"st{i} AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl{i}),\n"
+            f"df{i} AS (SELECT term, count(*)::DOUBLE df FROM tf{i} GROUP BY 1),\n"
+            f"s{i} AS (SELECT tf{i}.doc_id,\n"
+            f"    sum( ln(1+(st{i}.n-df{i}.df+0.5)/(df{i}.df+0.5))\n"
+            f"      * tf{i}.tf*(1.2+1)/(tf{i}.tf+1.2*(1-0.75+0.75*dl{i}.dl/st{i}.avgdl)) ) raw\n"
+            f"  FROM tf{i} JOIN q USING(term) JOIN df{i} USING(term) "
+            f"JOIN dl{i} USING(doc_id), st{i} GROUP BY 1)"
+        )
+        score_exprs.append(f"coalesce(s{i}.raw, 0) * {float(weight)!r}")
+        match_sels.append(
+            f"SELECT doc_id, term FROM tf{i} JOIN q USING(term)"
+        )
+    conj = (
+        "WHERE nterm = (SELECT count(*) FROM q)"
+        if mode == "conjunctive"
+        else ""
+    )
+    joins = "\n  ".join(f"LEFT JOIN s{i} USING(doc_id)" for i in range(len(names)))
+    cte_block = ",\n".join(ctes)
+    match_block = " UNION ALL ".join(match_sels)
+    score_block = " + ".join(score_exprs)
+    return f"""
+WITH q(term) AS (VALUES {values}),
+{cte_block},
+m AS (SELECT doc_id, count(DISTINCT term) nterm
+      FROM ({match_block}) GROUP BY 1)
+SELECT m.doc_id, round({score_block}, {round_digits}) AS score
+FROM m
+  {joins}
+{conj}
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from miru_spark.filters import Range
 from miru_spark.functions import bm25
 from miru_spark.index.format import unpack_chunk_bm
 from miru_spark.index.reader import IndexReader, TermPostings
@@ -379,6 +380,79 @@ def _expand_wildcards(
     return list(dict.fromkeys(out)), had
 
 
+_RANGE_RE = None  # compiled lazily (module import stays regex-free)
+
+
+def _coerce_bound(reader: IndexReader, col: str, raw: str):
+    """A range bound typed to its docmap column: int columns coerce (a
+    non-numeric bound on an int column is a user error), strings pass
+    through and compare lexicographically."""
+    if col in reader.docmap_int_columns():
+        try:
+            return int(raw)
+        except ValueError:
+            raise ValueError(
+                f"range bound {raw!r} is not an integer (column {col!r})"
+            ) from None
+    return raw
+
+
+def _merge_range(acc: dict[str, Range], col: str, r: Range) -> None:
+    """AND a new range into the per-column accumulator: each bound kind may
+    be set once (``doc_len:>=10 doc_len:<50`` composes; two lower bounds
+    conflict)."""
+    prev = acc.get(col)
+    if prev is None:
+        acc[col] = r
+        return
+    kw = {}
+    for lo_pair in (("gte", "gt"), ("lte", "lt")):
+        olds = [(k, getattr(prev, k)) for k in lo_pair if getattr(prev, k) is not None]
+        news = [(k, getattr(r, k)) for k in lo_pair if getattr(r, k) is not None]
+        if olds and news:
+            raise ValueError(
+                f"conflicting {'lower' if 'g' in lo_pair[0] else 'upper'} "
+                f"bounds for {col!r}"
+            )
+        for k, v in olds + news:
+            kw[k] = v
+    acc[col] = Range(**kw)
+
+
+def _extract_ranges(
+    reader: IndexReader, query: str
+) -> tuple[str, dict[str, Range]]:
+    """Strip Lucene bracket-range tokens (``col:[lo TO hi]`` — ``{``/``}``
+    for exclusive per side, ``*`` for open) out of the raw query string
+    (they contain a space, so they must come off before tokenization) and
+    return (residual query, per-column Range map)."""
+    global _RANGE_RE
+    if _RANGE_RE is None:
+        import re
+
+        _RANGE_RE = re.compile(
+            r"(\w+):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])"
+        )
+    rangeable = set(reader.docmap_columns()) - {"content_sha256"}
+    found: dict[str, Range] = {}
+
+    def repl(m) -> str:
+        col, lob, lo, hi, hib = m.groups()
+        if col not in rangeable:
+            return m.group(0)  # not a metadata column: leave as text
+        kw = {}
+        if lo != "*":
+            kw["gte" if lob == "[" else "gt"] = _coerce_bound(reader, col, lo)
+        if hi != "*":
+            kw["lte" if hib == "]" else "lt"] = _coerce_bound(reader, col, hi)
+        if not kw:
+            raise ValueError(f"range on {col!r} has two open bounds")
+        _merge_range(found, col, Range(**kw))
+        return " "
+
+    return _RANGE_RE.sub(repl, query), found
+
+
 def search(
     reader: IndexReader, query: str, k: int = 10, max_terms: int = 1024
 ) -> list[tuple[int, float]]:
@@ -400,36 +474,67 @@ def search(
     corpus term (e.g. code tokens like ``std::map`` fragments). Phrase and
     proximity queries are fully quoted, so the grammar can't carry filter
     tokens there — pass ``where=`` to search_phrase/search_near directly.
+
+    Range filters (A35, Lucene range-query syntax): ``doc_len:[100 TO
+    500]`` (inclusive), ``doc_len:{100 TO 500}`` (exclusive; brackets mix
+    per side), ``*`` for an open bound, and single-token comparisons
+    ``doc_len:>=100`` / ``doc_len:<500`` (repeating a field ANDs its
+    comparisons into one range). Integer columns coerce their bounds;
+    string columns compare lexicographically.
     """
+    query, range_filters = _extract_ranges(reader, query)
     terms, mode, exclude = parse_query(query)
     if mode == "phrase":
-        return search_phrase(reader, " ".join(terms), k=k)
+        return search_phrase(
+            reader, " ".join(terms), k=k, where=range_filters or None
+        )
     if mode.startswith("near:"):
         if len(terms) != 2:
             raise ValueError("proximity queries take exactly two terms")
-        return search_near(reader, terms[0], terms[1], slop=int(mode[5:]), k=k)
+        return search_near(
+            reader, terms[0], terms[1], slop=int(mode[5:]), k=k,
+            where=range_filters or None,
+        )
     # string metadata only: ints (doc_id/doc_len) and the content hash
-    # can't be equality-filtered from a text token sensibly
+    # can't be equality-filtered from a text token sensibly (ranges handle
+    # the numeric columns)
     meta_cols = set(reader.docmap_columns()) - {
         "doc_id", "doc_len", "content_sha256"
     }
+    rangeable = set(reader.docmap_columns()) - {"content_sha256"}
     filters: dict[str, list[str]] = {}
 
     def split_filters(toks: list[str]) -> list[str]:
         kept = []
         for t in toks:
             col, sep, val = t.partition(":")
-            if sep and val and col in meta_cols:
+            if sep and val[:1] in ("<", ">") and col in rangeable:
+                # single-token comparison: col:>=v col:>v col:<=v col:<v
+                op, bound = (
+                    (val[:2], val[2:]) if val[1:2] == "=" else (val[:1], val[1:])
+                )
+                if not bound:
+                    raise ValueError(f"empty bound in range token {t!r}")
+                kw = {{">=": "gte", ">": "gt", "<=": "lte", "<": "lt"}[op]:
+                      _coerce_bound(reader, col, bound)}
+                _merge_range(range_filters, col, Range(**kw))
+            elif sep and val and col in meta_cols:
                 filters.setdefault(col, []).append(val)
             else:
                 kept.append(t)
         return kept
 
     terms = split_filters(terms)
+    if set(filters) & set(range_filters):
+        both = sorted(set(filters) & set(range_filters))
+        raise ValueError(
+            f"column(s) {both} have both equality and range filters; "
+            "use one or the other"
+        )
     where = (
         {c: (v[0] if len(v) == 1 else v) for c, v in filters.items()}
-        or None
-    )
+        | range_filters
+    ) or None
     if not terms:
         raise ValueError(
             "query needs at least one positive term besides filters"
@@ -545,6 +650,49 @@ def search_regex(
     if not terms:
         return []
     return search_topk(reader, terms, mode="disjunctive", k=k, strategy=strategy)
+
+
+def suggest_spelling(
+    reader: IndexReader,
+    term: str,
+    max_edits: int = 1,
+    k: int = 5,
+    more_popular: bool = True,
+) -> list[tuple[str, int, int]]:
+    """Did-you-mean (Lucene DirectSpellChecker): vocabulary terms within
+    ``max_edits`` of ``term``, ranked by (edit distance asc, df desc,
+    term asc). The input itself (distance 0) is never suggested;
+    ``more_popular`` (Lucene SUGGEST_MORE_POPULAR) keeps only corrections
+    with a HIGHER df than the input — a typo is rarer than its fix.
+
+    Candidate generation reuses the fuzzy machinery (FastSS deletion
+    neighborhood for 1 edit, banded dictionary scan beyond), so cost is a
+    few statistics-pruned dictionary seeks at any vocabulary size.
+    """
+    from miru_spark.index.reader import _lev_within
+
+    cands = reader.expand_fuzzy(term, max_edits=max_edits)
+    cands = [t for t in cands if t != term]
+    if not cands:
+        return []
+    dfs = reader.term_dfs(cands + [term])
+    floor = dfs.get(term, 0) if more_popular else -1
+
+    def dist(t: str) -> int:
+        for d in range(1, max_edits + 1):
+            if _lev_within(term, t, d):
+                return d
+        return max_edits  # unreachable: cands are within max_edits
+
+    ranked = sorted(
+        (
+            (t, dist(t), dfs[t])
+            for t in cands
+            if dfs.get(t, 0) > floor
+        ),
+        key=lambda r: (r[1], -r[2], r[0]),
+    )
+    return ranked[:k]
 
 
 def search_facets(
@@ -1296,15 +1444,13 @@ def search_distributed(
 
     scored = chunks.mapInArrow(score_chunks, out_schema)
     if where:
+        from miru_spark.filters import spark_predicate
+
         allow = reader.docmap_df()
         for col, val in where.items():
             if col not in allow.columns:
                 raise ValueError(f"unknown docmap column {col!r}")
-            allow = allow.filter(
-                F.col(col).isin(list(val))
-                if isinstance(val, (list, tuple, set))
-                else F.col(col) == F.lit(val)
-            )
+            allow = allow.filter(spark_predicate(col, val))
         scored = scored.join(allow.select("doc_id"), "doc_id", "left_semi")
     if mode == "conjunctive" and len(terms) > 1:
         # rarest-term pre-filter: conjunctive hits are a subset of the

@@ -163,6 +163,120 @@ def test_distributed_filtered_matches_driver(reader):
     assert got == want
 
 
+# ------------------------------------------------------ ranges (A35) --
+
+def test_range_filter_doc_ids_matches_docmap(reader):
+    from miru_spark.filters import Range
+
+    ids = reader.filter_doc_ids({"doc_len": Range(gte=40, lte=60)})
+    via_spark = sorted(
+        r.doc_id
+        for r in reader.docmap_df()
+        .filter("doc_len between 40 and 60")
+        .select("doc_id")
+        .collect()
+    )
+    assert ids.tolist() == via_spark
+    # half-open + strict bounds + string lexicographic
+    ids2 = reader.filter_doc_ids({"doc_len": Range(gt=40, lt=60)})
+    via2 = sorted(
+        r.doc_id
+        for r in reader.docmap_df()
+        .filter("doc_len > 40 and doc_len < 60")
+        .select("doc_id")
+        .collect()
+    )
+    assert ids2.tolist() == via2
+    lex = reader.filter_doc_ids({"lang": Range(gte="en", lt="fr")})
+    via_lex = sorted(
+        r.doc_id
+        for r in reader.docmap_df()
+        .filter("lang >= 'en' and lang < 'fr'")
+        .select("doc_id")
+        .collect()
+    )
+    assert lex.tolist() == via_lex
+
+
+def test_range_filtered_topk_is_postfiltered_ranking(reader):
+    from miru_spark.filters import Range
+
+    where = {"doc_len": Range(gte=40, lte=60)}
+    got = search_topk(reader, ["the", "a"], mode="conjunctive", k=10, where=where)
+    assert got == _postfilter(reader, ["the", "a"], "conjunctive", where, k=10)
+
+
+def test_range_distributed_matches_driver(reader):
+    from miru_spark.filters import Range
+
+    where = {"doc_len": Range(gte=40, lte=60), "lang": "en"}
+    rows = search_distributed(
+        reader, ["the", "a"], mode="conjunctive", k=10, where=where
+    ).collect()
+    got = sorted(
+        ((r.doc_id, round(r.score, 6)) for r in rows),
+        key=lambda t: (-t[1], t[0]),
+    )
+    want = [
+        (d, round(s, 6))
+        for d, s in search_topk(
+            reader, ["the", "a"], mode="conjunctive", k=10, where=where
+        )
+    ]
+    assert got == want
+
+
+def test_range_grammar(reader):
+    from miru_spark.filters import Range
+
+    where = {"doc_len": Range(gte=40, lte=60)}
+    want = search_topk(reader, ["the", "a"], mode="conjunctive", k=10, where=where)
+    # bracket syntax (inclusive), comparison-token syntax, open bound
+    assert search(reader, "the AND a doc_len:[40 TO 60]") == want
+    assert search(reader, "the AND a doc_len:>=40 doc_len:<=60") == want
+    assert search(reader, "doc_len:[40 TO *] the AND a") == search_topk(
+        reader, ["the", "a"], mode="conjunctive", k=10,
+        where={"doc_len": Range(gte=40)},
+    )
+    # exclusive brackets
+    assert search(reader, "the AND a doc_len:{40 TO 60}") == search_topk(
+        reader, ["the", "a"], mode="conjunctive", k=10,
+        where={"doc_len": Range(gt=40, lt=60)},
+    )
+    # ranges compose with equality filters on OTHER columns and with phrase
+    assert search(reader, "lang:en the AND a doc_len:[40 TO 60]") == search_topk(
+        reader, ["the", "a"], mode="conjunctive", k=10,
+        where={"doc_len": Range(gte=40, lte=60), "lang": "en"},
+    )
+
+
+def test_range_grammar_errors(reader):
+    from miru_spark.filters import Range
+
+    with pytest.raises(ValueError, match="not an integer"):
+        search(reader, "the doc_len:[x TO 60]")
+    with pytest.raises(ValueError, match="conflicting lower"):
+        search(reader, "the doc_len:>=4 doc_len:>6")
+    with pytest.raises(ValueError, match="both equality and range"):
+        search(reader, "the lang:en lang:[aa TO bb]")
+    with pytest.raises(ValueError, match="two open bounds"):
+        search(reader, "the doc_len:[* TO *]")
+    with pytest.raises(ValueError, match="at most one lower"):
+        Range(gte=1, gt=2)
+    with pytest.raises(ValueError, match="at least one bound"):
+        Range()
+
+
+def test_range_phrase_composition(reader_pos):
+    from miru_spark.filters import Range
+
+    where = {"doc_len": Range(gte=40)}
+    allow = set(int(d) for d in reader_pos.filter_doc_ids(where))
+    full = search_phrase(reader_pos, "the a", k=10**9)
+    got = search(reader_pos, '"the a" doc_len:[40 TO *]')
+    assert got == [(d, s) for d, s in full if d in allow][:10]
+
+
 def test_field_value_grammar(reader):
     assert search(reader, "lang:en the AND a") == search_topk(
         reader, ["the", "a"], mode="conjunctive", k=10, where=WHERE_LANG

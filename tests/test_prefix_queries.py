@@ -120,3 +120,55 @@ def test_regex_prefix_pruning_soundness(reader, duck):
     for pat in ["sort|slow", "slow?", "scan*", "spar{1,2}k", "s(ort|low)"]:
         want = sorted(t for t in vocab if re.fullmatch(pat, t))
         assert reader.expand_regex(pat) == want, pat
+
+
+# ------------------------------------------------- spell suggest (A37) --
+
+def test_suggest_spelling_matches_duck(reader, duck):
+    """Engine ranking == DuckDB levenshtein ground truth, more-popular-only."""
+    from miru_spark.plans.search import suggest_spelling
+
+    got = suggest_spelling(reader, "sow", max_edits=1, k=5)
+    want = duck.execute("""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+t AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY term)
+SELECT term, 1, df FROM df WHERE levenshtein(term, 'sow') = 1
+ORDER BY df DESC, term LIMIT 5
+""").fetchall()
+    assert [(t, d, f) for t, d, f in got] == [tuple(r) for r in want]
+
+
+def test_suggest_spelling_excludes_self_and_gates_popularity(reader):
+    from miru_spark.plans.search import suggest_spelling
+
+    # a REAL vocab term: itself (distance 0) is never suggested, and with
+    # more_popular every suggestion has strictly higher df
+    dfs = reader.term_dfs(["slow"])
+    got = suggest_spelling(reader, "slow", max_edits=1, k=10)
+    assert all(t != "slow" for t, _, _ in got)
+    assert all(f > dfs["slow"] for _, _, f in got)
+    # without the gate, rarer neighbors may appear
+    all_n = suggest_spelling(reader, "slow", max_edits=1, k=10,
+                             more_popular=False)
+    assert set(t for t, _, _ in got) <= set(t for t, _, _ in all_n)
+
+
+def test_suggest_spelling_two_edits_ranks_distance_first(reader):
+    from miru_spark.plans.search import suggest_spelling
+
+    got = suggest_spelling(reader, "sow", max_edits=2, k=50,
+                           more_popular=False)
+    dists = [d for _, d, _ in got]
+    assert dists == sorted(dists)  # distance ascending
+    assert any(d == 2 for d in dists)  # the banded fallback path ran
+    # within a distance class, df descends
+    for d in set(dists):
+        block = [f for _, dd, f in got if dd == d]
+        assert block == sorted(block, reverse=True)
+
+
+def test_suggest_spelling_no_neighbors(reader):
+    from miru_spark.plans.search import suggest_spelling
+
+    assert suggest_spelling(reader, "zzzzzzz", max_edits=1, k=5) == []
