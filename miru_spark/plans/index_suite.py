@@ -115,6 +115,69 @@ def _mk_topk(terms, mode, exclude=None, where=None):
     return run
 
 
+def _mk_after(terms, mode):
+    """A38 search_after: page 2 driven by a REAL page-1 cursor (the last
+    hit's raw score + doc_id), so the driver row proves the keyset
+    boundary, not just a re-run."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_topk
+
+        reader = ensure_index(spark, sf_dir)
+        p1 = search_topk(reader, terms, mode=mode, k=10)
+        cur = (p1[-1][1], p1[-1][0])
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search_topk(reader, terms, mode=mode, k=10, after=cur)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
+def _mk_synonym(groups, mode):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_synonym
+
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search_synonym(reader, groups, mode=mode, k=10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
+def _mk_sorted(terms, mode, ascending=False):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_sorted
+
+        reader = ensure_index(spark, sf_dir)
+        return search_sorted(
+            reader, terms, mode=mode, sort_field="doc_len", k=10,
+            ascending=ascending,
+        )
+
+    return run
+
+
+def _mk_histogram(terms, mode, width):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_facets_histogram
+
+        reader = ensure_index(spark, sf_dir)
+        return search_facets_histogram(
+            reader, terms, mode=mode, col="doc_len", width=width
+        )
+
+    return run
+
+
 def _mk_dist(terms, mode, exclude=None, where=None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -648,8 +711,11 @@ def register_all(register) -> None:
         bm25_regex_oracle_sql,
         count_oracle_sql,
         facet_rollup_oracle_sql,
+        histogram_oracle_sql,
         mlt_oracle_sql,
         snippet_oracle_sql,
+        sorted_oracle_sql,
+        synonym_oracle_sql,
     )
 
     DS = ("doc_id", "score")
@@ -672,10 +738,26 @@ def register_all(register) -> None:
                          meta_where="len(string_split(text, ' ')) "
                                     "BETWEEN 40 AND 60"),
          DS),
+        # A38 keyset pagination: page 2 via a real page-1 cursor; oracle =
+        # rows 11-20 of the same full ranking
+        ("bm25_index_after",
+         _mk_after(["the", "a"], "disjunctive"),
+         "SELECT doc_id, score FROM ("
+         + bm25_oracle_sql(["the", "a"], "disjunctive", k=20)
+         + ") ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10",
+         DS),
     ])
     register_composite(register, "bm25_index_boost", [
         (n, _mk_boost(t, m, b, distributed=d), bm25_oracle_sql(t, m, boosts=b), DS)
         for n, (t, m, b, d) in BOOST_CASES.items()
+    ] + [
+        # A41 SynonymQuery: [the, a] score as ONE pseudo-term (tf summed,
+        # df = max) alongside a plain group — a ranking a boosted OR
+        # cannot reproduce
+        ("bm25_index_synonym",
+         _mk_synonym([["the", "a"], ["dup"]], "conjunctive"),
+         synonym_oracle_sql([["the", "a"], ["dup"]], "conjunctive"),
+         DS),
     ])
     register_composite(register, "bm25_index_not", [
         (n, _mk_topk(t, m, x), bm25_oracle_sql(t, m, exclude=x), DS)
@@ -707,6 +789,13 @@ def register_all(register) -> None:
     register_composite(register, "bm25_index_regex", [
         (n, _mk_regex(p), bm25_regex_oracle_sql(p), DS)
         for n, p in REGEX_CASES.items()
+    ] + [
+        # general mid-string wildcard (Lucene WildcardQuery) through the
+        # full grammar: 'd*p' -> anchored regex over the term dictionary
+        ("bm25_index_wildcard_mid",
+         _mk_grammar("d*p"),
+         bm25_regex_oracle_sql("d.*p"),
+         DS),
     ])
     register_composite(register, "bm25_index_fuzzy", [
         (n, _mk_fuzzy(p), bm25_fuzzy_oracle_sql(p, max_edits=1), DS)
@@ -725,6 +814,16 @@ def register_all(register) -> None:
         ("bm25_index_facets_rollup", q_facets_rollup,
          facet_rollup_oracle_sql(["the", "a"], "conjunctive"),
          ("lang", "repo", "n_docs")),
+        # A39 sort-by-field: top-k candidates by doc_len desc (ES sort)
+        ("bm25_index_sorted",
+         _mk_sorted(["the", "dup"], "disjunctive"),
+         sorted_oracle_sql(["the", "dup"], "disjunctive"),
+         ("doc_id", "doc_len")),
+        # A40 histogram aggregation: doc_len bins over the candidate set
+        ("bm25_index_histogram",
+         _mk_histogram(["the", "a"], "conjunctive", 10),
+         histogram_oracle_sql(["the", "a"], "conjunctive", width=10),
+         ("bin_lo", "n_docs")),
     ])
     register_composite(register, "bm25_index_phrase_near", [
         (n, _mk_phrase_dist(p), bm25_phrase_oracle_sql(p), DS)

@@ -469,6 +469,106 @@ DEFAULT_TOK_SQL = (
 )
 
 
+def _candidate_ctes(terms: list[str], mode: str, tok_sql: str) -> str:
+    """Shared CTE block: tokenize -> tf -> BIGINT doc_len -> the query's
+    candidate doc set (conjunctive = every term, disjunctive = any)."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    values = ",".join("('" + t.replace("'", "''") + "')" for t in terms)
+    having = (
+        "HAVING count(DISTINCT term) = (SELECT count(*) FROM q)"
+        if mode == "conjunctive"
+        else ""
+    )
+    return f"""
+WITH tok AS ({tok_sql}),
+tf   AS (SELECT doc_id, term, count(*) tf FROM tok WHERE term<>'' GROUP BY 1,2),
+dl   AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY 1),
+q(term) AS (VALUES {values}),
+cand AS (SELECT doc_id FROM tf JOIN q USING(term) GROUP BY doc_id {having})
+""".strip()
+
+
+def sorted_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    k: int = 10,
+    ascending: bool = False,
+    tok_sql: str = DEFAULT_TOK_SQL,
+) -> str:
+    """Twin of plans.search.search_sorted (A39): candidate docs ordered by
+    doc_len (the engine sorts by any docmap column; doc_len is the one the
+    oracle can recompute from text alone), doc_id tiebreak, top-k."""
+    direction = "ASC" if ascending else "DESC"
+    return f"""
+{_candidate_ctes(terms, mode, tok_sql)}
+SELECT doc_id, doc_len FROM cand JOIN dl USING(doc_id)
+ORDER BY doc_len {direction}, doc_id LIMIT {k}
+""".strip()
+
+
+def histogram_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    width: int = 10,
+    tok_sql: str = DEFAULT_TOK_SQL,
+) -> str:
+    """Twin of plans.search.search_facets_histogram (A40): fixed-width
+    doc_len bins over the candidate set, keyed by inclusive lower bound."""
+    if width <= 0:
+        raise ValueError("width must be positive")
+    return f"""
+{_candidate_ctes(terms, mode, tok_sql)}
+SELECT CAST(floor(doc_len/{width})*{width} AS BIGINT) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM cand JOIN dl USING(doc_id) GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+def synonym_oracle_sql(
+    groups: list[list[str]],
+    mode: str = "conjunctive",
+    k: int = 10,
+    round_digits: int = 6,
+    tok_sql: str = DEFAULT_TOK_SQL,
+) -> str:
+    """Twin of plans.search.search_synonym (A41 — Lucene SynonymQuery):
+    each group scores as one pseudo-term with tf = SUM of member tfs and
+    df = MAX of member dfs; groups combine conjunctively/disjunctively."""
+    if not groups or any(not g for g in groups):
+        raise ValueError("groups must be non-empty lists of terms")
+    values = ",".join(
+        "('" + t.replace("'", "''") + f"', {gi})"
+        for gi, g in enumerate(groups)
+        for t in dict.fromkeys(g)
+    )
+    having = (
+        "WHERE nmatch = (SELECT count(DISTINCT grp) FROM g)"
+        if mode == "conjunctive"
+        else ""
+    )
+    return f"""
+WITH tok AS ({tok_sql}),
+tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP BY 1,2),
+dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
+df    AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+g(term, grp) AS (VALUES {values}),
+gdf AS (SELECT grp, max(df.df) AS df FROM g JOIN df USING(term) GROUP BY 1),
+gtf AS (SELECT tf.doc_id, g.grp, sum(tf.tf) AS tf
+        FROM tf JOIN g USING(term) GROUP BY 1, 2),
+s AS (SELECT gtf.doc_id,
+        sum( ln(1+(stats.n-gdf.df+0.5)/(gdf.df+0.5))
+             * gtf.tf*(1.2+1)/(gtf.tf+1.2*(1-0.75+0.75*dl.dl/stats.avgdl)) ) raw_score,
+        count(DISTINCT gtf.grp) nmatch
+      FROM gtf JOIN gdf USING(grp) JOIN dl USING(doc_id), stats
+      GROUP BY 1)
+SELECT doc_id, round(raw_score, {round_digits}) AS score FROM s {having}
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def bm25_oracle_sql(
     terms: list[str],
     mode: str = "conjunctive",

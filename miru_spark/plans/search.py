@@ -141,6 +141,22 @@ def _is_excluded(excl: np.ndarray | None, docid: int) -> bool:
     return j < excl.size and int(excl[j]) == docid
 
 
+def _cursor_ok(
+    after: tuple[float, int] | None, score: float, docid: int
+) -> bool:
+    """search_after eligibility (A38, Lucene IndexSearcher.searchAfter):
+    a hit qualifies only if it sorts strictly AFTER the cursor in the
+    result order (score desc, doc_id asc). Scores within ``_EPS`` of the
+    cursor's are ties broken by doc_id — BM25 recomputes bit-identically
+    for the same doc within one path, but the iterator and vectorized
+    paths may differ in summation order by an ulp, so exact float
+    equality would make the page boundary path-dependent."""
+    if after is None:
+        return True
+    s, d = after
+    return score < s - _EPS or (score <= s + _EPS and docid > d)
+
+
 def _is_eligible(
     incl: np.ndarray | None, excl: np.ndarray | None, docid: int
 ) -> bool:
@@ -161,6 +177,7 @@ def wand_topk(
     k: int,
     excl: np.ndarray | None = None,
     incl: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND (Ding & Suel 2011) over per-term lazy iterators.
 
@@ -217,11 +234,15 @@ def wand_topk(
                 for it in iters:
                     if it.cur_docid == pivot:
                         score += it.score_current()
-                entry = (score, -pivot)
-                if len(heap) < k:
-                    heapq.heappush(heap, entry)
-                elif entry > heap[0]:
-                    heapq.heapreplace(heap, entry)
+                # pre-cursor docs never enter the heap, so theta stays a
+                # valid bound over the page's eligible docs (same argument
+                # as NOT / metadata filters above)
+                if _cursor_ok(after, score, pivot):
+                    entry = (score, -pivot)
+                    if len(heap) < k:
+                        heapq.heappush(heap, entry)
+                    elif entry > heap[0]:
+                        heapq.heapreplace(heap, entry)
             for it in iters:
                 if it.cur_docid == pivot:
                     it.next()
@@ -236,6 +257,7 @@ def conjunctive_topk(
     k: int,
     excl: np.ndarray | None = None,
     incl: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Galloping k-list intersection driven by the rarest term (A16)."""
     if not iters or any(it.exhausted for it in iters):
@@ -258,11 +280,12 @@ def conjunctive_topk(
             continue
         if _is_eligible(incl, excl, docid):
             score = sum(it.score_current() for it in iters)
-            entry = (score, -docid)
-            if len(heap) < k:
-                heapq.heappush(heap, entry)
-            elif entry > heap[0]:
-                heapq.heapreplace(heap, entry)
+            if _cursor_ok(after, score, docid):
+                entry = (score, -docid)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
         lead.next()
     return _topk_sorted(heap, k)
 
@@ -324,8 +347,27 @@ def parse_query(query: str) -> tuple[list[str], str, list[str]]:
 
 
 def _is_multi(tok: str) -> bool:
-    """Token that rewrites to an OR-group: ``foo*`` (prefix) / ``foo~`` (fuzzy)."""
-    return len(tok) > 1 and tok[-1] in "*~"
+    """Token that rewrites to an OR-group: ``foo*`` (prefix), ``foo~``
+    (fuzzy), or a general wildcard with ``*`` anywhere (``te*t``,
+    ``*fix``, Lucene WildcardQuery)."""
+    return len(tok) > 1 and (tok[-1] in "*~" or "*" in tok)
+
+
+def _expand_one(reader: IndexReader, t: str, max_terms: int) -> list[str]:
+    """Dictionary expansion for one multi-token. Trailing ``*`` with no
+    other star keeps the cheap statistics-pruned prefix seek; any other
+    star placement compiles to an anchored regex over the term dictionary
+    (literal-prefix pruned when one exists — a LEADING star means a full
+    dictionary scan, same cost class Lucene documents for leading
+    wildcards)."""
+    import re
+
+    if t[-1] == "~":
+        return reader.expand_fuzzy(t[:-1], max_terms=max_terms)
+    if t[-1] == "*" and "*" not in t[:-1]:
+        return reader.expand_prefix(t[:-1], max_terms=max_terms)
+    pat = ".*".join(re.escape(p) for p in t.split("*"))
+    return reader.expand_regex(pat, max_terms=max_terms)
 
 
 def _expand_with_boosts(
@@ -343,10 +385,7 @@ def _expand_with_boosts(
     explicit: dict[str, float] = {}
     for t in tokens:
         if _is_multi(t):
-            if t[-1] == "*":
-                ex = reader.expand_prefix(t[:-1], max_terms=max_terms)
-            else:
-                ex = reader.expand_fuzzy(t[:-1], max_terms=max_terms)
+            ex = _expand_one(reader, t, max_terms)
             w = boosts.get(t)
             if w is not None:
                 for e in ex:
@@ -363,18 +402,16 @@ def _expand_with_boosts(
 def _expand_wildcards(
     reader: IndexReader, tokens: list[str], max_terms: int
 ) -> tuple[list[str], bool]:
-    """Rewrite ``foo*`` (prefix) and ``foo~`` (fuzzy, <=1 edit) tokens via
-    the term dictionary; returns (terms, had_wildcard). A wildcard that
-    matches nothing simply drops out."""
+    """Rewrite ``foo*`` (prefix), ``te*t`` (general wildcard) and ``foo~``
+    (fuzzy, <=1 edit) tokens via the term dictionary; returns
+    (terms, had_wildcard). A wildcard that matches nothing simply drops
+    out."""
     out: list[str] = []
     had = False
     for t in tokens:
         if _is_multi(t):
             had = True
-            if t[-1] == "*":
-                out.extend(reader.expand_prefix(t[:-1], max_terms=max_terms))
-            else:
-                out.extend(reader.expand_fuzzy(t[:-1], max_terms=max_terms))
+            out.extend(_expand_one(reader, t, max_terms))
         else:
             out.append(t)
     return list(dict.fromkeys(out)), had
@@ -724,6 +761,151 @@ def search_facets(
     )
 
 
+def search_synonym(
+    reader: IndexReader,
+    groups: list[list[str]],
+    mode: str = "conjunctive",
+    k: int = 10,
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> list[tuple[int, float]]:
+    """A41 — synonym-group scoring (Lucene ``SynonymQuery``): each group
+    of terms scores as if it were ONE term — per-doc tf is the SUM of the
+    members' tfs and the idf uses the MAX of the members' dfs — so a doc
+    saying 'tcp tcp' and one saying 'tcp ip' score identically for the
+    group [tcp, ip], and a rare synonym can't inflate the group's idf the
+    way a plain OR of terms would.
+
+    Groups then combine conjunctively (every group matched) or
+    disjunctively, with the usual NOT / metadata-filter composition.
+    Driver path is the vectorized decoder (per-group tf-sum via
+    np.unique + add.at); the terms of one group are decoded from the same
+    pruned fetch the plain path uses."""
+    if mode not in ("conjunctive", "disjunctive"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if k <= 0 or not groups:
+        return []
+    flat = list(dict.fromkeys(t for g in groups for t in g))
+    exclude = _check_exclude(flat, exclude)
+    tps = reader.fetch_terms(flat)
+    excl = _with_tombstones(reader, _exclusion_ids(reader, exclude))
+    incl = reader.filter_doc_ids(where) if where else None
+    if incl is not None and incl.size == 0:
+        return []
+    per_group: list[tuple[np.ndarray, np.ndarray]] = []
+    for g in groups:
+        have = [t for t in dict.fromkeys(g) if t in tps]
+        if not have:
+            if mode == "conjunctive":
+                return []
+            continue
+        ids_l, tfs_l, dls_l = [], [], []
+        for t in have:
+            raw_ids, tfs, dls = reader.decode_term(tps[t])
+            ids_l.append(raw_ids.astype(np.int64))
+            tfs_l.append(tfs.astype(np.float64))
+            dls_l.append(dls.astype(np.float64))
+        ids = np.concatenate(ids_l)
+        uids, inv = np.unique(ids, return_inverse=True)
+        tf_sum = np.zeros(uids.size)
+        np.add.at(tf_sum, inv, np.concatenate(tfs_l))
+        # dl is a per-DOC property: every member posting for the same doc
+        # carries the same dl, so last-write-wins assignment is exact
+        dl_u = np.zeros(uids.size)
+        dl_u[inv] = np.concatenate(dls_l)
+        df_g = max(float(tps[t].df) for t in have)
+        idf_g = float(bm25.idf_np(df_g, float(reader.n_docs)))
+        per_group.append((uids, bm25.score_np(tf_sum, idf_g, dl_u, reader.avgdl)))
+    if not per_group:
+        return []
+    all_ids = np.concatenate([p[0] for p in per_group])
+    all_scores = np.concatenate([p[1] for p in per_group])
+    uids, inv = np.unique(all_ids, return_inverse=True)
+    agg = np.zeros(uids.size)
+    np.add.at(agg, inv, all_scores)
+    if mode == "conjunctive":
+        cnt = np.zeros(uids.size, dtype=np.int64)
+        np.add.at(cnt, inv, 1)
+        keep = cnt == len(per_group)
+        uids, agg = uids[keep], agg[keep]
+    if excl is not None and uids.size:
+        keep = ~np.isin(uids, excl, assume_unique=True)
+        uids, agg = uids[keep], agg[keep]
+    if incl is not None and uids.size:
+        keep = np.isin(uids, incl, assume_unique=True)
+        uids, agg = uids[keep], agg[keep]
+    order = np.lexsort((uids, -agg))[:k]
+    return [(int(uids[i]), float(agg[i])) for i in order]
+
+
+def search_sorted(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    sort_field: str = "doc_len",
+    k: int = 10,
+    ascending: bool = False,
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A39 — sort-by-field results (Lucene ``Sort``/ES ``sort``): the
+    top-k matching docs ordered by a docmap metadata column instead of
+    relevance, doc_id as the deterministic tiebreak.
+
+    Plan: the distributed candidate plan (so NOT / metadata filters
+    compose) -> equi-join the docmap's (doc_id, field) projection ->
+    ``orderBy(field).limit(k)``. Spark compiles orderBy+limit to
+    TakeOrderedAndProject — a per-partition heap plus a driver merge, never
+    a full sort/shuffle of the candidate set, so the plan holds at 100 TB.
+    Returns (doc_id, <sort_field>)."""
+    if sort_field == "doc_id":
+        raise ValueError("sort by doc_id is just the candidate order")
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
+    ).select("doc_id")
+    dm = reader.docmap_df().select("doc_id", sort_field)
+    key = F.col(sort_field).asc() if ascending else F.col(sort_field).desc()
+    return (
+        cand.join(dm, "doc_id")
+        .orderBy(key, F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def search_facets_histogram(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    col: str = "doc_len",
+    width: int = 10,
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A40 — histogram aggregation over the candidate set (ES
+    ``histogram``): fixed-width bins of a numeric docmap column, one row
+    per non-empty bin, keyed by the bin's inclusive lower bound.
+
+    Same plan shape as search_facets — candidate ids join the docmap's
+    two-column projection, then one hash agg on the bin key; the bin
+    arithmetic is a JVM built-in so the agg stays in whole-stage
+    codegen."""
+    if width <= 0:
+        raise ValueError("width must be positive")
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
+    ).select("doc_id")
+    dm = reader.docmap_df().select("doc_id", col)
+    bin_lo = (F.floor(F.col(col) / width) * width).cast("long").alias("bin_lo")
+    return (
+        cand.join(dm, "doc_id")
+        .groupBy(bin_lo)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bin_lo")
+    )
+
+
 def search_count(
     reader: IndexReader,
     terms: list[str],
@@ -918,6 +1100,7 @@ def search_topk(
     exclude: list[str] | None = None,
     boosts: dict[str, float] | None = None,
     where: dict | None = None,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Serve one query from the binary index (driver fast path).
 
@@ -932,7 +1115,13 @@ def search_topk(
     restricts results to docs whose docmap row matches; resolved by a
     pushed-down docmap scan and enforced at heap-insert time (Lucene
     filtered-query semantics — filtered docs never enter the heap, scores
-    of surviving docs are unchanged).
+    of surviving docs are unchanged). ``after`` = keyset pagination (A38,
+    Lucene searchAfter / ES search_after): pass the LAST hit of the
+    previous page as ``(score, doc_id)`` and only docs sorting strictly
+    after it (score desc, doc_id asc) are returned — deep pages never
+    re-materialize earlier ones (no from+size over-fetch), and a
+    concurrent refresh can't shift page boundaries the way offset
+    pagination does.
     """
     if mode not in ("conjunctive", "disjunctive"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -945,7 +1134,9 @@ def search_topk(
     incl = reader.filter_doc_ids(where) if where else None
     if incl is not None and incl.size == 0:
         return []
-    return _route_query(reader, tps, terms, mode, k, strategy, excl, incl=incl)
+    return _route_query(
+        reader, tps, terms, mode, k, strategy, excl, incl=incl, after=after
+    )
 
 
 def _with_tombstones(reader, excl: np.ndarray | None) -> np.ndarray | None:
@@ -961,7 +1152,7 @@ def _with_tombstones(reader, excl: np.ndarray | None) -> np.ndarray | None:
 
 def _route_query(
     reader, tps, terms, mode, k, strategy, excl=None, decode_cache=None,
-    incl=None,
+    incl=None, after=None,
 ) -> list[tuple[int, float]]:
     """Pick the serving strategy for one query given already-fetched
     TermPostings (shared by search_topk and search_many)."""
@@ -974,13 +1165,13 @@ def _route_query(
     ):
         return _exhaustive_from_tps(
             reader, tps, terms, mode, k, excl=excl, decode_cache=decode_cache,
-            incl=incl,
+            incl=incl, after=after,
         )
     iters = [PostingIterator(tps[t], reader.avgdl) for t in terms if t in tps]
     if mode == "conjunctive":
-        return conjunctive_topk(iters, k, excl=excl, incl=incl)
+        return conjunctive_topk(iters, k, excl=excl, incl=incl, after=after)
     if mode == "disjunctive":
-        return wand_topk(iters, k, excl=excl, incl=incl)
+        return wand_topk(iters, k, excl=excl, incl=incl, after=after)
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -1036,6 +1227,7 @@ def search_exhaustive(
     exclude: list[str] | None = None,
     boosts: dict[str, float] | None = None,
     where: dict | None = None,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Decode-everything scoring (vectorized numpy); the WAND safety twin."""
     if mode not in ("conjunctive", "disjunctive"):
@@ -1049,12 +1241,15 @@ def search_exhaustive(
         return []
     excl = _with_tombstones(reader, _exclusion_ids(reader, exclude))
     incl = reader.filter_doc_ids(where) if where else None
-    return _exhaustive_from_tps(reader, tps, terms, mode, k, excl=excl, incl=incl)
+    return _exhaustive_from_tps(
+        reader, tps, terms, mode, k, excl=excl, incl=incl, after=after
+    )
 
 
 def _exhaustive_from_tps(
     reader, tps, terms, mode, k, excl: np.ndarray | None = None,
     decode_cache: dict | None = None, incl: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     per_term = []
     for t in terms:
@@ -1086,6 +1281,10 @@ def _exhaustive_from_tps(
         uids, agg = uids[keep], agg[keep]
     if incl is not None and uids.size:
         keep = np.isin(uids, incl, assume_unique=True)
+        uids, agg = uids[keep], agg[keep]
+    if after is not None and uids.size:
+        s, d = after
+        keep = (agg < s - _EPS) | ((agg <= s + _EPS) & (uids > d))
         uids, agg = uids[keep], agg[keep]
     order = np.lexsort((uids, -agg))[:k]
     return [(int(uids[i]), float(agg[i])) for i in order]

@@ -1,0 +1,265 @@
+"""A38 search_after pagination, A39 sort-by-field, A40 histogram facets,
+A41 SynonymQuery, and general mid-string wildcards."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pytest
+
+from miru_spark.functions import bm25
+from miru_spark.plans.search import (
+    search,
+    search_exhaustive,
+    search_facets_histogram,
+    search_sorted,
+    search_synonym,
+    search_topk,
+)
+
+# ------------------------------------------------------------- search_after
+
+
+@pytest.mark.parametrize("strategy", ["exhaustive", "wand"])
+@pytest.mark.parametrize("mode", ["conjunctive", "disjunctive"])
+def test_search_after_pages_tile_the_full_ranking(reader, mode, strategy):
+    terms = ["the", "a"]
+    full = search_topk(reader, terms, mode=mode, k=30, strategy=strategy)
+    pages, cursor = [], None
+    for _ in range(3):
+        page = search_topk(
+            reader, terms, mode=mode, k=10, strategy=strategy, after=cursor
+        )
+        if not page:
+            break
+        pages.extend(page)
+        cursor = (page[-1][1], page[-1][0])
+    assert pages == full
+
+
+def test_search_after_cross_strategy_page2(reader):
+    """Cursor from the WAND page drives the exhaustive page to the same
+    result (and vice versa) — the epsilon tie band makes the boundary
+    path-independent."""
+    terms = ["the", "dup"]
+    p1 = search_topk(reader, terms, mode="disjunctive", k=7, strategy="wand")
+    cur = (p1[-1][1], p1[-1][0])
+    a = search_topk(
+        reader, terms, mode="disjunctive", k=7, strategy="wand", after=cur
+    )
+    b = search_topk(
+        reader, terms, mode="disjunctive", k=7, strategy="exhaustive", after=cur
+    )
+    assert a == b
+    assert not (set(d for d, _ in p1) & set(d for d, _ in a))
+
+
+def test_search_after_past_the_end_is_empty(reader):
+    hits = search_topk(reader, ["dup"], mode="conjunctive", k=10_000)
+    last = hits[-1]
+    assert (
+        search_topk(reader, ["dup"], mode="conjunctive", after=(last[1], last[0]))
+        == []
+    )
+
+
+def test_search_after_composes_with_not_and_where(reader):
+    full = search_topk(
+        reader, ["the", "a"], mode="conjunctive", k=20, exclude=["dup"],
+        where={"lang": "en"},
+    )
+    if len(full) < 4:
+        pytest.skip("fixture too small for a 2-page filtered ranking")
+    mid = len(full) // 2
+    cur = (full[mid - 1][1], full[mid - 1][0])
+    page2 = search_topk(
+        reader, ["the", "a"], mode="conjunctive", k=len(full) - mid,
+        exclude=["dup"], where={"lang": "en"}, after=cur,
+    )
+    assert page2 == full[mid:]
+
+
+def test_search_exhaustive_after_matches_topk(reader):
+    p1 = search_exhaustive(reader, ["the"], mode="conjunctive", k=5)
+    cur = (p1[-1][1], p1[-1][0])
+    assert search_exhaustive(
+        reader, ["the"], mode="conjunctive", k=5, after=cur
+    ) == search_topk(reader, ["the"], mode="conjunctive", k=5, after=cur)
+
+
+# ------------------------------------------------------------ sort-by-field
+
+
+def _candidate_ids(reader, terms, mode):
+    hits = search_topk(reader, terms, mode=mode, k=10_000_000)
+    return sorted(d for d, _ in hits)
+
+
+@pytest.mark.parametrize("ascending", [True, False])
+def test_search_sorted_matches_bruteforce(reader, ascending):
+    got = [
+        (r["doc_id"], r["doc_len"])
+        for r in search_sorted(
+            reader, ["the", "dup"], mode="disjunctive",
+            sort_field="doc_len", k=10, ascending=ascending,
+        ).collect()
+    ]
+    cand = set(_candidate_ids(reader, ["the", "dup"], "disjunctive"))
+    dm = {
+        r["doc_id"]: r["doc_len"]
+        for r in reader.docmap_df().select("doc_id", "doc_len").collect()
+        if r["doc_id"] in cand
+    }
+    exp = sorted(
+        dm.items(),
+        key=lambda kv: ((kv[1], kv[0]) if ascending else (-kv[1], kv[0])),
+    )[:10]
+    assert got == [(d, v) for d, v in exp]
+
+
+def test_search_sorted_rejects_doc_id(reader):
+    with pytest.raises(ValueError):
+        search_sorted(reader, ["the"], sort_field="doc_id")
+
+
+def test_search_sorted_plan_is_take_ordered(reader):
+    plan = search_sorted(
+        reader, ["the"], sort_field="doc_len", k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------- histogram
+
+
+def test_histogram_matches_bruteforce(reader):
+    got = {
+        r["bin_lo"]: r["n_docs"]
+        for r in search_facets_histogram(
+            reader, ["the", "a"], mode="conjunctive", col="doc_len", width=10
+        ).collect()
+    }
+    cand = set(_candidate_ids(reader, ["the", "a"], "conjunctive"))
+    exp: dict[int, int] = {}
+    for r in reader.docmap_df().select("doc_id", "doc_len").collect():
+        if r["doc_id"] in cand:
+            b = (r["doc_len"] // 10) * 10
+            exp[b] = exp.get(b, 0) + 1
+    assert got == exp
+    assert sum(got.values()) == len(cand)  # bins partition the candidates
+
+
+def test_histogram_rejects_bad_width(reader):
+    with pytest.raises(ValueError):
+        search_facets_histogram(reader, ["the"], width=0)
+
+
+# ----------------------------------------------------- mid-string wildcards
+
+
+def _vocab(duck):
+    return [
+        t
+        for (t,) in duck.execute(
+            "SELECT DISTINCT unnest(string_split(text,' ')) FROM documents"
+        ).fetchall()
+        if t
+    ]
+
+
+def test_mid_wildcard_expands_like_regex(reader, duck):
+    vocab = _vocab(duck)
+    for pat in ["t*e", "*up", "d*"]:
+        rx = re.compile(".*".join(re.escape(p) for p in pat.split("*")))
+        exp = sorted(t for t in vocab if rx.fullmatch(t))
+        got = search(reader, pat, k=10)
+        want = search_topk(reader, exp, mode="disjunctive", k=10) if exp else []
+        assert got == want, pat
+
+
+def test_mid_wildcard_in_not_clause(reader, duck):
+    vocab = _vocab(duck)
+    rx = re.compile("d.*p")
+    excl = [t for t in vocab if rx.fullmatch(t)]
+    assert excl  # 'dup' at least
+    assert search(reader, "the NOT d*p", k=10) == search_topk(
+        reader, ["the"], mode="conjunctive", k=10, exclude=excl
+    )
+
+
+# ------------------------------------------------------------- SynonymQuery
+
+
+def _brute_synonym(duck, reader, groups, mode, k):
+    """Ground truth from the raw corpus: per-group tf = sum over members,
+    df = max member df, scored with the repo's own BM25 reference."""
+    rows = duck.execute(
+        "SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents"
+    ).fetchall()
+    tf: dict[tuple[int, str], int] = {}
+    docs: set[int] = set()
+    dl: dict[int, int] = {}
+    for d, t in rows:
+        docs.add(d)
+        if t:
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+            dl[d] = dl.get(d, 0) + 1
+    df = {}
+    for (d, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    n_docs = len(docs)
+    avgdl = sum(dl.values()) / n_docs
+    scores: dict[int, float] = {}
+    matched: dict[int, int] = {}
+    for g in groups:
+        df_g = max(df.get(t, 0) for t in g)
+        if df_g == 0:
+            continue
+        idf = float(bm25.idf_np(float(df_g), float(n_docs)))
+        for d in docs:
+            tf_g = sum(tf.get((d, t), 0) for t in g)
+            if tf_g:
+                s = float(bm25.score_np(
+                    np.array([float(tf_g)]), idf,
+                    np.array([float(dl[d])]), avgdl,
+                )[0])
+                scores[d] = scores.get(d, 0.0) + s
+                matched[d] = matched.get(d, 0) + 1
+    if mode == "conjunctive":
+        scores = {d: s for d, s in scores.items() if matched[d] == len(groups)}
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(d, s) for d, s in ranked]
+
+
+@pytest.mark.parametrize("mode", ["conjunctive", "disjunctive"])
+def test_synonym_matches_bruteforce(reader, duck, mode):
+    groups = [["the", "a"], ["dup"]]
+    got = search_synonym(reader, groups, mode=mode, k=10)
+    exp = _brute_synonym(duck, reader, groups, mode, 10)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert np.allclose([s for _, s in got], [s for _, s in exp])
+
+
+def test_synonym_single_singleton_group_is_plain_term(reader):
+    assert search_synonym(reader, [["dup"]], mode="conjunctive", k=10) == (
+        search_topk(reader, ["dup"], mode="conjunctive", k=10)
+    )
+
+
+def test_synonym_differs_from_plain_or(reader):
+    """The whole point: a synonym group is NOT an OR of the members —
+    tf-sum + max-df scoring changes the ranking function."""
+    syn = dict(search_synonym(reader, [["the", "dup"]], k=10))
+    plain = dict(search_topk(reader, ["the", "dup"], mode="disjunctive", k=10))
+    overlap = set(syn) & set(plain)
+    assert overlap
+    assert any(abs(syn[d] - plain[d]) > 1e-9 for d in overlap)
+
+
+def test_synonym_unknown_member_group_conjunctive_empty(reader):
+    assert search_synonym(reader, [["zzz_nope"]], mode="conjunctive") == []
+    got = search_synonym(
+        reader, [["zzz_nope"], ["dup"]], mode="disjunctive", k=5
+    )
+    assert got == search_topk(reader, ["dup"], mode="conjunctive", k=5)
