@@ -472,6 +472,50 @@ ORDER BY dist, df DESC, term LIMIT 5
 """.strip()
 
 
+_ADD_IDX: dict[str, str] = {}
+
+
+def q_addindexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A43 addIndexes (Lucene IndexWriter.addIndexes): the corpus is built
+    as TWO independent shard indexes (each 0-based) and merged with
+    sequential renumbering; the oracle is the plain full-corpus BM25 SQL,
+    so the row proves the merged index serves rank-identically to a single
+    build."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from miru_spark.index.addindexes import merge_indexes
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.plans.search import search_topk
+    from miru_spark.schema import assign_doc_ids, read_corpus
+
+    if sf_dir not in _ADD_IDX:
+        base = tempfile.mkdtemp(prefix="miru_add_")
+        corpus = assign_doc_ids(read_corpus(spark, sf_dir))
+        m = corpus.count() // 2
+        build_index(
+            spark, corpus.filter(F.col("doc_id") < m), f"{base}/s0",
+            num_partitions=4,
+        )
+        build_index(
+            spark,
+            corpus.filter(F.col("doc_id") >= m).withColumn(
+                "doc_id", F.col("doc_id") - m
+            ),
+            f"{base}/s1", num_partitions=4,
+        )
+        merge_indexes(spark, [f"{base}/s0", f"{base}/s1"], f"{base}/merged")
+        _ADD_IDX[sf_dir] = f"{base}/merged"
+    reader = IndexReader(spark, _ADD_IDX[sf_dir])
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_topk(reader, ["the", "dup"], mode="disjunctive", k=10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 _DELETED_DOCS = [169, 491, 7]
 _DELETE_IDX: dict[str, str] = {}
 
@@ -863,6 +907,9 @@ def register_all(register) -> None:
              ["the", "dup"], "disjunctive", _DELETED_DOCS, purged=True
          ), DS),
         ("bm25_index_snapshot", q_index_snapshot,
+         bm25_oracle_sql(["the", "dup"], "disjunctive"), DS),
+        # A43 addIndexes: two shard builds merged == one full build
+        ("bm25_index_addindexes", q_addindexes,
          bm25_oracle_sql(["the", "dup"], "disjunctive"), DS),
     ])
     from miru_spark.plans.relational import (
