@@ -11,6 +11,13 @@ Modes:
     tokenization for the sandbox corpus, whose text is pre-normalized).
   * ``code`` — lowercase, split on non-[a-z0-9_] runs; keeps identifiers like
     ``snake_case`` whole (the source-code tokenization of the north_star).
+  * ``code_split`` — the subtoken analyzer (Lucene WordDelimiterGraphFilter /
+    ES ``word_delimiter``): identifiers additionally split at snake_case
+    underscores, camelCase humps (acronym-aware: ``parseHTTPResponse`` ->
+    parse, http, response), and letter<->digit boundaries, then lowercase —
+    so a query for ``response`` finds ``HTTPResponse``, ``http_response``
+    and ``httpResponse2`` alike. Boundary inserts are regexp_replace
+    built-ins, so indexing stays in whole-stage codegen.
 """
 
 from __future__ import annotations
@@ -20,8 +27,35 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_PATTERNS = {"whitespace": r"\s+", "code": r"[^a-z0-9_]+"}
-_TOKEN_PATTERNS = {"whitespace": r"\S+", "code": r"[a-z0-9_]+"}
+_PATTERNS = {
+    "whitespace": r"\s+",
+    "code": r"[^a-z0-9_]+",
+    "code_split": r"[^a-z0-9]+",
+}
+_TOKEN_PATTERNS = {
+    "whitespace": r"\S+",
+    "code": r"[a-z0-9_]+",
+    "code_split": r"[a-z0-9]+",
+}
+
+# boundary-insert rules, applied IN ORDER (acronym rule first so
+# 'HTTPResponse' -> 'HTTP Response' before the generic hump rule runs)
+_SPLIT_RULES = [
+    (r"([A-Z]+)([A-Z][a-z])", " "),  # acronym -> word: HTTPResponse
+    (r"([a-z0-9])([A-Z])", " "),     # camel hump: parseHttp
+    (r"([A-Za-z])([0-9])", " "),     # letter -> digit
+    (r"([0-9])([A-Za-z])", " "),     # digit -> letter
+]
+
+
+def _prep_col(col: Column, mode: str) -> Column:
+    if mode == "code":
+        return F.lower(col)
+    if mode == "code_split":
+        for pat, _ in _SPLIT_RULES:
+            col = F.regexp_replace(col, pat, r"$1 $2")
+        return F.lower(col)
+    return col
 
 
 def doc_len_col(content: Column | str, mode: str = "whitespace") -> Column:
@@ -29,8 +63,7 @@ def doc_len_col(content: Column | str, mode: str = "whitespace") -> Column:
     pass. Exactly equals ``size(tokens_col(content, mode))``; used where only
     the length is needed (docmap pass)."""
     col = F.col(content) if isinstance(content, str) else content
-    if mode == "code":
-        col = F.lower(col)
+    col = _prep_col(col, mode)
     return F.regexp_count(col, F.lit(_TOKEN_PATTERNS[mode])).cast("long")
 
 
@@ -38,8 +71,7 @@ def tokens_col(content: Column | str, mode: str = "whitespace") -> Column:
     """array<string> of non-empty tokens; pure JVM built-ins (preferred path)."""
     pat = _PATTERNS[mode]
     col = F.col(content) if isinstance(content, str) else content
-    if mode == "code":
-        col = F.lower(col)
+    col = _prep_col(col, mode)
     arr = F.split(col, pat)
     return F.filter(arr, lambda t: t != F.lit(""))
 
@@ -50,6 +82,10 @@ def tokenize_py(text: str, mode: str = "whitespace") -> list[str]:
     import re
 
     if mode == "code":
+        text = text.lower()
+    elif mode == "code_split":
+        for pat, _ in _SPLIT_RULES:
+            text = re.sub(pat, r"\1 \2", text)
         text = text.lower()
     return [t for t in re.split(_PATTERNS[mode], text) if t]
 
@@ -64,5 +100,16 @@ def tokenize_whitespace_udf(content: pd.Series) -> pd.Series:
 def tokenize_code_udf(content: pd.Series) -> pd.Series:
     """Arrow-vectorized alternative to ``tokens_col(..., 'code')``."""
     return content.str.lower().str.split(r"[^a-z0-9_]+", regex=True).map(
+        lambda toks: [t for t in toks if t]
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_code_split_udf(content: pd.Series) -> pd.Series:
+    """Arrow-vectorized alternative to ``tokens_col(..., 'code_split')``."""
+    s = content
+    for pat, _ in _SPLIT_RULES:
+        s = s.str.replace(pat, r"\1 \2", regex=True)
+    return s.str.lower().str.split(r"[^a-z0-9]+", regex=True).map(
         lambda toks: [t for t in toks if t]
     )

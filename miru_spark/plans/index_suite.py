@@ -666,7 +666,64 @@ CODE_TOK_SQL = (
     "), '[^a-z0-9_]+')) AS term FROM documents"
 )
 
+_SPLIT_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace({col}, "
+    "'([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'), "
+    "'([a-z0-9])([A-Z])', '\\1 \\2', 'g'), "
+    "'([A-Za-z])([0-9])', '\\1 \\2', 'g'), "
+    "'([0-9])([A-Za-z])', '\\1 \\2', 'g')"
+)
+
+CODE_SPLIT_TOK_SQL = (
+    "SELECT doc_id, unnest(string_split_regex(lower("
+    + _SPLIT_SQL.format(
+        col=f"'{_CODE_PREFIX}' || text || '{_CODE_SUFFIX}' "
+            "|| CAST(doc_id % 7 AS VARCHAR)"
+    )
+    + "), '[^a-z0-9]+')) AS term FROM documents"
+)
+
 _CODE_IDX: dict[str, str] = {}
+_CODE_SPLIT_IDX: dict[str, str] = {}
+
+
+def q_code_split_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A44 — the subtoken analyzer (word_delimiter) end-to-end: the
+    code-decorated corpus indexed with tokenizer='code_split', so
+    'My_Func' serves as [my, func] and the TODO_ digit as its own term;
+    the oracle replicates the same boundary-insert regexp chain in
+    DuckDB."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.plans.search import search_topk
+    from miru_spark.schema import read_corpus
+
+    if sf_dir not in _CODE_SPLIT_IDX:
+        corpus = read_corpus(spark, sf_dir).withColumn(
+            "content",
+            F.concat(
+                F.lit(_CODE_PREFIX),
+                F.col("content"),
+                F.lit(_CODE_SUFFIX),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        path = tempfile.mkdtemp(prefix="miru_csplit_") + "/idx"
+        build_index(spark, corpus, path, num_partitions=8,
+                    tokenizer="code_split")
+        _CODE_SPLIT_IDX[sf_dir] = path
+    reader = IndexReader(spark, _CODE_SPLIT_IDX[sf_dir])
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_topk(
+            reader, ["func", "3"], mode="conjunctive", k=10
+        )
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
 
 
 def q_code_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -928,4 +985,8 @@ def register_all(register) -> None:
              {"content": (DEFAULT_TOK_SQL, _MF_WEIGHTS["content"]),
               "path": (_MF_PATH_TOK, _MF_WEIGHTS["path"])},
              "disjunctive"), DS),
+        # A44 subtoken analyzer (word_delimiter): camel/snake/digit splits
+        ("code_split", q_code_split_tokenizer,
+         bm25_oracle_sql(["func", "3"], "conjunctive",
+                         tok_sql=CODE_SPLIT_TOK_SQL), DS),
     ])
