@@ -178,6 +178,27 @@ def _mk_histogram(terms, mode, width):
     return run
 
 
+def _mk_field_stats(terms, mode):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_field_stats
+
+        reader = ensure_index(spark, sf_dir)
+        return search_field_stats(reader, terms, mode=mode, col="doc_len")
+
+    return run
+
+
+def _mk_term_vector(doc_id):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.search import term_vector
+        from miru_spark.schema import read_corpus
+
+        return term_vector(read_corpus(spark, sf_dir), doc_id)
+
+    return run
+
+
 def _mk_dist(terms, mode, exclude=None, where=None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -812,11 +833,13 @@ def register_all(register) -> None:
         bm25_regex_oracle_sql,
         count_oracle_sql,
         facet_rollup_oracle_sql,
+        field_stats_oracle_sql,
         histogram_oracle_sql,
         mlt_oracle_sql,
         snippet_oracle_sql,
         sorted_oracle_sql,
         synonym_oracle_sql,
+        term_vector_oracle_sql,
     )
 
     DS = ("doc_id", "score")
@@ -933,15 +956,24 @@ def register_all(register) -> None:
         (n, _mk_near(a, b, s), bm25_near_oracle_sql(a, b, slop=s), DS)
         for n, (a, b, s) in NEAR_CASES.items()
     ])
-    register(
-        "bm25_index_snippets", q_snippets,
-        snippet_oracle_sql(["join", "hash"], "conjunctive", k=10),
-    )
+    register_composite(register, "bm25_index_snippets", [
+        ("snippets", q_snippets,
+         snippet_oracle_sql(["join", "hash"], "conjunctive", k=10),
+         ("doc_id", "snippet")),
+        # A47 term vectors: (term, tf, first_pos) of one stored doc
+        ("termvector", _mk_term_vector(42), term_vector_oracle_sql(42),
+         ("term", "tf", "first_pos")),
+    ])
     register_composite(register, "bm25_index_count", [
         ("bm25_index_count", _mk_count(["join", "hash"], "conjunctive"),
          count_oracle_sql(["join", "hash"], "conjunctive"), ("n_hits",)),
         ("bm25_index_count_not", _mk_count(["the"], "disjunctive", ["dup"]),
          count_oracle_sql(["the"], "disjunctive", exclude=["dup"]), ("n_hits",)),
+        # A46 stats aggregation over the candidate set (ES stats)
+        ("bm25_index_field_stats",
+         _mk_field_stats(["the", "a"], "conjunctive"),
+         field_stats_oracle_sql(["the", "a"], "conjunctive"),
+         ("n_docs", "min_v", "max_v", "sum_v", "avg_v")),
     ])
     register("bm25_index_mlt", q_mlt, mlt_oracle_sql(42, n_terms=5, k=10))
     register("bm25_index_stats", q_index_stats, SQL_INDEX_STATS)

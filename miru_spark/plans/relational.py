@@ -526,6 +526,38 @@ FROM cand JOIN dl USING(doc_id) GROUP BY 1 ORDER BY 1
 """.strip()
 
 
+def field_stats_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    tok_sql: str = DEFAULT_TOK_SQL,
+) -> str:
+    """Twin of plans.search.search_field_stats (A46 — ES stats agg):
+    count/min/max/sum/avg of doc_len over the candidate set, one row."""
+    return f"""
+{_candidate_ctes(terms, mode, tok_sql)}
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_len) AS BIGINT) AS min_v,
+       CAST(max(doc_len) AS BIGINT) AS max_v,
+       CAST(sum(doc_len) AS BIGINT) AS sum_v,
+       round(avg(doc_len), 6) AS avg_v
+FROM cand JOIN dl USING(doc_id)
+""".strip()
+
+
+def term_vector_oracle_sql(doc_id: int) -> str:
+    """Twin of plans.search.term_vector (A47 — ES _termvectors): (term,
+    tf, 0-based first position) for one stored document."""
+    return f"""
+WITH arr AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS a
+             FROM documents WHERE doc_id = {int(doc_id)}),
+tok AS (SELECT unnest(a) AS term FROM arr)
+SELECT term, CAST(count(*) AS BIGINT) AS tf,
+       CAST(list_position((SELECT a FROM arr), term) - 1 AS BIGINT)
+           AS first_pos
+FROM tok GROUP BY term ORDER BY term
+""".strip()
+
+
 def synonym_oracle_sql(
     groups: list[list[str]],
     mode: str = "conjunctive",

@@ -600,6 +600,25 @@ def search(
 
     terms = strip_boost(terms, collect=True)
     exclude = strip_boost(exclude, collect=False)
+    # synonym groups (A41 grammar): 'tcp|ip' scores as ONE pseudo-term
+    # (SynonymQuery). In a NOT clause the distinction vanishes (any member
+    # excludes the doc), so exclusion groups just flatten.
+    if any("|" in t for t in exclude):
+        exclude = [p for t in exclude for p in t.split("|") if p]
+    if any("|" in t for t in terms):
+        if boosts:
+            raise ValueError(
+                "boosts cannot combine with synonym groups (a|b): a group "
+                "has one shared idf, not per-member weights"
+            )
+        groups = [[p for p in t.split("|") if p] for t in terms]
+        if any(not g for g in groups):
+            raise ValueError("empty synonym group")
+        if any(_is_multi(p) for g in groups for p in g):
+            raise ValueError("wildcards cannot appear inside synonym groups")
+        return search_synonym(
+            reader, groups, mode=mode, k=k, exclude=exclude, where=where
+        )
     has_multi = any(_is_multi(t) for t in terms)
     if has_multi and mode == "conjunctive" and len(terms) > 1:
         raise ValueError(
@@ -761,6 +780,80 @@ def search_facets(
     )
 
 
+def explain(
+    reader: IndexReader,
+    terms: list[str],
+    doc_id: int,
+    mode: str = "conjunctive",
+    boosts: dict[str, float] | None = None,
+) -> dict:
+    """A45 — Lucene ``IndexSearcher.explain``: the per-term BM25 breakdown
+    of one document's score for one query, as structured data (the
+    debugging surface behind every 'why does doc X outrank doc Y').
+
+    Returns ``{doc_id, matches, score, details: [{term, matched, tf,
+    doc_len, df, idf, boost, norm, contribution}, ...]}``; ``score`` is
+    exactly what the serving paths produce for this doc (0.0 when the doc
+    doesn't satisfy the query mode or is deleted). Cost: one pruned fetch
+    + decode of the query terms — the same work one query pays."""
+    if mode not in ("conjunctive", "disjunctive"):
+        raise ValueError(f"unknown mode {mode!r}")
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    tps = _apply_boosts(reader.fetch_terms(terms), boosts)
+    boosts = boosts or {}
+    tomb = _with_tombstones(reader, None)
+    deleted = _is_excluded(tomb, int(doc_id))
+    details = []
+    total, nmatch = 0.0, 0
+    for t in terms:
+        if t not in tps:
+            details.append(
+                {"term": t, "matched": False, "reason": "term not in index"}
+            )
+            continue
+        ids, tfs, dls = reader.decode_term(tps[t])
+        j = int(np.searchsorted(ids, np.uint64(doc_id)))
+        if j >= ids.size or int(ids[j]) != int(doc_id):
+            details.append(
+                {"term": t, "matched": False, "reason": "no posting for doc"}
+            )
+            continue
+        tf, dl = float(tfs[j]), float(dls[j])
+        boost = float(boosts.get(t, 1.0))
+        idf = tps[t].idf / boost  # _apply_boosts scaled it; report both
+        norm = tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl / reader.avgdl)
+        contribution = tps[t].idf * tf * (bm25.K1 + 1.0) / norm
+        details.append(
+            {
+                "term": t,
+                "matched": True,
+                "tf": tf,
+                "doc_len": dl,
+                "df": float(tps[t].df),
+                "idf": idf,
+                "boost": boost,
+                "norm": norm,
+                "contribution": contribution,
+            }
+        )
+        total += contribution
+        nmatch += 1
+    matches = (
+        not deleted
+        and nmatch > 0
+        and (mode == "disjunctive" or nmatch == len(terms))
+    )
+    return {
+        "doc_id": int(doc_id),
+        "matches": matches,
+        "deleted": bool(deleted),
+        "score": total if matches else 0.0,
+        "details": details,
+    }
+
+
 def search_synonym(
     reader: IndexReader,
     groups: list[list[str]],
@@ -903,6 +996,57 @@ def search_facets_histogram(
         .groupBy(bin_lo)
         .agg(F.count("*").alias("n_docs"))
         .orderBy("bin_lo")
+    )
+
+
+def search_field_stats(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    col: str = "doc_len",
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A46 — stats aggregation over the candidate set (ES ``stats``):
+    count/min/max/sum/avg of a numeric docmap column across every matching
+    doc, one row. Same candidate plan as facets; the agg is one hash agg
+    with partial (map-side) combine, so it's a single shuffle of five
+    numbers per partition at any corpus size."""
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
+    ).select("doc_id")
+    dm = reader.docmap_df().select("doc_id", col)
+    return cand.join(dm, "doc_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min(col).cast("long").alias("min_v"),
+        F.max(col).cast("long").alias("max_v"),
+        F.sum(col).cast("long").alias("sum_v"),
+        F.round(F.avg(col), 6).alias("avg_v"),
+    )
+
+
+def term_vector(
+    corpus: DataFrame, doc_id: int, tokenizer: str = "whitespace"
+) -> DataFrame:
+    """A47 — term vector for one document (Lucene term vectors / ES
+    ``_termvectors``): (term, tf, first_pos) rows from the stored field,
+    tokenized with the index's own analyzer. The corpus scan is pruned by
+    a pushed-down doc_id filter (one row read); token work is a single
+    posexplode + hash agg, all JVM built-ins."""
+    from miru_spark.functions.tokenize import tokens_col
+
+    toks = tokens_col("content", tokenizer)
+    return (
+        corpus.filter(F.col("doc_id") == int(doc_id))
+        .select(F.posexplode(toks).alias("pos", "term"))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("tf"),
+            # 0-based first occurrence (positional-postings convention)
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .orderBy("term")
     )
 
 

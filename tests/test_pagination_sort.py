@@ -263,3 +263,117 @@ def test_synonym_unknown_member_group_conjunctive_empty(reader):
         reader, [["zzz_nope"], ["dup"]], mode="disjunctive", k=5
     )
     assert got == search_topk(reader, ["dup"], mode="conjunctive", k=5)
+
+
+# ------------------------------------------------- grammar + explain (A45)
+
+
+def test_synonym_grammar_routes_to_synonym_query(reader):
+    assert search(reader, "the|a AND dup", k=10) == search_synonym(
+        reader, [["the", "a"], ["dup"]], mode="conjunctive", k=10
+    )
+    assert search(reader, "the|a OR dup", k=10) == search_synonym(
+        reader, [["the", "a"], ["dup"]], mode="disjunctive", k=10
+    )
+    # NOT-side groups flatten to a plain exclusion union
+    assert search(reader, "the NOT join|hash", k=10) == search_topk(
+        reader, ["the"], mode="conjunctive", k=10, exclude=["join", "hash"]
+    )
+
+
+def test_synonym_grammar_rejects_bad_combos(reader):
+    with pytest.raises(ValueError, match="boosts"):
+        search(reader, "the|a dup^2", k=5)
+    with pytest.raises(ValueError, match="wildcards"):
+        search(reader, "the|d* dup", k=5)
+    with pytest.raises(ValueError, match="empty synonym"):
+        search(reader, "| dup", k=5)
+    # a trailing '|' merely collapses to the plain term
+    assert search(reader, "the| dup", k=5) == search(reader, "the dup", k=5)
+
+
+def test_explain_reconstructs_scores(reader):
+    from miru_spark.plans.search import explain
+
+    for mode in ("conjunctive", "disjunctive"):
+        hits = search_topk(reader, ["the", "dup"], mode=mode, k=5)
+        for d, s in hits:
+            ex = explain(reader, ["the", "dup"], d, mode=mode)
+            assert ex["matches"] and not ex["deleted"]
+            assert abs(ex["score"] - s) < 1e-9
+            assert abs(
+                sum(t["contribution"] for t in ex["details"] if t["matched"])
+                - s
+            ) < 1e-9
+
+
+def test_explain_boost_and_nonmatch(reader):
+    from miru_spark.plans.search import explain
+
+    hits = search_topk(
+        reader, ["the", "dup"], mode="conjunctive", k=3, boosts={"dup": 2.0}
+    )
+    d, s = hits[0]
+    ex = explain(reader, ["the", "dup"], d, boosts={"dup": 2.0})
+    assert abs(ex["score"] - s) < 1e-9
+    dup = next(t for t in ex["details"] if t["term"] == "dup")
+    assert dup["boost"] == 2.0
+    # boosted contribution = boost * idf * tf-part; idf reported unboosted
+    assert abs(
+        dup["contribution"]
+        - dup["boost"] * dup["idf"] * dup["tf"] * (1.2 + 1) / dup["norm"]
+    ) < 1e-9
+    # conjunctive non-match: doc matching only 'the'
+    only_the = set(
+        d for d, _ in search_topk(reader, ["the"], k=10_000)
+    ) - set(d for d, _ in search_topk(reader, ["dup"], k=10_000))
+    if only_the:
+        ex = explain(reader, ["the", "dup"], min(only_the), mode="conjunctive")
+        assert not ex["matches"] and ex["score"] == 0.0
+        reasons = {t["term"]: t for t in ex["details"]}
+        assert reasons["dup"]["reason"] == "no posting for doc"
+    ex = explain(reader, ["zzz_nope"], 0)
+    assert not ex["matches"]
+    assert ex["details"][0]["reason"] == "term not in index"
+
+
+# ------------------------------------------------ field stats + term vector
+
+
+def test_field_stats_matches_bruteforce(reader):
+    from miru_spark.plans.search import search_field_stats
+
+    row = search_field_stats(
+        reader, ["the", "a"], mode="conjunctive", col="doc_len"
+    ).collect()[0]
+    cand = set(_candidate_ids(reader, ["the", "a"], "conjunctive"))
+    lens = [
+        r["doc_len"]
+        for r in reader.docmap_df().select("doc_id", "doc_len").collect()
+        if r["doc_id"] in cand
+    ]
+    assert row["n_docs"] == len(lens)
+    assert row["min_v"] == min(lens) and row["max_v"] == max(lens)
+    assert row["sum_v"] == sum(lens)
+    assert abs(row["avg_v"] - round(sum(lens) / len(lens), 6)) < 1e-9
+
+
+def test_term_vector_matches_corpus(spark, duck):
+    from miru_spark.plans.search import term_vector
+    from miru_spark.schema import read_corpus
+
+    corpus = read_corpus(spark, "/root/testdata/sf0.001")
+    got = [
+        (r["term"], r["tf"], r["first_pos"])
+        for r in term_vector(corpus, 42).collect()
+    ]
+    (text,) = duck.execute(
+        "SELECT text FROM documents WHERE doc_id = 42"
+    ).fetchone()
+    toks = [t for t in text.split(" ") if t]
+    exp = sorted(
+        (t, toks.count(t), toks.index(t)) for t in set(toks)
+    )
+    assert got == exp
+    # tf sums to doc_len
+    assert sum(tf for _, tf, _ in got) == len(toks)
