@@ -410,6 +410,21 @@ def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A48 — the ES highlighter: same snippet window, query terms wrapped
+    in <em> tags (list-transform built-ins on both sides)."""
+    from miru_spark.plans.flagship import ensure_index
+    from miru_spark.plans.search import search_topk, snippets_for_hits
+    from miru_spark.schema import read_corpus
+
+    reader = ensure_index(spark, sf_dir)
+    hits = search_topk(reader, ["the", "dup"], mode="disjunctive", k=10)
+    return snippets_for_hits(
+        read_corpus(spark, sf_dir), [d for d, _ in hits], ["the", "dup"],
+        mark=("<em>", "</em>"),
+    )
+
+
 def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 as a first-class driver entry: the corpus stats the index
     persists (stats.json + df table) against the oracle's recount."""
@@ -963,6 +978,11 @@ def register_all(register) -> None:
         # A47 term vectors: (term, tf, first_pos) of one stored doc
         ("termvector", _mk_term_vector(42), term_vector_oracle_sql(42),
          ("term", "tf", "first_pos")),
+        # A48 highlighter: query terms <em>-wrapped inside the window
+        ("highlight", q_highlight,
+         snippet_oracle_sql(["the", "dup"], "disjunctive", k=10,
+                            mark=("<em>", "</em>")),
+         ("doc_id", "snippet")),
     ])
     register_composite(register, "bm25_index_count", [
         ("bm25_index_count", _mk_count(["join", "hash"], "conjunctive"),

@@ -318,16 +318,32 @@ FROM documents JOIN m USING(doc_id) GROUP BY {facet_col} ORDER BY {facet_col}
 
 
 def snippet_oracle_sql(
-    terms: list[str], mode: str = "conjunctive", k: int = 10, width: int = 3
+    terms: list[str],
+    mode: str = "conjunctive",
+    k: int = 10,
+    width: int = 3,
+    mark: tuple[str, str] | None = None,
 ) -> str:
     """Oracle for top-k + snippet: rank with the standard BM25 CTE, then the
-    +-width token window around the first occurrence of any query term."""
+    +-width token window around the first occurrence of any query term.
+    ``mark`` wraps query-term tokens inside the window (the highlighter
+    twin) via list_transform."""
     terms = list(dict.fromkeys(terms))
     inner = bm25_oracle_sql(terms, mode, k=k)
     firsts = ", ".join(
         f"nullif(list_position(l, '{_sql_quote(t)}'), 0)" for t in terms
     )
     first = f"least({firsts})" if len(terms) > 1 else firsts
+    window = (
+        f"l[greatest(1, f - {width}) : greatest(1, f - {width}) + {2 * width}]"
+    )
+    if mark is not None:
+        pre, post = _sql_quote(mark[0]), _sql_quote(mark[1])
+        in_list = ", ".join(f"'{_sql_quote(t)}'" for t in terms)
+        window = (
+            f"list_transform({window}, x -> CASE WHEN x IN ({in_list}) "
+            f"THEN '{pre}' || x || '{post}' ELSE x END)"
+        )
     return f"""
 WITH ranked AS ({inner}),
 t AS (SELECT d.doc_id, list_filter(string_split(d.text, ' '), x -> x <> '') AS l
@@ -335,8 +351,7 @@ t AS (SELECT d.doc_id, list_filter(string_split(d.text, ' '), x -> x <> '') AS l
 p AS (SELECT doc_id, l, {first} AS f FROM t)
 SELECT doc_id,
        CASE WHEN f IS NULL THEN ''
-            ELSE array_to_string(l[greatest(1, f - {width})
-                                   : greatest(1, f - {width}) + {2 * width}], ' ')
+            ELSE array_to_string({window}, ' ')
        END AS snippet
 FROM p ORDER BY doc_id
 """.strip()

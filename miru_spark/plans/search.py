@@ -1102,25 +1102,40 @@ def snippets_for_hits(
     doc_ids: list[int],
     terms: list[str],
     width: int = 3,
+    mark: tuple[str, str] | None = None,
 ) -> DataFrame:
     """(doc_id, snippet): the +-``width``-token window around the FIRST
     occurrence of any query term — the stored-field highlight step after
     top-k. The corpus scan is pruned by a pushed-down ``doc_id IN`` filter
     (k rows read, not the corpus); all token work is JVM built-ins.
-    Docs containing none of the terms (disjunctive partials) get ''."""
+    Docs containing none of the terms (disjunctive partials) get ''.
+
+    ``mark=(pre, post)`` is the ES highlighter: every query-term token
+    inside the window is wrapped (``mark=("<em>", "</em>")``) — a
+    higher-order ``transform`` over the sliced array, still zero Python."""
     if not terms:
         raise ValueError("empty term list")
+    terms = list(dict.fromkeys(terms))
     toks = F.array_remove(F.split(F.col("content"), " "), "")
     d = corpus.filter(
         F.col("doc_id").isin([int(i) for i in doc_ids])
     ).select("doc_id", toks.alias("toks"))
     nonzero = [
         F.when(F.array_position("toks", t) > 0, F.array_position("toks", t))
-        for t in dict.fromkeys(terms)
+        for t in terms
     ]
     first = F.least(*nonzero) if len(nonzero) > 1 else nonzero[0]
     start = F.greatest(F.lit(1), first - width)
-    snip = F.array_join(F.slice("toks", start, 2 * width + 1), " ")
+    window = F.slice("toks", start, 2 * width + 1)
+    if mark is not None:
+        pre, post = mark
+        window = F.transform(
+            window,
+            lambda t: F.when(
+                t.isin(list(terms)), F.concat(F.lit(pre), t, F.lit(post))
+            ).otherwise(t),
+        )
+    snip = F.array_join(window, " ")
     # explicit no-match branch: greatest()/least() SKIP nulls in both Spark
     # and DuckDB, so without it a term-less doc would get the document's
     # leading window instead of ''

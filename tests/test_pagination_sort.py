@@ -377,3 +377,26 @@ def test_term_vector_matches_corpus(spark, duck):
     assert got == exp
     # tf sums to doc_len
     assert sum(tf for _, tf, _ in got) == len(toks)
+
+
+def test_highlight_wraps_terms(spark):
+    from miru_spark.plans.search import snippets_for_hits
+    from miru_spark.schema import read_corpus
+
+    corpus = read_corpus(spark, "/root/testdata/sf0.001")
+    plain = {
+        r["doc_id"]: r["snippet"]
+        for r in snippets_for_hits(corpus, [1, 2, 3], ["the", "dup"]).collect()
+    }
+    marked = {
+        r["doc_id"]: r["snippet"]
+        for r in snippets_for_hits(
+            corpus, [1, 2, 3], ["the", "dup"], mark=("<em>", "</em>")
+        ).collect()
+    }
+    for d, snip in plain.items():
+        exp = " ".join(
+            f"<em>{t}</em>" if t in ("the", "dup") else t
+            for t in snip.split(" ")
+        ) if snip else ""
+        assert marked[d] == exp
