@@ -38,13 +38,15 @@ _TOKEN_PATTERNS = {
     "code_split": r"[a-z0-9]+",
 }
 
-# boundary-insert rules, applied IN ORDER (acronym rule first so
-# 'HTTPResponse' -> 'HTTP Response' before the generic hump rule runs)
+# boundary-insert patterns, applied IN ORDER (acronym rule first so
+# 'HTTPResponse' -> 'HTTP Response' before the generic hump rule runs);
+# every consumer inserts a space between the two capture groups in its own
+# dialect ('$1 $2' for Spark, r'\1 \2' for Python re)
 _SPLIT_RULES = [
-    (r"([A-Z]+)([A-Z][a-z])", " "),  # acronym -> word: HTTPResponse
-    (r"([a-z0-9])([A-Z])", " "),     # camel hump: parseHttp
-    (r"([A-Za-z])([0-9])", " "),     # letter -> digit
-    (r"([0-9])([A-Za-z])", " "),     # digit -> letter
+    r"([A-Z]+)([A-Z][a-z])",  # acronym -> word: HTTPResponse
+    r"([a-z0-9])([A-Z])",     # camel hump: parseHttp
+    r"([A-Za-z])([0-9])",     # letter -> digit
+    r"([0-9])([A-Za-z])",     # digit -> letter
 ]
 
 
@@ -52,7 +54,7 @@ def _prep_col(col: Column, mode: str) -> Column:
     if mode == "code":
         return F.lower(col)
     if mode == "code_split":
-        for pat, _ in _SPLIT_RULES:
+        for pat in _SPLIT_RULES:
             col = F.regexp_replace(col, pat, r"$1 $2")
         return F.lower(col)
     return col
@@ -84,7 +86,7 @@ def tokenize_py(text: str, mode: str = "whitespace") -> list[str]:
     if mode == "code":
         text = text.lower()
     elif mode == "code_split":
-        for pat, _ in _SPLIT_RULES:
+        for pat in _SPLIT_RULES:
             text = re.sub(pat, r"\1 \2", text)
         text = text.lower()
     return [t for t in re.split(_PATTERNS[mode], text) if t]
@@ -108,7 +110,7 @@ def tokenize_code_udf(content: pd.Series) -> pd.Series:
 def tokenize_code_split_udf(content: pd.Series) -> pd.Series:
     """Arrow-vectorized alternative to ``tokens_col(..., 'code_split')``."""
     s = content
-    for pat, _ in _SPLIT_RULES:
+    for pat in _SPLIT_RULES:
         s = s.str.replace(pat, r"\1 \2", regex=True)
     return s.str.lower().str.split(r"[^a-z0-9]+", regex=True).map(
         lambda toks: [t for t in toks if t]

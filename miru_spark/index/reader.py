@@ -502,6 +502,10 @@ class IndexReader:
                 return {}
             key = tuple(files)
             if getattr(self, "_dset_key", None) != key:
+                # two discovery passes by necessity: replace_schema refuses
+                # nullability changes inside nested types (ArrowTypeError:
+                # "matching names but differing types"), so the relaxed
+                # schema can only be applied by re-opening the dataset
                 probe = pads.dataset(files, format="parquet")
                 self._dset = pads.dataset(
                     files, format="parquet", schema=_relaxed(probe.schema)
@@ -514,6 +518,7 @@ class IndexReader:
             # the dataset handle (directory listing + schema) is immutable
             # for a committed index — build it once per reader, not per query
             if getattr(self, "_dset", None) is None:
+                # two discovery passes by necessity — see the snapshot branch
                 probe = pads.dataset(
                     f"{self.index_path}/postings",
                     format="parquet",

@@ -551,10 +551,20 @@ def build_index(
     # rowcount pushdown and df_chunk/blob_bytes are tiny int pages — the
     # blob pages themselves are never re-read (this agg used to read the
     # whole index back and serialized the tail of every build)
-    post = spark.read.parquet(f"{index_path}/postings").agg(
+    post_df = spark.read.parquet(f"{index_path}/postings")
+    # pre-columns generations (snapshot appends / carried delta rows from an
+    # index built before the lineage columns existed) may lack blob_bytes
+    # entirely, or read it as null from old files — fall back to the blob
+    # length for exactly those rows
+    bytes_expr = (
+        F.sum(F.coalesce(F.col("blob_bytes"), F.length("blob").cast("long")))
+        if "blob_bytes" in post_df.columns
+        else F.sum(F.length("blob"))
+    )
+    post = post_df.agg(
         F.count("*").alias("chunks"),
         F.sum("df_chunk").alias("postings"),
-        F.sum("blob_bytes").alias("bytes"),
+        bytes_expr.alias("bytes"),
     ).collect()[0]
     compression = {
         "n_chunks": int(post["chunks"]),

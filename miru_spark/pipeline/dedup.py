@@ -405,6 +405,15 @@ def min_label_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    else:
+        # never silently return partial labels: a component whose diameter
+        # exceeds max_iter would split one duplicate cluster into several
+        # with no sign anything failed
+        und.unpersist()
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     und.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 

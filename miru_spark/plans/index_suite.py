@@ -874,8 +874,12 @@ def register_all(register) -> None:
         ("bm25_index_filter_range",
          _mk_grammar("the AND a doc_len:[40 TO 60]"),
          bm25_oracle_sql(["the", "a"], "conjunctive",
-                         meta_where="len(string_split(text, ' ')) "
-                                    "BETWEEN 40 AND 60"),
+                         # non-empty tokens only — matches the engine's
+                         # docmap doc_len (regexp_count of \S+) and the
+                         # repo-wide term <> '' oracle idiom; a doc with a
+                         # double space must not drift across the boundary
+                         meta_where="len(list_filter(string_split(text, ' '),"
+                                    " t -> t <> '')) BETWEEN 40 AND 60"),
          DS),
         # A38 keyset pagination: page 2 via a real page-1 cursor; oracle =
         # rows 11-20 of the same full ranking

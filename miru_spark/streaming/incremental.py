@@ -59,6 +59,34 @@ def incremental_index_stream(
     which a stream doesn't have): pid = doc_id // docs_per_part stays
     deterministic however the stream is chunked.
     """
+    import json
+
+    # persist the stream's analyzer/partitioning config next to the index:
+    # later update_documents/finalize calls must reproduce it exactly (a
+    # different docs_per_part would break the "pid ranges ordered by docID"
+    # merge invariant; a different tokenizer would silently mix analyzers)
+    meta_path = f"{index_path}/_stream_meta.json"
+    meta = {
+        "docs_per_part": int(docs_per_part),
+        "num_partitions": int(num_partitions),
+        "tokenizer": tokenizer,
+        "positions": bool(positions),
+    }
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+        frozen = {k: prev.get(k) for k in ("docs_per_part", "tokenizer", "positions")}
+        want = {k: meta[k] for k in frozen}
+        if frozen != want:
+            raise ValueError(
+                f"stream config {want} conflicts with the index's recorded "
+                f"config {frozen}; restart with the original settings or "
+                "rebuild"
+            )
+    else:
+        os.makedirs(index_path, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once: a micro-batch can re-run after a
@@ -92,6 +120,29 @@ def incremental_index_stream(
         .trigger(availableNow=True)
     )
     return writer.start()
+
+
+def _align_chunk_columns(carried: DataFrame, target_cols: list[str]) -> DataFrame:
+    """Align carried chunk rows to the current merge output schema.
+
+    Postings written before the lineage columns existed lack ``blob_bytes``
+    (and a mixed-generation read can surface it as null) — synthesize it
+    from the blob length for exactly those rows instead of failing the
+    select with an unresolved column."""
+    if "blob_bytes" in target_cols:
+        filled = (
+            F.coalesce(F.col("blob_bytes"), F.length("blob").cast("long"))
+            if "blob_bytes" in carried.columns
+            else F.length("blob").cast("long")
+        )
+        carried = carried.withColumn("blob_bytes", filled)
+    missing = [c for c in target_cols if c not in carried.columns]
+    if missing:
+        raise ValueError(
+            f"carried postings lack columns {missing}; the on-disk index "
+            "predates the current chunk schema — rebuild or full re-finalize"
+        )
+    return carried.select(*target_cols)
 
 
 def finalize_streamed_index(
@@ -162,12 +213,18 @@ def finalize_streamed_index(
             "(positions toggled mid-stream); rebuild the index with a "
             "consistent positions= setting"
         )
+    stream_meta: dict = {}
+    meta_path = f"{index_path}/_stream_meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            stream_meta = json.load(f)
     stats = {
         "n_docs": int(n_docs),
         "avgdl": float(avgdl),
         "n_tokens": int(n_tokens),
         "codec": int(codec),
         "positions": has_pos,
+        "tokenizer": stream_meta.get("tokenizer", "whitespace"),
         "k1": 1.2,
         "b": 0.75,
         "incremental": True,
@@ -219,7 +276,9 @@ def finalize_streamed_index(
             )
             out = merged_new
             if carried is not None:
-                out = out.unionByName(carried.select(*merged_new.columns))
+                out = out.unionByName(
+                    _align_chunk_columns(carried, merged_new.columns)
+                )
             before = snapmod._walk_postings(index_path)
             compact(out).write.mode("append").partitionBy("term_pref").parquet(post_path)
             new_files = snapmod._walk_postings(index_path) - before
@@ -237,7 +296,9 @@ def finalize_streamed_index(
                 .filter(F.col("term_pref").isin(prefs))
                 .join(touched_terms, "term", "left_anti")
             )
-            out = merged_new.unionByName(carried.select(*merged_new.columns))
+            out = merged_new.unionByName(
+                _align_chunk_columns(carried, merged_new.columns)
+            )
             # materialize BEFORE overwriting the directory we just read from
             out = out.localCheckpoint(eager=True)
             # per-writer option, NOT spark.conf.set: a session-level
@@ -278,7 +339,7 @@ def update_documents(
     index_path: str,
     updates: DataFrame,
     num_partitions: int = 8,
-    tokenizer: str = "whitespace",
+    tokenizer: str | None = None,
     snapshots: bool = False,
 ) -> dict:
     """Upsert documents into an incremental-layout index — Lucene
@@ -323,12 +384,38 @@ def update_documents(
         )
     with open(f"{index_path}/stats.json") as f:
         stats0 = json.load(f)
+    stream_meta: dict = {}
+    if os.path.exists(f"{index_path}/_stream_meta.json"):
+        with open(f"{index_path}/_stream_meta.json") as f:
+            stream_meta = json.load(f)
+
+    # the analyzer is index state, not call-site choice: default to the
+    # recorded one; an explicit conflicting override would silently mix
+    # analyzers inside one index, so refuse it
+    recorded_tok = stream_meta.get("tokenizer") or stats0.get("tokenizer")
+    if tokenizer is None:
+        tokenizer = recorded_tok or "whitespace"
+    elif recorded_tok is not None and tokenizer != recorded_tok:
+        raise ValueError(
+            f"tokenizer={tokenizer!r} conflicts with the index's recorded "
+            f"analyzer {recorded_tok!r}; omit the argument to reuse it"
+        )
 
     docmap = spark.read.parquet(f"{index_path}/docmap")
     max_id = docmap.agg(F.max("doc_id")).collect()[0][0] or 0
     live_ids = docmap.select("doc_id")
 
     has_old = "doc_id" in updates.columns
+    # one update row per natural key: duplicates would fan out the old→new
+    # id join below and make "which row replaces doc X" ambiguous
+    n_rows = updates.count()
+    n_keys = updates.select("repo", "path", "commit").distinct().count()
+    if n_keys != n_rows:
+        raise ValueError(
+            f"update batch has {n_rows - n_keys} duplicate "
+            "(repo, path, commit) keys; collapse to one row per document "
+            "per call (or split into successive calls)"
+        )
     # fresh ids: deterministic dense rank over the natural key, shifted
     # past the current max — identical to assign_doc_ids but offset
     from miru_spark.schema import assign_doc_ids
@@ -348,10 +435,30 @@ def update_documents(
     }
     bid = (max(existing) + 1) if existing else 0
 
+    # the delta batch must bucket doc_ids with the SAME divisor as every
+    # earlier batch (pid = doc_id // docs_per_part): a batch-sized divisor
+    # would give the new (higher) ids pids that collide with old pid ranges,
+    # the merge's order-by-pid would interleave them, and chunk docid ranges
+    # would overlap — seeks/WAND then silently miss matching docs
+    if "docs_per_part" in stream_meta:
+        dpp = int(stream_meta["docs_per_part"])
+    else:
+        # pre-meta index: tightest provably-safe divisor. max_pid =
+        # max_id // dpp implies dpp >= ceil((max_id+1)/(max_pid+1)), and any
+        # divisor <= every prior batch's keeps new pids >= all prior pids
+        # (ids only grow), preserving the ordered-pid merge invariant.
+        max_pid = (
+            spark.read.parquet(seg_root)
+            .agg(F.max("partition_id"))
+            .collect()[0][0]
+            or 0
+        )
+        dpp = max(1, -(-(int(max_id) + 1) // (int(max_pid) + 1)))
     segs = build_segments(
         renumbered,
         num_partitions,
-        n_docs=n_new,
+        # build_segments derives ceil(n_docs/num_partitions) == dpp exactly
+        n_docs=dpp * num_partitions,
         tokenizer=tokenizer,
         positions=bool(stats0.get("positions", False)),
     )

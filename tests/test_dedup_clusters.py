@@ -93,6 +93,19 @@ def test_min_label_components_chain(spark):
     assert got == {1: 1, 3: 1, 7: 1, 9: 1, 20: 20, 30: 20}
 
 
+def test_min_label_components_raises_when_unconverged(spark):
+    """A component whose diameter exceeds max_iter must raise, never return
+    partial labels (a silently split duplicate cluster)."""
+    chain = [(i, i + 1) for i in range(8)]  # path graph, diameter 8
+    edges = spark.createDataFrame(chain, "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(edges, max_iter=3)
+    # and enough rounds resolves the same graph to the single minimum
+    got = {r.doc_id: r.cluster_rep
+           for r in min_label_components(edges, max_iter=10).collect()}
+    assert set(got.values()) == {0}
+
+
 @pytest.mark.parametrize("max_hamming", [0, 3, 4, 10, 31])
 def test_simhash_chunk_spec_sound(max_hamming):
     spec = simhash_chunk_spec(max_hamming)

@@ -296,9 +296,13 @@ def test_streamed_index_serves_prefix_and_fuzzy(spark, tmp_path):
 
 
 def test_finalize_rejects_mixed_positional_batches(spark, tmp_path):
-    """Positions toggled mid-stream must fail fast at finalize (r2 ADVICE):
-    a silent merge would drop position streams for mixed terms while
-    stats.json still claimed positions=true."""
+    """Positions toggled mid-stream must fail fast (r2 ADVICE): a silent
+    merge would drop position streams for mixed terms while stats.json
+    still claimed positions=true. Two guards: a config-conflict check at
+    stream restart, and a segment-level check at finalize for indexes whose
+    meta predates the recorded config."""
+    import os
+
     from miru_spark.streaming.incremental import (
         finalize_streamed_index,
         incremental_index_stream,
@@ -313,12 +317,48 @@ def test_finalize_rejects_mixed_positional_batches(spark, tmp_path):
     # one source dir + one checkpoint: the second run resumes from the
     # checkpointed offsets, so the new file lands as batch 1 (not a
     # restarted batch 0 that would overwrite the first run's segments)
-    for flt, pos in [(F.col("doc_id") < half, False), (F.col("doc_id") >= half, True)]:
-        corpus.filter(flt).coalesce(1).write.mode("append").parquet(drops)
-        q = incremental_index_stream(
+    corpus.filter(F.col("doc_id") < half).coalesce(1).write.mode("append").parquet(drops)
+    q = incremental_index_stream(
+        stream_corpus(spark, drops), idx,
+        docs_per_part=max(1, -(-n // 4)), num_partitions=4, positions=False,
+    )
+    q.awaitTermination(300)
+    corpus.filter(F.col("doc_id") >= half).coalesce(1).write.mode("append").parquet(drops)
+    # guard 1: the restart with flipped positions= is refused up front
+    with pytest.raises(ValueError, match="conflicts with"):
+        incremental_index_stream(
             stream_corpus(spark, drops), idx,
-            docs_per_part=max(1, -(-n // 4)), num_partitions=4, positions=pos,
+            docs_per_part=max(1, -(-n // 4)), num_partitions=4, positions=True,
         )
-        q.awaitTermination(300)
+    # guard 2: with the recorded config gone (pre-meta index), the mixed
+    # batches land and finalize's segment-level check catches them
+    os.remove(f"{idx}/_stream_meta.json")
+    q = incremental_index_stream(
+        stream_corpus(spark, drops), idx,
+        docs_per_part=max(1, -(-n // 4)), num_partitions=4, positions=True,
+    )
+    q.awaitTermination(300)
     with pytest.raises(ValueError, match="mix positional"):
         finalize_streamed_index(spark, idx, num_partitions=4)
+
+
+def test_align_chunk_columns_fills_missing_blob_bytes(spark):
+    """Carried delta rows from a pre-lineage-columns index lack blob_bytes
+    (or read it as null in a mixed-generation scan) — the align helper
+    synthesizes it from the blob length instead of failing the select."""
+    import pytest as _pytest
+
+    from miru_spark.streaming.incremental import _align_chunk_columns
+
+    df = spark.createDataFrame([("t", b"abc")], "term string, blob binary")
+    out = _align_chunk_columns(df, ["term", "blob", "blob_bytes"])
+    assert out.collect()[0].blob_bytes == 3
+    df2 = spark.createDataFrame(
+        [("t", b"abcd", None)], "term string, blob binary, blob_bytes long"
+    )
+    assert (
+        _align_chunk_columns(df2, ["term", "blob", "blob_bytes"])
+        .collect()[0].blob_bytes == 4
+    )
+    with _pytest.raises(ValueError, match="lack columns"):
+        _align_chunk_columns(df, ["term", "blob", "df_chunk"])
