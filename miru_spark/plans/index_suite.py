@@ -98,7 +98,7 @@ def _mk_grammar(query: str):
     return run
 
 
-def _mk_topk(terms, mode, exclude=None, where=None):
+def _mk_topk(terms, mode, exclude=None, where=None, min_match=None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
         from miru_spark.plans.search import search_topk
@@ -107,7 +107,8 @@ def _mk_topk(terms, mode, exclude=None, where=None):
         rows = [
             (int(d), round(float(s), 6))
             for d, s in search_topk(
-                reader, terms, mode=mode, k=10, exclude=exclude, where=where
+                reader, terms, mode=mode, k=10, exclude=exclude, where=where,
+                min_match=min_match,
             )
         ]
         return spark.createDataFrame(rows, "doc_id long, score double")
@@ -880,6 +881,14 @@ def register_all(register) -> None:
                          # double space must not drift across the boundary
                          meta_where="len(list_filter(string_split(text, ' '),"
                                     " t -> t <> '')) BETWEEN 40 AND 60"),
+         DS),
+        # A45 minimum_should_match: >=3 of 5 should-terms must hit; scores
+        # still sum over every matched term (ES minimum_should_match)
+        ("bm25_index_mm3",
+         _mk_topk(["join", "hash", "dup", "tree", "node"], "disjunctive",
+                  min_match=3),
+         bm25_oracle_sql(["join", "hash", "dup", "tree", "node"],
+                         "disjunctive", min_match=3),
          DS),
         # A38 keyset pagination: page 2 via a real page-1 cursor; oracle =
         # rows 11-20 of the same full ranking

@@ -626,6 +626,7 @@ def bm25_oracle_sql(
     tok_sql: str = DEFAULT_TOK_SQL,
     meta_where: str | None = None,
     raw_where: str | None = None,
+    min_match: int | None = None,
 ) -> str:
     """The matching DuckDB ANSI-SQL oracle (FIXTURES.md), same rounding.
 
@@ -639,6 +640,9 @@ def bm25_oracle_sql(
     the filter are dropped, surviving docs keep their corpus-wide BM25
     scores (df/avgdl from the FULL corpus — Lucene filtered-query
     semantics, not search-within-subcorpus).
+    ``min_match`` (A45, ES minimum_should_match) keeps only docs matching
+    at least that many distinct query terms; scores still sum over all
+    matched terms.
     """
     terms = list(dict.fromkeys(terms))
     if not terms:
@@ -652,6 +656,8 @@ def bm25_oracle_sql(
     wheres = []
     if mode == "conjunctive":
         wheres.append("nmatch = (SELECT count(*) FROM q)")
+    elif min_match is not None and int(min_match) > 1:
+        wheres.append(f"nmatch >= {int(min_match)}")
     xq_cte = ""
     if exclude:
         xvalues = ",".join("('" + t.replace("'", "''") + "')" for t in exclude)

@@ -178,6 +178,7 @@ def wand_topk(
     excl: np.ndarray | None = None,
     incl: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
+    min_match: int = 1,
 ) -> list[tuple[int, float]]:
     """Block-max WAND (Ding & Suel 2011) over per-term lazy iterators.
 
@@ -185,12 +186,19 @@ def wand_topk(
     doc_id, which the ascending iteration order makes automatic. Skipping
     with ``ub <= theta`` is tie-safe once the heap is full because any future
     doc has a larger doc_id than every heap entry and so loses exact ties.
+
+    ``min_match`` (ES minimum_should_match): a doc qualifies only when at
+    least that many distinct query terms hit it; its score still sums over
+    ALL its matching terms. Enforced at heap-insert like NOT/filters, so
+    theta stays a valid bound over qualifying docs and block-skipping stays
+    safe; once fewer than min_match iterators remain alive no doc can
+    qualify and the loop stops.
     """
     heap: list[tuple[float, int]] = []
     iters = [it for it in iters if not it.exhausted]
     while iters:
         iters = [it for it in iters if not it.exhausted]
-        if not iters:
+        if len(iters) < min_match or not iters:
             break
         iters.sort(key=lambda it: it.cur_docid)
         theta = heap[0][0] if len(heap) >= k else -np.inf
@@ -231,13 +239,15 @@ def wand_topk(
             # safe
             if _is_eligible(incl, excl, pivot):
                 score = 0.0
+                n_matched = 0
                 for it in iters:
                     if it.cur_docid == pivot:
                         score += it.score_current()
+                        n_matched += 1
                 # pre-cursor docs never enter the heap, so theta stays a
                 # valid bound over the page's eligible docs (same argument
                 # as NOT / metadata filters above)
-                if _cursor_ok(after, score, pivot):
+                if n_matched >= min_match and _cursor_ok(after, score, pivot):
                     entry = (score, -pivot)
                     if len(heap) < k:
                         heapq.heappush(heap, entry)
@@ -1250,6 +1260,24 @@ def _apply_boosts(tps: dict, boosts: dict[str, float] | None) -> dict:
     return out
 
 
+def _check_min_match(mode: str, min_match: "int | None") -> int:
+    """Validate ES-style minimum_should_match: only meaningful on
+    disjunctive (should-clause) queries; conjunctive already requires all
+    terms. A floor above the query's term count simply matches nothing
+    (ES semantics), which the kernels handle downstream."""
+    if min_match is None:
+        return 1
+    m = int(min_match)
+    if m < 1:
+        raise ValueError(f"min_match must be >= 1, got {min_match}")
+    if m > 1 and mode != "disjunctive":
+        raise ValueError(
+            "min_match applies to disjunctive queries (conjunctive already "
+            "requires every term)"
+        )
+    return m
+
+
 def search_topk(
     reader: IndexReader,
     terms: list[str],
@@ -1260,6 +1288,7 @@ def search_topk(
     boosts: dict[str, float] | None = None,
     where: dict | None = None,
     after: tuple[float, int] | None = None,
+    min_match: int | None = None,
 ) -> list[tuple[int, float]]:
     """Serve one query from the binary index (driver fast path).
 
@@ -1286,6 +1315,7 @@ def search_topk(
         raise ValueError(f"unknown mode {mode!r}")
     if k <= 0:
         return []
+    mm = _check_min_match(mode, min_match)
     terms = list(dict.fromkeys(terms))
     exclude = _check_exclude(terms, exclude)
     tps = _apply_boosts(reader.fetch_terms(terms), boosts)
@@ -1294,7 +1324,8 @@ def search_topk(
     if incl is not None and incl.size == 0:
         return []
     return _route_query(
-        reader, tps, terms, mode, k, strategy, excl, incl=incl, after=after
+        reader, tps, terms, mode, k, strategy, excl, incl=incl, after=after,
+        min_match=mm,
     )
 
 
@@ -1311,7 +1342,7 @@ def _with_tombstones(reader, excl: np.ndarray | None) -> np.ndarray | None:
 
 def _route_query(
     reader, tps, terms, mode, k, strategy, excl=None, decode_cache=None,
-    incl=None, after=None,
+    incl=None, after=None, min_match=1,
 ) -> list[tuple[int, float]]:
     """Pick the serving strategy for one query given already-fetched
     TermPostings (shared by search_topk and search_many)."""
@@ -1324,13 +1355,15 @@ def _route_query(
     ):
         return _exhaustive_from_tps(
             reader, tps, terms, mode, k, excl=excl, decode_cache=decode_cache,
-            incl=incl, after=after,
+            incl=incl, after=after, min_match=min_match,
         )
     iters = [PostingIterator(tps[t], reader.avgdl) for t in terms if t in tps]
     if mode == "conjunctive":
         return conjunctive_topk(iters, k, excl=excl, incl=incl, after=after)
     if mode == "disjunctive":
-        return wand_topk(iters, k, excl=excl, incl=incl, after=after)
+        return wand_topk(
+            iters, k, excl=excl, incl=incl, after=after, min_match=min_match
+        )
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -1387,12 +1420,14 @@ def search_exhaustive(
     boosts: dict[str, float] | None = None,
     where: dict | None = None,
     after: tuple[float, int] | None = None,
+    min_match: int | None = None,
 ) -> list[tuple[int, float]]:
     """Decode-everything scoring (vectorized numpy); the WAND safety twin."""
     if mode not in ("conjunctive", "disjunctive"):
         raise ValueError(f"unknown mode {mode!r}")
     if k <= 0:
         return []
+    mm = _check_min_match(mode, min_match)
     terms = list(dict.fromkeys(terms))
     exclude = _check_exclude(terms, exclude)
     tps = _apply_boosts(reader.fetch_terms(terms), boosts)
@@ -1401,14 +1436,15 @@ def search_exhaustive(
     excl = _with_tombstones(reader, _exclusion_ids(reader, exclude))
     incl = reader.filter_doc_ids(where) if where else None
     return _exhaustive_from_tps(
-        reader, tps, terms, mode, k, excl=excl, incl=incl, after=after
+        reader, tps, terms, mode, k, excl=excl, incl=incl, after=after,
+        min_match=mm,
     )
 
 
 def _exhaustive_from_tps(
     reader, tps, terms, mode, k, excl: np.ndarray | None = None,
     decode_cache: dict | None = None, incl: np.ndarray | None = None,
-    after: tuple[float, int] | None = None,
+    after: tuple[float, int] | None = None, min_match: int = 1,
 ) -> list[tuple[int, float]]:
     per_term = []
     for t in terms:
@@ -1430,10 +1466,15 @@ def _exhaustive_from_tps(
     uids, inv = np.unique(all_ids, return_inverse=True)
     agg = np.zeros(uids.size)
     np.add.at(agg, inv, all_scores)
-    if mode == "conjunctive":
+    # conjunctive = every term; disjunctive with minimum_should_match = at
+    # least min_match distinct terms (scores still sum over all matches)
+    required = len(per_term) if mode == "conjunctive" else min_match
+    if required > len(per_term):
+        return []  # fewer indexed terms than the match floor: nothing can hit
+    if required > 1:
         cnt = np.zeros(uids.size, dtype=np.int64)
         np.add.at(cnt, inv, 1)
-        keep = cnt == len(per_term)
+        keep = cnt >= required
         uids, agg = uids[keep], agg[keep]
     if excl is not None and uids.size:
         keep = ~np.isin(uids, excl, assume_unique=True)
