@@ -179,6 +179,20 @@ def _mk_histogram(terms, mode, width):
     return run
 
 
+def _mk_collapse(terms, mode, k_groups, per_group):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_collapse
+
+        reader = ensure_index(spark, sf_dir)
+        return search_collapse(
+            reader, terms, mode=mode, collapse_field="repo",
+            k_groups=k_groups, per_group=per_group,
+        )
+
+    return run
+
+
 def _mk_field_stats(terms, mode):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -847,6 +861,7 @@ def register_all(register) -> None:
         bm25_delete_oracle_sql,
         bm25_near_oracle_sql,
         bm25_regex_oracle_sql,
+        collapse_oracle_sql,
         count_oracle_sql,
         facet_rollup_oracle_sql,
         field_stats_oracle_sql,
@@ -882,7 +897,7 @@ def register_all(register) -> None:
                          meta_where="len(list_filter(string_split(text, ' '),"
                                     " t -> t <> '')) BETWEEN 40 AND 60"),
          DS),
-        # A45 minimum_should_match: >=3 of 5 should-terms must hit; scores
+        # A49 minimum_should_match: >=3 of 5 should-terms must hit; scores
         # still sum over every matched term (ES minimum_should_match)
         ("bm25_index_mm3",
          _mk_topk(["join", "hash", "dup", "tree", "node"], "disjunctive",
@@ -976,6 +991,14 @@ def register_all(register) -> None:
          _mk_histogram(["the", "a"], "conjunctive", 10),
          histogram_oracle_sql(["the", "a"], "conjunctive", width=10),
          ("bin_lo", "n_docs")),
+        # A50 field collapsing (ES collapse + inner_hits): top-4 repos by
+        # their best hit, 2 inner hits each (engine repo == documents source)
+        ("bm25_index_collapse",
+         _mk_collapse(["join", "hash", "dup"], "disjunctive",
+                      k_groups=4, per_group=2),
+         collapse_oracle_sql(["join", "hash", "dup"], "disjunctive",
+                             k_groups=4, per_group=2),
+         ("grp", "grk", "rk", "doc_id", "score")),
     ])
     register_composite(register, "bm25_index_phrase_near", [
         (n, _mk_phrase_dist(p), bm25_phrase_oracle_sql(p), DS)

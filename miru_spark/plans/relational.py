@@ -479,6 +479,38 @@ WHERE rk <= {k} ORDER BY {facet_col}, rk
 """.strip()
 
 
+def collapse_oracle_sql(
+    terms: list[str],
+    mode: str = "disjunctive",
+    grp_expr: str = "source",
+    k_groups: int = 5,
+    per_group: int = 2,
+    round_digits: int = 6,
+) -> str:
+    """Oracle for field collapsing (A50): rank hits within each group value,
+    rank groups by their best hit (score desc, doc_id asc), keep the top
+    k_groups groups x per_group inner hits. ``grp_expr`` is the documents
+    column backing the engine's collapse field (engine repo == documents
+    source under the corpus adapter)."""
+    inner = bm25_oracle_sql(terms, mode, k=1 << 30, round_digits=round_digits)
+    return f"""
+WITH scored AS ({inner}),
+j AS (SELECT s.doc_id, s.score, d.{grp_expr} AS grp
+      FROM scored s JOIN documents d USING (doc_id)),
+i AS (SELECT grp, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM j),
+heads AS (SELECT grp, score AS best, doc_id AS bd FROM i WHERE rk = 1),
+g AS (SELECT grp, ROW_NUMBER() OVER (ORDER BY best DESC, bd) AS grk
+      FROM heads)
+SELECT i.grp, g.grk, i.rk, i.doc_id, i.score
+FROM i JOIN g USING (grp)
+WHERE g.grk <= {k_groups} AND i.rk <= {per_group}
+ORDER BY g.grk, i.rk
+""".strip()
+
+
 DEFAULT_TOK_SQL = (
     "SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents"
 )
@@ -640,7 +672,7 @@ def bm25_oracle_sql(
     the filter are dropped, surviving docs keep their corpus-wide BM25
     scores (df/avgdl from the FULL corpus — Lucene filtered-query
     semantics, not search-within-subcorpus).
-    ``min_match`` (A45, ES minimum_should_match) keeps only docs matching
+    ``min_match`` (A49, ES minimum_should_match) keeps only docs matching
     at least that many distinct query terms; scores still sum over all
     matched terms.
     """

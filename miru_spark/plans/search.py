@@ -1213,6 +1213,72 @@ def search_facets_topk(
     )
 
 
+def search_collapse(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "disjunctive",
+    collapse_field: str = "repo",
+    k_groups: int = 5,
+    per_group: int = 2,
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A50 — field collapsing (ES ``collapse`` + ``inner_hits`` / Lucene
+    grouping): the result list keeps at most ``per_group`` hits per value of
+    a docmap field, and groups are ranked by their best hit — the "one
+    result per repo" diversity a code-search UI needs when a single
+    repository would otherwise flood the page.
+
+    Output: (grp, grk, rk, doc_id, score) — group value, group rank (by
+    best hit: score desc, doc_id asc), rank within group, ordered by
+    (grk, rk). Scores are the corpus-wide BM25 values, rounded before
+    ranking so tie-breaks agree with the oracle.
+
+    Plan shape: distributed scoring -> two-column docmap join -> one
+    windowed row_number per group (Catalyst runs the rk <= per_group filter
+    as a per-partition top-k) -> group ranking over the HEADS only (one row
+    per group, so the global window sorts #groups rows, not #candidates;
+    for a collapse field with millions of distinct values swap the head
+    ranking for orderBy().limit()). The group-rank table is k_groups rows
+    and broadcast back.
+    """
+    from pyspark.sql import Window
+
+    if k_groups <= 0 or per_group <= 0:
+        raise ValueError("k_groups and per_group must be positive")
+    scored = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=6, exclude=exclude,
+        where=where,
+    )
+    dm = reader.docmap_df().select("doc_id", F.col(collapse_field).alias("grp"))
+    j = scored.join(dm, "doc_id")
+    w_in = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("doc_id"))
+    inner = (
+        j.withColumn("rk", F.row_number().over(w_in))
+        .filter(F.col("rk") <= per_group)
+    )
+    heads = inner.filter(F.col("rk") == 1).select(
+        "grp", F.col("score").alias("best"), F.col("doc_id").alias("best_doc")
+    )
+    w_g = Window.orderBy(F.desc("best"), F.asc("best_doc"))
+    granks = (
+        heads.withColumn("grk", F.row_number().over(w_g))
+        .filter(F.col("grk") <= k_groups)
+        .select("grp", "grk")
+    )
+    return (
+        inner.join(F.broadcast(granks), "grp")
+        .select(
+            "grp",
+            F.col("grk").cast("long").alias("grk"),
+            F.col("rk").cast("long").alias("rk"),
+            "doc_id",
+            "score",
+        )
+        .orderBy("grk", "rk")
+    )
+
+
 def _exclusion_ids(reader: IndexReader, exclude) -> np.ndarray | None:
     """Sorted unique doc_ids containing ANY excluded term, decoded driver-side.
 

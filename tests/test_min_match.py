@@ -1,4 +1,4 @@
-"""minimum_should_match (A45 — ES/Lucene BooleanQuery.setMinimumNumberShouldMatch):
+"""minimum_should_match (A49 — ES/Lucene BooleanQuery.setMinimumNumberShouldMatch):
 a disjunctive query with a floor on how many distinct terms must hit a doc.
 m=1 is plain OR, m=n is AND; scores always sum over ALL matched terms."""
 
