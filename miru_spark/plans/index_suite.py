@@ -852,6 +852,37 @@ def q_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+def q_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A51 — dis_max (ES best_fields): the BEST field's BM25 carries the
+    score, other matching fields add only tie_breaker (0.3) times theirs —
+    so a filename hit ranks on its own strength instead of being diluted
+    or inflated by body mentions."""
+    import tempfile
+
+    from miru_spark.plans.dismax import search_fields_dismax
+    from miru_spark.plans.multifield import (
+        build_multifield_index,
+        open_field_readers,
+    )
+    from miru_spark.schema import read_corpus
+
+    if sf_dir not in _MF_IDX:
+        base = tempfile.mkdtemp(prefix="miru_mf_") + "/idx"
+        build_multifield_index(
+            spark, read_corpus(spark, sf_dir), base, num_partitions=8
+        )
+        _MF_IDX[sf_dir] = base
+    readers = open_field_readers(spark, _MF_IDX[sf_dir])
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_fields_dismax(
+            readers, ["the", "00007"], weights=_MF_WEIGHTS,
+            tie_breaker=0.3, mode="disjunctive",
+        )
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 def register_all(register) -> None:
     """17 index-tier driver entries (was 38 individual ones): same-family
     cases are tagged-union composites so every family fits inside the
@@ -1059,6 +1090,7 @@ def register_all(register) -> None:
     ])
     from miru_spark.plans.relational import (
         DEFAULT_TOK_SQL,
+        bm25_dismax_oracle_sql,
         bm25_multifield_oracle_sql,
     )
 
@@ -1077,4 +1109,11 @@ def register_all(register) -> None:
         ("code_split", q_code_split_tokenizer,
          bm25_oracle_sql(["func", "3"], "conjunctive",
                          tok_sql=CODE_SPLIT_TOK_SQL), DS),
+        # A51 dis_max best_fields: max + 0.3 * rest across field subqueries
+        ("dismax", q_dismax,
+         bm25_dismax_oracle_sql(
+             ["the", "00007"],
+             {"content": (DEFAULT_TOK_SQL, _MF_WEIGHTS["content"]),
+              "path": (_MF_PATH_TOK, _MF_WEIGHTS["path"])},
+             "disjunctive", tie_breaker=0.3), DS),
     ])

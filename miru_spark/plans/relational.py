@@ -511,6 +511,61 @@ ORDER BY g.grk, i.rk
 """.strip()
 
 
+def bm25_dismax_oracle_sql(
+    terms: list[str],
+    field_toks: dict[str, tuple[str, float]],
+    mode: str = "disjunctive",
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of plans.dismax (A51 — ES ``best_fields`` /
+    DisjunctionMaxQuery): one BM25 pipeline per field (own tf/dl/stats/df),
+    per-field subquery score ``raw * weight``, combined per doc as
+    ``max + tie_breaker * (sum - max)``. Conjunctive keeps only (doc,
+    field) pairs where THAT field matched every query term — the
+    per-field AND that distinguishes best_fields from most_fields."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    tb = float(tie_breaker)
+    if not 0.0 <= tb <= 1.0:
+        raise ValueError("tie_breaker must be in [0, 1]")
+    values = ",".join("('" + t.replace("'", "''") + "')" for t in terms)
+    names = sorted(field_toks)
+    ctes, unions = [], []
+    conj = " WHERE nmatch = (SELECT count(*) FROM q)" if mode == "conjunctive" else ""
+    for i, fname in enumerate(names):
+        tok_sql, weight = field_toks[fname]
+        ctes.append(
+            f"tok{i} AS ({tok_sql}),\n"
+            f"tf{i} AS (SELECT doc_id, term, count(*)::DOUBLE tf "
+            f"FROM tok{i} WHERE term<>'' GROUP BY 1,2),\n"
+            f"dl{i} AS (SELECT doc_id, sum(tf) dl FROM tf{i} GROUP BY 1),\n"
+            f"st{i} AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl{i}),\n"
+            f"df{i} AS (SELECT term, count(*)::DOUBLE df FROM tf{i} GROUP BY 1),\n"
+            f"s{i} AS (SELECT tf{i}.doc_id,\n"
+            f"    sum( ln(1+(st{i}.n-df{i}.df+0.5)/(df{i}.df+0.5))\n"
+            f"      * tf{i}.tf*(1.2+1)/(tf{i}.tf+1.2*(1-0.75+0.75*dl{i}.dl/st{i}.avgdl)) ) raw,\n"
+            f"    count(*) nmatch\n"
+            f"  FROM tf{i} JOIN q USING(term) JOIN df{i} USING(term) "
+            f"JOIN dl{i} USING(doc_id), st{i} GROUP BY 1)"
+        )
+        unions.append(
+            f"SELECT doc_id, raw * {float(weight)!r} AS s FROM s{i}{conj}"
+        )
+    cte_block = ",\n".join(ctes)
+    union_block = " UNION ALL ".join(unions)
+    return f"""
+WITH q(term) AS (VALUES {values}),
+{cte_block},
+u AS ({union_block})
+SELECT doc_id, round(max(s) + {tb!r} * (sum(s) - max(s)), {round_digits}) AS score
+FROM u GROUP BY 1
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
 DEFAULT_TOK_SQL = (
     "SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents"
 )
