@@ -852,6 +852,41 @@ def q_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+_FS_TERMS = ["join", "hash"]
+
+
+def _fs_functions():
+    from miru_spark.plans.funcscore import Decay, FieldValueFactor
+
+    return [
+        Decay("gauss", "doc_len", origin=50.0, scale=20.0),
+        FieldValueFactor("doc_len", factor=0.1, modifier="log1p", weight=2.0),
+    ]
+
+
+def _mk_funcscore():
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.funcscore import search_function_score
+
+        reader = ensure_index(spark, sf_dir)
+        return search_function_score(
+            reader, _FS_TERMS, _fs_functions(),
+            mode="disjunctive", score_mode="sum", boost_mode="multiply",
+        )
+
+    return run
+
+
+def _funcscore_oracle() -> str:
+    from miru_spark.plans.funcscore import function_score_oracle_sql
+
+    return function_score_oracle_sql(
+        _FS_TERMS, _fs_functions(),
+        mode="disjunctive", score_mode="sum", boost_mode="multiply",
+    )
+
+
 def q_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A51 — dis_max (ES best_fields): the BEST field's BM25 carries the
     score, other matching fields add only tie_breaker (0.3) times theirs —
@@ -956,6 +991,9 @@ def register_all(register) -> None:
          _mk_synonym([["the", "a"], ["dup"]], "conjunctive"),
          synonym_oracle_sql([["the", "a"], ["dup"]], "conjunctive"),
          DS),
+        # A52 function_score: gauss doc_len decay x log1p field-value
+        # factor, summed, multiplied into BM25 (ES function_score)
+        ("bm25_index_funcscore", _mk_funcscore(), _funcscore_oracle(), DS),
     ])
     register_composite(register, "bm25_index_not", [
         (n, _mk_topk(t, m, x), bm25_oracle_sql(t, m, exclude=x), DS)
