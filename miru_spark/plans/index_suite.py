@@ -852,6 +852,33 @@ def q_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+_RESCORE_ARGS = dict(window_size=100, k=20, query_weight=1.0,
+                     rescore_weight=2.0, mode="disjunctive")
+
+
+def _mk_rescore():
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.rescore import rescore_topk
+
+        reader = ensure_index(spark, sf_dir)
+        rows = rescore_topk(
+            reader, ["order", "fast"], "order fast", **_RESCORE_ARGS
+        )
+        return spark.createDataFrame(
+            [(int(d), float(s)) for d, s in rows], "doc_id long, score double"
+        )
+
+    return run
+
+
+def _rescore_oracle() -> str:
+    from miru_spark.plans.rescore import rescore_oracle_sql
+
+    return rescore_oracle_sql(["order", "fast"], "order fast",
+                              **_RESCORE_ARGS)
+
+
 _FS_TERMS = ["join", "hash"]
 
 
@@ -1075,6 +1102,10 @@ def register_all(register) -> None:
     ] + [
         (n, _mk_near(a, b, s), bm25_near_oracle_sql(a, b, slop=s), DS)
         for n, (a, b, s) in NEAR_CASES.items()
+    ] + [
+        # A53 rescore (ES rescore): BM25 top-100 window re-ranked by a
+        # second-pass phrase query, final = 1*bm25 + 2*phrase_bm25
+        ("bm25_index_rescore", _mk_rescore(), _rescore_oracle(), DS),
     ])
     register_composite(register, "bm25_index_snippets", [
         ("snippets", q_snippets,
