@@ -852,6 +852,29 @@ def q_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+_HY_TERMS = ["join", "hash"]
+
+
+def _mk_hybrid_rrf():
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.hybrid import hybrid_rrf
+
+        reader = ensure_index(spark, sf_dir)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = list(emb.filter("vec_id = 0").first().embedding)
+        return hybrid_rrf(reader, _HY_TERMS, emb, qvec,
+                          mode="disjunctive", k=20)
+
+    return run
+
+
+def _hybrid_oracle() -> str:
+    from miru_spark.plans.hybrid import hybrid_rrf_oracle_sql
+
+    return hybrid_rrf_oracle_sql(_HY_TERMS, mode="disjunctive", k=20)
+
+
 _RESCORE_ARGS = dict(window_size=100, k=20, query_weight=1.0,
                      rescore_weight=2.0, mode="disjunctive")
 
@@ -1041,6 +1064,9 @@ def register_all(register) -> None:
          bm25_oracle_sql(["join", "dup"], "disjunctive",
                          meta_where="lang IN ('fr','es')"),
          DS),
+        # A54 hybrid RRF: BM25 top-100 fused with embedding-cosine top-100
+        # (query vector = embeddings row 0) by reciprocal rank, k=60
+        ("bm25_index_hybrid_rrf", _mk_hybrid_rrf(), _hybrid_oracle(), DS),
     ])
     register_composite(register, "bm25_index_prefix", [
         (n, _mk_prefix(p), bm25_prefix_oracle_sql(p), DS)
