@@ -852,6 +852,29 @@ def q_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+_SIG_ARGS = dict(mode="disjunctive", top_n=10, min_doc_count=3)
+
+
+def _mk_sigterms():
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.sigterms import significant_terms
+        from miru_spark.schema import read_corpus
+
+        reader = ensure_index(spark, sf_dir)
+        return significant_terms(
+            reader, read_corpus(spark, sf_dir), ["join", "hash"], **_SIG_ARGS
+        )
+
+    return run
+
+
+def _sigterms_oracle() -> str:
+    from miru_spark.plans.sigterms import significant_terms_oracle_sql
+
+    return significant_terms_oracle_sql(["join", "hash"], **_SIG_ARGS)
+
+
 _HY_TERMS = ["join", "hash"]
 
 
@@ -1156,6 +1179,9 @@ def register_all(register) -> None:
          _mk_field_stats(["the", "a"], "conjunctive"),
          field_stats_oracle_sql(["the", "a"], "conjunctive"),
          ("n_docs", "min_v", "max_v", "sum_v", "avg_v")),
+        # A55 significant_terms (JLH): what the result set is "about"
+        ("bm25_index_sigterms", _mk_sigterms(),
+         _sigterms_oracle(), ("term", "fg_count", "bg_count", "score")),
     ])
     register("bm25_index_mlt", q_mlt, mlt_oracle_sql(42, n_terms=5, k=10))
     register("bm25_index_stats", q_index_stats, SQL_INDEX_STATS)
