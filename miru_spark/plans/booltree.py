@@ -1,0 +1,673 @@
+"""Nested boolean queries — Lucene ``BooleanQuery`` trees (A56).
+
+The flat grammar (``parse_query``) serves one boolean level: all-AND or
+all-OR plus NOT clauses. Real Lucene/ES queries nest:
+``(spark OR flink) AND (join OR merge) NOT "unit test"``. This module adds
+
+  * a recursive-descent parser with parentheses and the classic precedence
+    ``NOT > AND > OR`` (adjacent clauses default to AND, matching the flat
+    grammar's bare-list behavior); ``term^w`` boosts and quoted phrases are
+    leaves,
+  * a fully vectorized driver evaluator (numpy set algebra over decoded
+    posting lists; phrases verify against the positional index exactly like
+    :func:`miru_spark.plans.search.search_phrase`),
+  * a distributed evaluator: one pruned postings scan for ALL leaf terms ->
+    mapInArrow decode to (doc_id, term, contrib) -> ONE hash aggregation
+    pivoting each leaf term into a column (map-side partial agg; per
+    (doc_id, term) there is exactly one contribution row) -> the tree
+    compiled to Catalyst boolean/arithmetic expressions (whole-stage
+    codegen; zero Python in the match/score evaluation) ->
+    TakeOrderedAndProject top-k,
+  * an oracle generator emitting the equivalent DuckDB SQL from the SAME
+    AST (pivot CTE + CASE expressions), so the Spark plan and the SQL twin
+    cannot drift apart.
+
+Scoring follows Lucene's BooleanQuery semantics exactly: a node's score is
+the sum of its MATCHING children's scores, and a child that does not match
+contributes nothing even if some of its own subterms are present in the
+doc. For ``(a AND b) OR c`` a doc containing ``a`` and ``c`` but not ``b``
+scores only the ``c`` contribution. Negative (NOT) clauses never score.
+``NOT`` is only legal inside an AND scope next to at least one positive
+clause — a pure-negative query or ``a OR NOT b`` needs the full document
+set and is rejected, exactly as Lucene rejects must_not-only boolean
+queries at the top level.
+
+Block-max WAND deliberately does not apply here: per-term upper bounds are
+not monotone through an arbitrary tree (an AND subtree caps its branch at
+the MIN of its members' bounds only while all members are live), so the
+driver path scores candidates exhaustively — the distributed path is the
+scale route, and window-bounded re-ranking (``rescore``) is the latency
+route when the first pass must stay WAND.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Union
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from miru_spark.functions import bm25
+from miru_spark.index.reader import IndexReader
+
+# ---------------------------------------------------------------------------
+# AST
+
+
+@dataclass(frozen=True)
+class BTerm:
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BPhrase:
+    tokens: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class BNot:
+    child: "Node"
+
+
+@dataclass(frozen=True)
+class BAnd:
+    children: tuple["Node", ...]  # BNot children = must_not clauses
+
+
+@dataclass(frozen=True)
+class BOr:
+    children: tuple["Node", ...]
+
+
+Node = Union[BTerm, BPhrase, BNot, BAnd, BOr]
+
+_OPS = ("AND", "OR", "NOT")
+
+
+# ---------------------------------------------------------------------------
+# Lexer + parser
+
+
+def _lex(query: str) -> list[str]:
+    """Split into words, '(' / ')' and quoted-phrase tokens (quotes kept)."""
+    out: list[str] = []
+    i, n = 0, len(query)
+    while i < n:
+        c = query[i]
+        if c.isspace():
+            i += 1
+        elif c in "()":
+            out.append(c)
+            i += 1
+        elif c == '"':
+            j = query.find('"', i + 1)
+            if j < 0:
+                raise ValueError("unterminated quote in query")
+            out.append(query[i : j + 1])
+            i = j + 1
+        else:
+            j = i
+            while j < n and not query[j].isspace() and query[j] not in '()"':
+                j += 1
+            out.append(query[i:j])
+            i = j
+    return out
+
+
+class _TokenStream:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+
+def _leaf(tok: str) -> Node:
+    if tok.startswith('"'):
+        if not tok.endswith('"') or len(tok) < 3:
+            raise ValueError(f"malformed phrase token {tok!r}")
+        toks = tuple(tok[1:-1].split())
+        if not toks:
+            raise ValueError("empty phrase")
+        return BPhrase(toks)
+    base, sep, w = tok.rpartition("^")
+    if sep and base:
+        try:
+            boost = float(w)
+        except ValueError:
+            return BTerm(tok)
+        if not boost > 0:
+            raise ValueError(f"boost must be positive in {tok!r}")
+        return BTerm(base, boost)
+    return BTerm(tok)
+
+
+def _parse_primary(ts: _TokenStream) -> Node:
+    t = ts.peek()
+    if t is None:
+        raise ValueError("query ended where a term was expected")
+    if t == "(":
+        ts.next()
+        node = _parse_or(ts)
+        if ts.peek() != ")":
+            raise ValueError("unbalanced parentheses")
+        ts.next()
+        return node
+    if t == ")":
+        raise ValueError("unexpected ')'")
+    if t in _OPS:
+        raise ValueError(f"operator {t} where a term was expected")
+    return _leaf(ts.next())
+
+
+def _parse_unary(ts: _TokenStream) -> Node:
+    if ts.peek() == "NOT":
+        ts.next()
+        return BNot(_parse_unary(ts))
+    return _parse_primary(ts)
+
+
+def _parse_and(ts: _TokenStream) -> Node:
+    items = [_parse_unary(ts)]
+    while True:
+        p = ts.peek()
+        if p == "AND":
+            ts.next()
+            items.append(_parse_unary(ts))
+        elif p is None or p in (")", "OR"):
+            break
+        else:  # adjacency = implicit AND (same default as the flat grammar)
+            items.append(_parse_unary(ts))
+    if len(items) == 1 and not isinstance(items[0], BNot):
+        return items[0]
+    return BAnd(tuple(items))
+
+
+def _parse_or(ts: _TokenStream) -> Node:
+    items = [_parse_and(ts)]
+    while ts.peek() == "OR":
+        ts.next()
+        items.append(_parse_and(ts))
+    return items[0] if len(items) == 1 else BOr(tuple(items))
+
+
+def _validate(node: Node, under_and: bool = False) -> None:
+    if isinstance(node, BNot):
+        if not under_and:
+            raise ValueError(
+                "NOT is only valid inside an AND scope with at least one "
+                "positive clause (Lucene must_not semantics); "
+                "'a OR NOT b' / a pure-negative query needs the full doc set"
+            )
+        _validate(node.child, under_and=False)
+    elif isinstance(node, BAnd):
+        if not any(not isinstance(c, BNot) for c in node.children):
+            raise ValueError("AND scope needs at least one positive clause")
+        for c in node.children:
+            _validate(c, under_and=True)
+    elif isinstance(node, BOr):
+        for c in node.children:
+            _validate(c, under_and=False)
+    elif isinstance(node, (BTerm, BPhrase)):
+        pass
+    else:  # pragma: no cover
+        raise TypeError(f"unknown node {node!r}")
+
+
+def parse_bool(query: str) -> Node:
+    """Parse ``(a OR b^2) AND NOT (c "d e")`` into a validated tree."""
+    ts = _TokenStream(_lex(query))
+    if ts.peek() is None:
+        raise ValueError("empty query")
+    node = _parse_or(ts)
+    if ts.peek() is not None:
+        raise ValueError(f"trailing token {ts.peek()!r}")
+    _validate(node)
+    return node
+
+
+def _as_node(q: "Node | str") -> Node:
+    if isinstance(q, str):
+        return parse_bool(q)
+    _validate(q)
+    return q
+
+
+def _leaf_terms(node: Node) -> tuple[list[str], list[tuple[str, ...]]]:
+    """(unique terms incl. phrase members and NOT operands, unique phrases),
+    first-appearance order."""
+    terms: dict[str, None] = {}
+    phrases: dict[tuple[str, ...], None] = {}
+
+    def walk(n: Node) -> None:
+        if isinstance(n, BTerm):
+            terms.setdefault(n.term)
+        elif isinstance(n, BPhrase):
+            phrases.setdefault(n.tokens)
+            for t in n.tokens:
+                terms.setdefault(t)
+        elif isinstance(n, BNot):
+            walk(n.child)
+        else:
+            for c in n.children:
+                walk(c)
+
+    walk(node)
+    return list(terms), list(phrases)
+
+
+# ---------------------------------------------------------------------------
+# Driver evaluation (vectorized numpy set algebra)
+
+
+class _Env:
+    """Per-query decode cache: each leaf term is fetched and decoded ONCE
+    no matter how often it appears in the tree."""
+
+    def __init__(self, reader: IndexReader, node: Node):
+        self.reader = reader
+        terms, phrases = _leaf_terms(node)
+        need_pos = bool(phrases)
+        if need_pos and not reader.positions:
+            raise ValueError(
+                "phrase clauses need a positional index "
+                "(build_index(positions=True))"
+            )
+        self.tps = reader.fetch_terms(terms, with_positions=need_pos)
+        self._docs: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._pos: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._phrase: dict[tuple[str, ...], tuple[np.ndarray, np.ndarray]] = {}
+        self.need_pos = need_pos
+
+    def term_docs(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted doc_ids, unboosted BM25 contributions)."""
+        if term not in self._docs:
+            tp = self.tps.get(term)
+            if tp is None:
+                e = np.empty(0, dtype=np.int64)
+                self._docs[term] = (e, np.empty(0))
+            else:
+                ids, tfs, dls = self.reader.decode_term(tp)
+                self._docs[term] = (
+                    ids.astype(np.int64),
+                    bm25.score_np(tfs, tp.idf, dls, self.reader.avgdl),
+                )
+                if self.need_pos:
+                    self._pos[term] = (
+                        ids.astype(np.int64),
+                        tfs.astype(np.int64),
+                        self._unpack_positions(tp, tfs),
+                    )
+        return self._docs[term]
+
+    def _unpack_positions(self, tp, tfs) -> np.ndarray:
+        from miru_spark.index.format import unpack_chunk_bm, unpack_positions
+
+        pos_l = []
+        for r in tp.chunks:
+            _, ctfs, _ = unpack_chunk_bm(r["blob"], r["bm"], int(r["codec"]))
+            pos_l.append(unpack_positions(r["pos_blob"], ctfs).astype(np.int64))
+        return np.concatenate(pos_l) if pos_l else np.empty(0, dtype=np.int64)
+
+    def phrase_docs(self, tokens: tuple[str, ...]) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted doc_ids with the exact consecutive-token phrase, summed
+        member-term BM25 scores) — the same per-offset key-intersection
+        verify as :func:`search_phrase`."""
+        if tokens in self._phrase:
+            return self._phrase[tokens]
+        uterms = list(dict.fromkeys(tokens))
+        empty = (np.empty(0, dtype=np.int64), np.empty(0))
+        for t in uterms:
+            self.term_docs(t)  # populate _pos
+            if t not in self.tps:
+                self._phrase[tokens] = empty
+                return empty
+        cand = self._pos[uterms[0]][0]
+        for t in uterms[1:]:
+            cand = np.intersect1d(cand, self._pos[t][0], assume_unique=True)
+        if cand.size == 0:
+            self._phrase[tokens] = empty
+            return empty
+        survivors = None
+        for off, t in enumerate(tokens):
+            ids, tfs, pos = self._pos[t]
+            occ_mask = np.repeat(np.isin(ids, cand, assume_unique=True), tfs)
+            doc_rep = np.repeat(ids, tfs)[occ_mask]
+            p = pos[occ_mask] - off
+            ok = p >= 0
+            keys = doc_rep[ok].astype(np.uint64) * np.uint64(1 << 32) + p[
+                ok
+            ].astype(np.uint64)
+            survivors = (
+                keys
+                if survivors is None
+                else np.intersect1d(survivors, keys, assume_unique=True)
+            )
+            if survivors.size == 0:
+                self._phrase[tokens] = empty
+                return empty
+        verified = np.unique(survivors >> np.uint64(32)).astype(np.int64)
+        scores = np.zeros(verified.size)
+        for t in uterms:
+            ids, contribs = self.term_docs(t)
+            idx = np.searchsorted(ids, verified)
+            scores += contribs[idx]
+        self._phrase[tokens] = (verified, scores)
+        return self._phrase[tokens]
+
+
+def _eval(node: Node, env: _Env) -> tuple[np.ndarray, np.ndarray]:
+    """-> (sorted matching doc_ids, aligned Lucene-semantics scores)."""
+    if isinstance(node, BTerm):
+        ids, contribs = env.term_docs(node.term)
+        return ids, contribs * node.boost if node.boost != 1.0 else contribs
+    if isinstance(node, BPhrase):
+        return env.phrase_docs(node.tokens)
+    if isinstance(node, BOr):
+        parts = [_eval(c, env) for c in node.children]
+        all_ids = np.concatenate([p[0] for p in parts])
+        if all_ids.size == 0:
+            return all_ids.astype(np.int64), np.empty(0)
+        all_scores = np.concatenate([p[1] for p in parts])
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        agg = np.zeros(uids.size)
+        np.add.at(agg, inv, all_scores)
+        return uids, agg
+    if isinstance(node, BAnd):
+        pos = [c for c in node.children if not isinstance(c, BNot)]
+        neg = [c.child for c in node.children if isinstance(c, BNot)]
+        parts = [_eval(c, env) for c in pos]
+        ids = parts[0][0]
+        for p in parts[1:]:
+            ids = np.intersect1d(ids, p[0], assume_unique=True)
+            if ids.size == 0:
+                break
+        for n in neg:
+            if ids.size == 0:
+                break
+            nids, _ = _eval(n, env)
+            if nids.size:
+                ids = ids[~np.isin(ids, nids, assume_unique=True)]
+        scores = np.zeros(ids.size)
+        if ids.size:
+            for cids, cscores in parts:
+                idx = np.searchsorted(cids, ids)
+                scores += cscores[idx]
+        return ids, scores
+    raise TypeError(f"cannot evaluate {node!r}")  # BNot handled by BAnd
+
+
+def search_bool(
+    reader: IndexReader,
+    query: "Node | str",
+    k: int = 10,
+    where: dict | None = None,
+    round_digits: int | None = 6,
+) -> list[tuple[int, float]]:
+    """Serve a nested boolean query from the binary index (driver path).
+
+    Every leaf term decodes once; the tree evaluates as numpy sorted-set
+    algebra; scoring is Lucene BooleanQuery semantics (matching clauses
+    sum, non-matching subtrees contribute zero). ``where`` composes the
+    usual metadata filter at the root. Tombstoned docs never match.
+    """
+    node = _as_node(query)
+    if k <= 0:
+        return []
+    env = _Env(reader, node)
+    ids, scores = _eval(node, env)
+    if ids.size == 0:
+        return []
+    tomb = getattr(reader, "tombstones", None)
+    if tomb is not None and tomb.size:
+        keep = ~np.isin(ids, tomb, assume_unique=True)
+        ids, scores = ids[keep], scores[keep]
+    if where:
+        incl = reader.filter_doc_ids(where)
+        keep = np.isin(ids, incl, assume_unique=True)
+        ids, scores = ids[keep], scores[keep]
+    if round_digits is not None:
+        scores = np.round(scores, round_digits)
+    order = np.lexsort((ids, -scores))[:k]
+    return [(int(ids[i]), float(scores[i])) for i in order]
+
+
+# ---------------------------------------------------------------------------
+# Distributed evaluation (Catalyst expressions over one pivoted hash agg)
+
+_SCORED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("contrib", T.DoubleType()),
+    ]
+)
+
+
+def _match_col(node: Node, col: dict[str, str]) -> Column:
+    if isinstance(node, BTerm):
+        return F.col(col[node.term]).isNotNull()
+    if isinstance(node, BAnd):
+        out = None
+        for c in node.children:
+            m = (
+                ~_match_col(c.child, col)
+                if isinstance(c, BNot)
+                else _match_col(c, col)
+            )
+            out = m if out is None else (out & m)
+        return out
+    if isinstance(node, BOr):
+        out = None
+        for c in node.children:
+            m = _match_col(c, col)
+            out = m if out is None else (out | m)
+        return out
+    raise TypeError(f"unexpected node in distributed plan: {node!r}")
+
+
+def _score_col(node: Node, col: dict[str, str]) -> Column:
+    if isinstance(node, BTerm):
+        c = F.coalesce(F.col(col[node.term]), F.lit(0.0))
+        return c * F.lit(node.boost) if node.boost != 1.0 else c
+    if isinstance(node, BAnd):
+        pos = [c for c in node.children if not isinstance(c, BNot)]
+        total = None
+        for c in pos:
+            s = _score_col(c, col)
+            total = s if total is None else (total + s)
+        return F.when(_match_col(node, col), total).otherwise(F.lit(0.0))
+    if isinstance(node, BOr):
+        total = None
+        for c in node.children:
+            s = _score_col(c, col)
+            total = s if total is None else (total + s)
+        return total  # each child already zeroes itself when unmatched
+    raise TypeError(f"unexpected node in distributed plan: {node!r}")
+
+
+def search_bool_distributed(
+    reader: IndexReader,
+    query: "Node | str",
+    k: int | None = 10,
+    round_digits: int | None = 6,
+    where: dict | None = None,
+) -> DataFrame:
+    """The cluster-scale twin of :func:`search_bool` (term leaves only).
+
+    Plan: ONE pruned postings scan covering every leaf term (positive and
+    negative) -> mapInArrow decode+score to (doc_id, term, contrib) -> one
+    hash aggregation that pivots each leaf term into its own column
+    (``sum(when(term=t, contrib))`` — exactly one contribution row exists
+    per (doc_id, term), and the pivot is map-side-combined like any hash
+    agg) -> the boolean tree compiled to Catalyst boolean/CASE expressions
+    over those columns (whole-stage codegen, no Python) ->
+    TakeOrderedAndProject. Docs containing only NOT-side terms pivot to
+    rows whose match expression is false and are filtered before the
+    top-k; they never shuffle twice.
+
+    Phrase leaves are driver-path-only (:func:`search_bool`): distributed
+    phrase verification lives in ``search_phrase_distributed`` and is not
+    composed into trees yet.
+    """
+    node = _as_node(query)
+    terms, phrases = _leaf_terms(node)
+    if phrases:
+        raise NotImplementedError(
+            "phrase clauses inside distributed boolean trees are not "
+            "supported; use search_bool (driver path) or "
+            "search_phrase_distributed for flat phrases"
+        )
+    n_docs = float(reader.n_docs)
+    avgdl = float(reader.avgdl)
+    chunks = reader.postings_df(terms)
+    term_df = chunks.groupBy("term").agg(F.sum("df_chunk").alias("df_global"))
+    chunks = chunks.join(F.broadcast(term_df), "term")
+
+    def score_chunks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from miru_spark.index.format import unpack_chunk
+
+        for batch in batches:
+            for row in batch.to_pylist():
+                ids, tfs, dls = unpack_chunk(
+                    row["blob"], row["blocks"], int(row["codec"])
+                )
+                idf = float(bm25.idf_np(float(row["df_global"]), n_docs))
+                contrib = bm25.score_np(tfs, idf, dls, avgdl)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids.astype(np.int64)),
+                        pa.array([row["term"]] * len(ids), type=pa.string()),
+                        pa.array(contrib),
+                    ],
+                    names=["doc_id", "term", "contrib"],
+                )
+
+    scored = chunks.mapInArrow(score_chunks, _SCORED_SCHEMA)
+    col = {t: f"c{i}" for i, t in enumerate(terms)}
+    pivoted = scored.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("contrib"))).alias(col[t])
+            for t in terms
+        ]
+    )
+    out = pivoted.filter(_match_col(node, col))
+    if where:
+        from miru_spark.filters import spark_predicate
+
+        allow = reader.docmap_df()
+        for c, val in where.items():
+            if c not in allow.columns:
+                raise ValueError(f"unknown docmap column {c!r}")
+            allow = allow.filter(spark_predicate(c, val))
+        out = out.join(allow.select("doc_id"), "doc_id", "left_semi")
+    tomb_df = reader.tombstones_df()
+    if tomb_df is not None:
+        if reader.tombstones.size <= 5_000_000:
+            tomb_df = F.broadcast(tomb_df)
+        out = out.join(tomb_df, "doc_id", "left_anti")
+    score = _score_col(node, col)
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    out = out.select("doc_id", score.alias("score"))
+    if k is None:
+        return out
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle (generated from the same AST)
+
+
+def _sql_quote(t: str) -> str:
+    return "'" + t.replace("'", "''") + "'"
+
+
+def _match_sql(node: Node, col: dict[str, str]) -> str:
+    if isinstance(node, BTerm):
+        return f"{col[node.term]} IS NOT NULL"
+    if isinstance(node, BAnd):
+        parts = []
+        for c in node.children:
+            if isinstance(c, BNot):
+                parts.append(f"NOT ({_match_sql(c.child, col)})")
+            else:
+                parts.append(_match_sql(c, col))
+        return "(" + " AND ".join(parts) + ")"
+    if isinstance(node, BOr):
+        return "(" + " OR ".join(_match_sql(c, col) for c in node.children) + ")"
+    raise TypeError(f"phrase leaves have no SQL oracle yet: {node!r}")
+
+
+def _score_sql(node: Node, col: dict[str, str]) -> str:
+    if isinstance(node, BTerm):
+        base = f"COALESCE({col[node.term]}, 0)"
+        return f"{node.boost!r} * {base}" if node.boost != 1.0 else base
+    if isinstance(node, BAnd):
+        pos = [c for c in node.children if not isinstance(c, BNot)]
+        total = " + ".join(_score_sql(c, col) for c in pos)
+        return f"CASE WHEN {_match_sql(node, col)} THEN ({total}) ELSE 0 END"
+    if isinstance(node, BOr):
+        return "(" + " + ".join(_score_sql(c, col) for c in node.children) + ")"
+    raise TypeError(f"phrase leaves have no SQL oracle yet: {node!r}")
+
+
+def bool_oracle_sql(
+    query: "Node | str",
+    k: int = 10,
+    round_digits: int = 6,
+    tok_sql: str | None = None,
+    meta_where: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`search_bool` / :func:`search_bool_distributed`,
+    generated from the same AST (term leaves only): per-term BM25
+    contributions pivot into one column per leaf term, then the tree
+    renders as boolean/CASE SQL — structurally identical to the Catalyst
+    expressions the distributed path compiles."""
+    from miru_spark.plans.relational import DEFAULT_TOK_SQL
+
+    node = _as_node(query)
+    terms, phrases = _leaf_terms(node)
+    if phrases:
+        raise NotImplementedError("phrase leaves have no SQL oracle yet")
+    tok_sql = tok_sql or DEFAULT_TOK_SQL
+    col = {t: f"c{i}" for i, t in enumerate(terms)}
+    values = ",".join(f"({_sql_quote(t)})" for t in terms)
+    pivots = ",\n        ".join(
+        f"MAX(CASE WHEN term={_sql_quote(t)} THEN contrib END) AS {col[t]}"
+        for t in terms
+    )
+    wheres = [_match_sql(node, col)]
+    if meta_where:
+        wheres.append(
+            f"doc_id IN (SELECT doc_id FROM documents WHERE {meta_where})"
+        )
+    return f"""
+WITH tok AS ({tok_sql}),
+tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP BY 1,2),
+dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
+df    AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+q(term) AS (VALUES {values}),
+c AS (SELECT tf.doc_id, tf.term,
+        ln(1+(stats.n-df.df+0.5)/(df.df+0.5))
+        * tf.tf*(1.2+1)/(tf.tf+1.2*(1-0.75+0.75*dl.dl/stats.avgdl)) AS contrib
+      FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc_id), stats),
+p AS (SELECT doc_id,
+        {pivots}
+      FROM c GROUP BY doc_id)
+SELECT doc_id, round({_score_sql(node, col)}, {round_digits}) AS score
+FROM p WHERE {" AND ".join(wheres)}
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()

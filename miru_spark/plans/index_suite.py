@@ -98,6 +98,26 @@ def _mk_grammar(query: str):
     return run
 
 
+def _tree_oracle(query: str) -> str:
+    from miru_spark.plans.booltree import bool_oracle_sql
+
+    return bool_oracle_sql(query, k=10)
+
+
+def _mk_tree_dist(query: str):
+    """A56 distributed path: the boolean tree compiled to Catalyst
+    expressions over one pivoted hash agg."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.booltree import search_bool_distributed
+        from miru_spark.plans.flagship import ensure_index
+
+        reader = ensure_index(spark, sf_dir)
+        return search_bool_distributed(reader, query, k=10)
+
+    return run
+
+
 def _mk_topk(terms, mode, exclude=None, where=None, min_match=None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -1051,6 +1071,18 @@ def register_all(register) -> None:
          "SELECT doc_id, score FROM ("
          + bm25_oracle_sql(["the", "a"], "disjunctive", k=20)
          + ") ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10",
+         DS),
+        # A56 nested boolean trees (Lucene BooleanQuery): parentheses +
+        # precedence through the full grammar; driver path (numpy set
+        # algebra) and distributed path (Catalyst-compiled tree) both
+        # checked against the AST-generated SQL twin
+        ("bm25_index_tree",
+         _mk_grammar("(join OR hash) AND (sort OR merge) NOT (tree OR node)"),
+         _tree_oracle("(join OR hash) AND (sort OR merge) NOT (tree OR node)"),
+         DS),
+        ("bm25_index_tree_dist",
+         _mk_tree_dist("(the AND data) OR dup"),
+         _tree_oracle("(the AND data) OR dup"),
          DS),
     ])
     register_composite(register, "bm25_index_boost", [

@@ -18,6 +18,7 @@ Three paths, all rank-identical by construction and by test:
 from __future__ import annotations
 
 import heapq
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -507,6 +508,12 @@ def search(
     ``search(r, "join NOT tree")``, ``search(r, "sp*")`` (prefix), or
     ``search(r, '"join hash"')`` for an exact phrase (positional index).
 
+    Queries with parentheses — or mixed AND/OR, resolved by precedence
+    ``NOT > AND > OR`` — route to the nested boolean-tree engine (A56,
+    :mod:`miru_spark.plans.booltree`): ``(a OR b) AND (c OR d) NOT e``.
+    Range filters still extract first; ``field:value`` equality filters
+    don't ride in the tree grammar (pass ``where=`` to ``search_bool``).
+
     Prefix tokens rewrite to their dictionary expansions. In a positive
     position they are OR-groups, so they are only allowed where the flat
     mode keeps the semantics exact: disjunctive queries, or a query that is
@@ -530,6 +537,15 @@ def search(
     string columns compare lexicographically.
     """
     query, range_filters = _extract_ranges(reader, query)
+    stripped = re.sub(r'"[^"]*"', " ", query)
+    toks = stripped.split()
+    if "(" in stripped or ("AND" in toks and "OR" in toks):
+        # nested boolean trees (A56): parentheses, or mixed AND/OR resolved
+        # by precedence (NOT > AND > OR). field:value filters don't ride in
+        # the tree grammar — pass where= to search_bool directly.
+        from miru_spark.plans.booltree import search_bool
+
+        return search_bool(reader, query, k=k, where=range_filters or None)
     terms, mode, exclude = parse_query(query)
     if mode == "phrase":
         return search_phrase(
