@@ -671,3 +671,162 @@ SELECT doc_id, round({_score_sql(node, col)}, {round_digits}) AS score
 FROM p WHERE {" AND ".join(wheres)}
 ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# constant_score + boosting (ES constant_score / boosting queries)
+
+
+def search_constant_score(
+    reader: IndexReader,
+    query: "Node | str",
+    boost: float = 1.0,
+    k: int = 10,
+    where: dict | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``constant_score`` / Lucene ``ConstantScoreQuery``: every doc
+    matching the (arbitrary boolean-tree) filter scores exactly ``boost``
+    — the query runs in filter context, no BM25 is computed or cached, and
+    ties break on doc_id so the result is deterministic. The classic use
+    is filter-only retrieval where relevance ordering is meaningless."""
+    node = _as_node(query)
+    if k <= 0:
+        return []
+    env = _Env(reader, node)
+    ids, _ = _eval(node, env)
+    tomb = getattr(reader, "tombstones", None)
+    if tomb is not None and tomb.size:
+        ids = ids[~np.isin(ids, tomb, assume_unique=True)]
+    if where:
+        incl = reader.filter_doc_ids(where)
+        ids = ids[np.isin(ids, incl, assume_unique=True)]
+    return [(int(d), float(boost)) for d in ids[:k]]
+
+
+def search_boosting(
+    reader: IndexReader,
+    positive: "Node | str",
+    negative: "Node | str",
+    negative_boost: float = 0.5,
+    k: int = 10,
+    where: dict | None = None,
+    round_digits: int | None = 6,
+) -> list[tuple[int, float]]:
+    """ES ``boosting`` query: docs matching ``positive`` score BM25 as
+    usual, but those ALSO matching ``negative`` are demoted to
+    ``score * negative_boost`` instead of being excluded — the soft
+    counterpart of boolean NOT (Lucene's original BoostingQuery). The
+    negative side evaluates in filter context (its scores are discarded),
+    so it can be any boolean tree, including one that would be rejected as
+    a scoring clause."""
+    if not (0 <= negative_boost <= 1):
+        raise ValueError("negative_boost must be in [0, 1]")
+    pos = _as_node(positive)
+    neg = _as_node(negative)
+    if k <= 0:
+        return []
+    env = _Env(reader, pos)
+    ids, scores = _eval(pos, env)
+    if ids.size == 0:
+        return []
+    env_n = _Env(reader, neg)
+    nids, _ = _eval(neg, env_n)
+    if nids.size:
+        demote = np.isin(ids, nids, assume_unique=True)
+        scores = np.where(demote, scores * negative_boost, scores)
+    tomb = getattr(reader, "tombstones", None)
+    if tomb is not None and tomb.size:
+        keep = ~np.isin(ids, tomb, assume_unique=True)
+        ids, scores = ids[keep], scores[keep]
+    if where:
+        incl = reader.filter_doc_ids(where)
+        keep = np.isin(ids, incl, assume_unique=True)
+        ids, scores = ids[keep], scores[keep]
+    if round_digits is not None:
+        scores = np.round(scores, round_digits)
+    order = np.lexsort((ids, -scores))[:k]
+    return [(int(ids[i]), float(scores[i])) for i in order]
+
+
+def boosting_oracle_sql(
+    positive: "Node | str",
+    negative: "Node | str",
+    negative_boost: float = 0.5,
+    k: int = 10,
+    round_digits: int = 6,
+    tok_sql: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`search_boosting`, generated from both ASTs:
+    one pivot over the union of the two trees' leaf terms, positive tree
+    for match+score, negative tree folded in as a demotion CASE."""
+    from miru_spark.plans.relational import DEFAULT_TOK_SQL
+
+    pos = _as_node(positive)
+    neg = _as_node(negative)
+    pterms, pph = _leaf_terms(pos)
+    nterms, nph = _leaf_terms(neg)
+    if pph or nph:
+        raise NotImplementedError("phrase leaves have no SQL oracle yet")
+    terms = list(dict.fromkeys(pterms + nterms))
+    tok_sql = tok_sql or DEFAULT_TOK_SQL
+    col = {t: f"c{i}" for i, t in enumerate(terms)}
+    values = ",".join(f"({_sql_quote(t)})" for t in terms)
+    pivots = ",\n        ".join(
+        f"MAX(CASE WHEN term={_sql_quote(t)} THEN contrib END) AS {col[t]}"
+        for t in terms
+    )
+    score = (
+        f"({_score_sql(pos, col)}) * (CASE WHEN {_match_sql(neg, col)} "
+        f"THEN {negative_boost!r} ELSE 1 END)"
+    )
+    return f"""
+WITH tok AS ({tok_sql}),
+tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP BY 1,2),
+dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
+df    AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+q(term) AS (VALUES {values}),
+c AS (SELECT tf.doc_id, tf.term,
+        ln(1+(stats.n-df.df+0.5)/(df.df+0.5))
+        * tf.tf*(1.2+1)/(tf.tf+1.2*(1-0.75+0.75*dl.dl/stats.avgdl)) AS contrib
+      FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc_id), stats),
+p AS (SELECT doc_id,
+        {pivots}
+      FROM c GROUP BY doc_id)
+SELECT doc_id, round({score}, {round_digits}) AS score
+FROM p WHERE {_match_sql(pos, col)}
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
+def constant_score_oracle_sql(
+    query: "Node | str",
+    boost: float = 1.0,
+    k: int = 10,
+    tok_sql: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`search_constant_score`: the tree in pure
+    filter context — no BM25 CTEs at all, just per-term presence."""
+    from miru_spark.plans.relational import DEFAULT_TOK_SQL
+
+    node = _as_node(query)
+    terms, phrases = _leaf_terms(node)
+    if phrases:
+        raise NotImplementedError("phrase leaves have no SQL oracle yet")
+    tok_sql = tok_sql or DEFAULT_TOK_SQL
+    col = {t: f"c{i}" for i, t in enumerate(terms)}
+    values = ",".join(f"({_sql_quote(t)})" for t in terms)
+    pivots = ",\n        ".join(
+        f"MAX(CASE WHEN term={_sql_quote(t)} THEN 1 END) AS {col[t]}"
+        for t in terms
+    )
+    return f"""
+WITH tok AS ({tok_sql}),
+q(term) AS (VALUES {values}),
+p AS (SELECT doc_id,
+        {pivots}
+      FROM tok JOIN q USING(term) GROUP BY doc_id)
+SELECT doc_id, {float(boost)!r} AS score
+FROM p WHERE {_match_sql(node, col)}
+ORDER BY doc_id LIMIT {k}
+""".strip()

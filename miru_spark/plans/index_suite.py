@@ -104,6 +104,42 @@ def _tree_oracle(query: str) -> str:
     return bool_oracle_sql(query, k=10)
 
 
+def _boosting_oracle(pos: str, neg: str, nb: float) -> str:
+    from miru_spark.plans.booltree import boosting_oracle_sql
+
+    return boosting_oracle_sql(pos, neg, negative_boost=nb, k=10)
+
+
+def _constscore_oracle(query: str, boost: float) -> str:
+    from miru_spark.plans.booltree import constant_score_oracle_sql
+
+    return constant_score_oracle_sql(query, boost=boost, k=10)
+
+
+def _mk_boosting(pos: str, neg: str, nb: float):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.booltree import search_boosting
+        from miru_spark.plans.flagship import ensure_index
+
+        reader = ensure_index(spark, sf_dir)
+        rows = search_boosting(reader, pos, neg, negative_boost=nb, k=10)
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
+def _mk_constscore(query: str, boost: float):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.booltree import search_constant_score
+        from miru_spark.plans.flagship import ensure_index
+
+        reader = ensure_index(spark, sf_dir)
+        rows = search_constant_score(reader, query, boost=boost, k=10)
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
 def _mk_tree_dist(query: str):
     """A56 distributed path: the boolean tree compiled to Catalyst
     expressions over one pivoted hash agg."""
@@ -1099,6 +1135,18 @@ def register_all(register) -> None:
         # A52 function_score: gauss doc_len decay x log1p field-value
         # factor, summed, multiplied into BM25 (ES function_score)
         ("bm25_index_funcscore", _mk_funcscore(), _funcscore_oracle(), DS),
+        # A57 boosting query (ES boosting): negative tree demotes by
+        # negative_boost instead of excluding — the soft NOT
+        ("bm25_index_boosting",
+         _mk_boosting("(join OR hash) AND the", "dup OR tree", 0.3),
+         _boosting_oracle("(join OR hash) AND the", "dup OR tree", 0.3),
+         DS),
+        # A58 constant_score: filter-context tree, every hit scores the
+        # boost exactly (no BM25 computed)
+        ("bm25_index_constscore",
+         _mk_constscore("(join OR hash) AND sort", 1.5),
+         _constscore_oracle("(join OR hash) AND sort", 1.5),
+         DS),
     ])
     register_composite(register, "bm25_index_not", [
         (n, _mk_topk(t, m, x), bm25_oracle_sql(t, m, exclude=x), DS)

@@ -306,3 +306,56 @@ def test_distributed_plan_is_codegen(reader):
     assert explained.count("ArrowEvalPython") == 0
     assert explained.count("BatchEvalPython") == 0
     assert "TakeOrderedAndProject" in explained
+
+
+# ---------------------------------------------------------------------------
+# constant_score + boosting (ES constant_score / boosting queries)
+
+from miru_spark.plans.booltree import (  # noqa: E402
+    boosting_oracle_sql,
+    constant_score_oracle_sql,
+    search_boosting,
+    search_constant_score,
+)
+
+
+def test_constant_score_matches_oracle(reader, duck):
+    q = "(join OR hash) AND sort"
+    got = search_constant_score(reader, q, boost=1.5, k=10)
+    exp = duck.execute(constant_score_oracle_sql(q, boost=1.5, k=10)).fetchall()
+    assert got == [(int(d), float(s)) for d, s in exp]
+    assert got and all(s == 1.5 for _, s in got)
+    # same docs as the scored tree, order by doc_id
+    scored = {d for d, _ in search_bool(reader, q, k=10**9)}
+    assert {d for d, _ in search_constant_score(reader, q, k=10**9)} == scored
+
+
+def test_boosting_demotes_not_excludes(reader, ref_ctx):
+    """Docs matching the negative tree stay in the results with
+    score * negative_boost; boolean NOT would drop them entirely."""
+    pos, neg, nb = "the OR a", "dup", 0.25
+    got = search_boosting(reader, pos, neg, negative_boost=nb, k=10**9)
+    base = dict(search_bool(reader, pos, k=10**9, round_digits=None))
+    neg_docs = {d for d, _ in search_bool(reader, "dup OR dup", k=10**9)}
+    assert {d for d, _ in got} == set(base)  # nothing excluded
+    for d, s in got:
+        want = base[d] * nb if d in neg_docs else base[d]
+        assert s == round(want, 6), (d, s, want)
+    assert any(d in neg_docs for d, _ in got)  # non-vacuous
+
+
+def test_boosting_matches_oracle(reader, duck):
+    pos, neg = "(join OR hash) AND the", "dup OR tree"
+    got = search_boosting(reader, pos, neg, negative_boost=0.3, k=10)
+    exp = duck.execute(
+        boosting_oracle_sql(pos, neg, negative_boost=0.3, k=10)
+    ).fetchall()
+    assert got == [(int(d), float(s)) for d, s in exp]
+    assert got
+
+
+def test_boosting_validation(reader):
+    with pytest.raises(ValueError):
+        search_boosting(reader, "a", "b", negative_boost=1.5)
+    with pytest.raises(ValueError):
+        search_boosting(reader, "a", "NOT b")  # negative side still validates
