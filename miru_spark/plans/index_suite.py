@@ -116,6 +116,40 @@ def _constscore_oracle(query: str, boost: float) -> str:
     return constant_score_oracle_sql(query, boost=boost, k=10)
 
 
+def _mk_cardinality(terms, mode, col):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_cardinality
+
+        reader = ensure_index(spark, sf_dir)
+        return search_cardinality(reader, terms, mode=mode, col=col, exact=True)
+
+    return run
+
+
+def _cardinality_oracle(terms, mode, col) -> str:
+    from miru_spark.plans.relational import cardinality_oracle_sql
+
+    return cardinality_oracle_sql(terms, mode, col=col)
+
+
+def _mk_percentiles(terms, mode):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_percentiles
+
+        reader = ensure_index(spark, sf_dir)
+        return search_percentiles(reader, terms, mode=mode)
+
+    return run
+
+
+def _percentiles_oracle(terms, mode) -> str:
+    from miru_spark.plans.relational import percentiles_oracle_sql
+
+    return percentiles_oracle_sql(terms, mode)
+
+
 def _mk_boosting(pos: str, neg: str, nb: float):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.booltree import search_boosting
@@ -1262,6 +1296,19 @@ def register_all(register) -> None:
         # A55 significant_terms (JLH): what the result set is "about"
         ("bm25_index_sigterms", _mk_sigterms(),
          _sigterms_oracle(), ("term", "fg_count", "bg_count", "score")),
+        # A59 cardinality agg (ES cardinality): distinct docmap values over
+        # the candidate set; exact here (the oracle-checkable path), HLL++
+        # sketch is the documented scale default
+        ("bm25_index_cardinality",
+         _mk_cardinality(["the", "a"], "conjunctive", "lang"),
+         _cardinality_oracle(["the", "a"], "conjunctive", "lang"),
+         ("cardinality",)),
+        # A60 percentiles agg (ES percentiles, default ranks): exact
+        # interpolated doc_len percentiles == DuckDB quantile_cont
+        ("bm25_index_percentiles",
+         _mk_percentiles(["the", "a"], "conjunctive"),
+         _percentiles_oracle(["the", "a"], "conjunctive"),
+         ("pct", "value")),
     ])
     register("bm25_index_mlt", q_mlt, mlt_oracle_sql(42, n_terms=5, k=10))
     register("bm25_index_stats", q_index_stats, SQL_INDEX_STATS)

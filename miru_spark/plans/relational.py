@@ -646,6 +646,41 @@ FROM cand JOIN dl USING(doc_id)
 """.strip()
 
 
+def cardinality_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    col: str = "lang",
+    tok_sql: str = DEFAULT_TOK_SQL,
+) -> str:
+    """Twin of plans.search.search_cardinality(exact=True) (A59 — ES
+    cardinality agg): distinct values of a documents column over the
+    candidate set."""
+    return f"""
+{_candidate_ctes(terms, mode, tok_sql)}
+SELECT CAST(count(DISTINCT {col}) AS BIGINT) AS cardinality
+FROM cand JOIN documents USING(doc_id)
+""".strip()
+
+
+def percentiles_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    percentiles: tuple[float, ...] = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
+    tok_sql: str = DEFAULT_TOK_SQL,
+) -> str:
+    """Twin of plans.search.search_percentiles (A60 — ES percentiles agg)
+    over doc_len: DuckDB quantile_cont interpolates at rank p*(n-1),
+    identical to Spark's exact percentile aggregate."""
+    plist = ",".join(repr(float(p)) for p in percentiles)
+    return f"""
+{_candidate_ctes(terms, mode, tok_sql)},
+v AS (SELECT quantile_cont(doc_len, [{plist}]) AS q
+      FROM cand JOIN dl USING(doc_id))
+SELECT CAST(unnest([{plist}]) AS DOUBLE) AS pct,
+       round(unnest(q), 6) AS value FROM v
+""".strip()
+
+
 def term_vector_oracle_sql(doc_id: int) -> str:
     """Twin of plans.search.term_vector (A47 — ES _termvectors): (term,
     tf, 0-based first position) for one stored document."""

@@ -1052,6 +1052,74 @@ def search_field_stats(
     )
 
 
+def search_cardinality(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    col: str = "lang",
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+    exact: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """A59 — cardinality aggregation (ES ``cardinality``): number of
+    distinct values of a docmap column across the candidate set. ES runs
+    HyperLogLog++; ``exact=False`` (the default, matching ES) uses Spark's
+    ``approx_count_distinct`` — the same HLL++ sketch, mergeable
+    map-side, so the shuffle carries one sketch per partition regardless
+    of corpus size. ``exact=True`` switches to ``count(DISTINCT ...)``
+    (a real distinct shuffle) for oracle-checkable results; the pytest
+    asserts the sketch lands within its ``rsd`` error band of the exact
+    answer."""
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
+    ).select("doc_id")
+    dm = reader.docmap_df().select("doc_id", col)
+    j = cand.join(dm, "doc_id")
+    agg = (
+        F.count_distinct(F.col(col))
+        if exact
+        else F.approx_count_distinct(col, rsd)
+    )
+    return j.agg(agg.cast("long").alias("cardinality"))
+
+
+def search_percentiles(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    col: str = "doc_len",
+    percentiles: tuple[float, ...] = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A60 — percentiles aggregation (ES ``percentiles``, default ranks):
+    linear-interpolated percentiles of a numeric docmap column over the
+    candidate set, one (pct, value) row each. Spark's exact ``percentile``
+    aggregate interpolates at rank ``p*(n-1)`` — identical to DuckDB's
+    ``quantile_cont`` (property-tested), so the oracle is value-exact.
+    ES's production path is t-digest (approximate); at 100-TB scale swap
+    in ``percentile_approx`` the way cardinality swaps HLL — the plan
+    shape (one map-side-combinable agg, no row explosion) is the same."""
+    if not percentiles or any(not (0 < p <= 1) for p in percentiles):
+        raise ValueError("percentiles must be in (0, 1]")
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
+    ).select("doc_id")
+    dm = reader.docmap_df().select("doc_id", col)
+    arr = ",".join(repr(float(p)) for p in percentiles)
+    row = cand.join(dm, "doc_id").selectExpr(
+        f"percentile({col}, array({arr})) AS v"
+    )
+    pct_arr = F.array(*[F.lit(float(p)) for p in percentiles])
+    return row.select(F.posexplode("v").alias("i", "value")).select(
+        F.element_at(pct_arr, F.col("i") + 1).alias("pct"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 def term_vector(
     corpus: DataFrame, doc_id: int, tokenizer: str = "whitespace"
 ) -> DataFrame:

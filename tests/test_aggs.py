@@ -1,0 +1,101 @@
+"""A59 cardinality + A60 percentiles aggregations over the candidate set
+(ES cardinality / percentiles)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from miru_spark.plans.relational import (
+    cardinality_oracle_sql,
+    percentiles_oracle_sql,
+)
+from miru_spark.plans.search import (
+    search_cardinality,
+    search_percentiles,
+    search_topk,
+)
+
+
+def test_cardinality_exact_matches_oracle(reader, duck):
+    got = search_cardinality(
+        reader, ["the", "a"], "conjunctive", col="lang", exact=True
+    ).collect()
+    exp = duck.execute(
+        cardinality_oracle_sql(["the", "a"], "conjunctive", col="lang")
+    ).fetchone()[0]
+    assert got[0]["cardinality"] == exp
+    assert exp > 1  # non-vacuous
+
+
+def test_cardinality_approx_within_rsd(reader):
+    """The HLL++ sketch (the ES-equivalent scale path) must land within
+    its error band of the exact answer — tiny cardinalities are exact."""
+    exact = search_cardinality(
+        reader, ["the"], "disjunctive", col="lang", exact=True
+    ).collect()[0]["cardinality"]
+    approx = search_cardinality(
+        reader, ["the"], "disjunctive", col="lang", rsd=0.05
+    ).collect()[0]["cardinality"]
+    assert abs(approx - exact) <= max(1, 3 * 0.05 * exact)
+
+
+def test_cardinality_composes_with_where(reader, duck):
+    # docmap 'repo' is documents.source (corpus_from_documents decoration)
+    got = search_cardinality(
+        reader, ["the"], "disjunctive", col="repo", exact=True,
+        where={"lang": "en"},
+    ).collect()[0]["cardinality"]
+    exp = duck.execute(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term "
+        "FROM documents), "
+        "cand AS (SELECT DISTINCT doc_id FROM tok WHERE term='the') "
+        "SELECT count(DISTINCT source) FROM cand JOIN documents USING(doc_id) "
+        "WHERE lang='en'"
+    ).fetchone()[0]
+    assert got == exp
+
+
+def test_percentiles_match_oracle(reader, duck):
+    got = sorted(
+        (float(r["pct"]), float(r["value"]))
+        for r in search_percentiles(reader, ["the", "a"], "conjunctive").collect()
+    )
+    exp = sorted(
+        (float(p), float(v))
+        for p, v in duck.execute(
+            percentiles_oracle_sql(["the", "a"], "conjunctive")
+        ).fetchall()
+    )
+    assert got == exp
+    assert len(got) == 7
+
+
+def test_percentiles_match_numpy(reader):
+    """Independent check: numpy's linear interpolation on the candidate
+    docs' doc_len equals the engine."""
+    cand = {d for d, _ in search_topk(reader, ["the"], "disjunctive", k=10**9)}
+    dm = {
+        int(r["doc_id"]): int(r["doc_len"])
+        for r in reader.docmap_df().select("doc_id", "doc_len").collect()
+    }
+    vals = np.array(sorted(dm[d] for d in cand), dtype=float)
+    pcts = (0.25, 0.5, 0.95)
+    want = [
+        (p, round(float(np.percentile(vals, p * 100, method="linear")), 6))
+        for p in pcts
+    ]
+    got = sorted(
+        (float(r["pct"]), float(r["value"]))
+        for r in search_percentiles(
+            reader, ["the"], "disjunctive", percentiles=pcts
+        ).collect()
+    )
+    assert got == want
+
+
+def test_percentiles_validation(reader):
+    with pytest.raises(ValueError):
+        search_percentiles(reader, ["the"], percentiles=(0.0, 0.5))
+    with pytest.raises(ValueError):
+        search_percentiles(reader, ["the"], percentiles=())
