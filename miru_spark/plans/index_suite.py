@@ -116,6 +116,24 @@ def _constscore_oracle(query: str, boost: float) -> str:
     return constant_score_oracle_sql(query, boost=boost, k=10)
 
 
+def _mk_phrase_prefix(phrase: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_phrase_prefix
+
+        reader = ensure_index(spark, sf_dir)
+        rows = search_phrase_prefix(reader, phrase, k=10)
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
+def _phrase_prefix_oracle(phrase: str) -> str:
+    from miru_spark.plans.relational import phrase_prefix_oracle_sql
+
+    return phrase_prefix_oracle_sql(phrase, k=10)
+
+
 def _mk_cardinality(terms, mode, col):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -1269,6 +1287,13 @@ def register_all(register) -> None:
         # A53 rescore (ES rescore): BM25 top-100 window re-ranked by a
         # second-pass phrase query, final = 1*bm25 + 2*phrase_bm25
         ("bm25_index_rescore", _mk_rescore(), _rescore_oracle(), DS),
+        # A61 match_phrase_prefix (ES autocomplete phrase): fixed tokens
+        # consecutive + any dictionary expansion of the last token,
+        # expansion slot SynonymQuery-blended
+        ("bm25_index_phrase_prefix",
+         _mk_phrase_prefix("the d"),
+         _phrase_prefix_oracle("the d"),
+         DS),
     ])
     register_composite(register, "bm25_index_snippets", [
         ("snippets", q_snippets,

@@ -216,6 +216,62 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
+def phrase_prefix_oracle_sql(
+    phrase: str, k: int = 10, round_digits: int = 6
+) -> str:
+    """Twin of plans.search.search_phrase_prefix (A61 — ES
+    match_phrase_prefix): fixed tokens consecutive, followed by any term
+    extending the last token. Match = substring on the space-normalized
+    text; rank = BM25 over the distinct fixed terms + ONE SynonymQuery-
+    blended pseudo-term for the expansion slot (tf = summed doc-level tfs
+    of the expansions completing the phrase in that doc, idf from the max
+    df across all expansions)."""
+    toks = phrase.split()
+    if not toks:
+        raise ValueError("empty phrase")
+    fixed, prefix = toks[:-1], toks[-1]
+    fixed_pad = (" " + " ".join(fixed) + " ") if fixed else " "
+    needle = f"'{_sql_quote(fixed_pad)}' || term || ' '"
+    fixed_cte = fixed_join = ""
+    fixed_score = "0"
+    if fixed:
+        values = ",".join(f"('{_sql_quote(t)}')" for t in dict.fromkeys(fixed))
+        fixed_cte = f""",
+fixedq(term) AS (VALUES {values}),
+fs AS (SELECT tf.doc_id,
+         sum( ln(1+(stats.n-df.df+0.5)/(df.df+0.5))
+              * tf.tf*(1.2+1)/(tf.tf+1.2*(1-0.75+0.75*dl.dl/stats.avgdl)) ) s
+       FROM tf JOIN fixedq USING(term) JOIN df USING(term)
+            JOIN dl USING(doc_id), stats
+       GROUP BY 1)"""
+        fixed_join = "JOIN fs USING(doc_id)"
+        fixed_score = "fs.s"
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP BY 1,2),
+dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
+df    AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+ex    AS (SELECT DISTINCT term FROM tf WHERE term LIKE '{_sql_quote(prefix)}%'),
+gdf   AS (SELECT max(df.df) AS df FROM ex JOIN df USING(term)),
+padded AS (SELECT doc_id,
+             ' ' || array_to_string(list_filter(string_split(text,' '),
+                                                t -> t <> ''), ' ') || ' ' AS ptext
+           FROM documents),
+comp AS (SELECT tf.doc_id, tf.tf
+         FROM tf JOIN ex USING(term) JOIN padded USING(doc_id)
+         WHERE contains(ptext, {needle})),
+gtf AS (SELECT doc_id, sum(tf) AS tf FROM comp GROUP BY 1){fixed_cte},
+s AS (SELECT gtf.doc_id,
+        {fixed_score}
+        + ln(1+(stats.n-gdf.df+0.5)/(gdf.df+0.5))
+          * gtf.tf*(1.2+1)/(gtf.tf+1.2*(1-0.75+0.75*dl.dl/stats.avgdl)) AS raw
+      FROM gtf JOIN dl USING(doc_id) {fixed_join}, stats, gdf)
+SELECT doc_id, round(raw, {round_digits}) AS score FROM s
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def _expansion_oracle_sql(q_where: str, k: int, round_digits: int) -> str:
     """Shared skeleton for term-set-expansion queries (prefix/fuzzy):
     disjunctive BM25 over every vocabulary term satisfying ``q_where``,

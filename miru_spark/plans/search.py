@@ -1735,6 +1735,161 @@ def search_phrase(
     return [(int(verified[i]), float(scores[i])) for i in order]
 
 
+def search_phrase_prefix(
+    reader: IndexReader,
+    phrase: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    tokenizer: str = "whitespace",
+    round_digits: int | None = 6,
+    where: dict | None = None,
+) -> list[tuple[int, float]]:
+    """A61 — ES ``match_phrase_prefix`` (Lucene MultiPhrasePrefixQuery):
+    the autocomplete query. ``"distributed jo"`` matches docs where the
+    fixed tokens occur consecutively followed by ANY dictionary expansion
+    of the last token (``join``, ``jobs``, ...), so a user sees results
+    while still typing.
+
+    Mechanics: the last token expands through the sorted term dictionary
+    (first ``max_expansions`` in term order — the Lucene rewrite order);
+    the fixed prefix verifies once via the usual per-offset key
+    intersection, then each expansion costs ONE sorted-key intersect at
+    the final offset. Ranking extends the phrase convention (BM25 over the
+    phrase's distinct doc-level terms) with SynonymQuery blending for the
+    expansion slot: per doc, tf = sum of doc-level tfs of the expansions
+    that complete the phrase THERE, idf from the max df across all
+    expansions — one pseudo-term, exactly A41's semantics, so two near-
+    synonymous completions don't double-idf. The SQL twin mirrors both
+    rules.
+    """
+    from miru_spark.functions.tokenize import tokenize_py
+    from miru_spark.index.format import unpack_chunk_bm, unpack_positions
+
+    seq = tokenize_py(phrase, tokenizer)
+    if not seq:
+        raise ValueError("empty phrase")
+    if max_expansions <= 0:
+        raise ValueError("max_expansions must be positive")
+    if not reader.positions:
+        raise ValueError(
+            "match_phrase_prefix needs a positional index "
+            "(build_index(positions=True))"
+        )
+    fixed, prefix = seq[:-1], seq[-1]
+    expansions = sorted(reader.expand_prefix(prefix, max_terms=1 << 30))[
+        :max_expansions
+    ]
+    if not expansions:
+        return []
+    uterms = list(dict.fromkeys(fixed + expansions))
+    tps = reader.fetch_terms(uterms, with_positions=True)
+    if any(t not in tps for t in fixed):
+        return []
+
+    def decode(t):
+        ids_l, tf_l, dl_l, pos_l = [], [], [], []
+        for r in tps[t].chunks:
+            ids, tfs, dls = unpack_chunk_bm(r["blob"], r["bm"], int(r["codec"]))
+            ids_l.append(ids.astype(np.int64))
+            tf_l.append(tfs.astype(np.int64))
+            dl_l.append(dls.astype(np.int64))
+            pos_l.append(unpack_positions(r["pos_blob"], tfs).astype(np.int64))
+        return (
+            np.concatenate(ids_l),
+            np.concatenate(tf_l),
+            np.concatenate(dl_l),
+            np.concatenate(pos_l),
+        )
+
+    data = {t: decode(t) for t in uterms if t in tps}
+
+    def occ_keys(t, off, cand=None):
+        """uint64 doc*2^32 + (pos - off) keys for every occurrence of t,
+        optionally restricted to candidate docs."""
+        ids, tfs, _, pos = data[t]
+        if cand is not None:
+            occ_mask = np.repeat(np.isin(ids, cand, assume_unique=True), tfs)
+        else:
+            occ_mask = np.ones(int(tfs.sum()), dtype=bool)
+        doc_rep = np.repeat(ids, tfs)[occ_mask]
+        p = pos[occ_mask] - off
+        ok = p >= 0
+        return doc_rep[ok].astype(np.uint64) * np.uint64(1 << 32) + p[ok].astype(
+            np.uint64
+        )
+
+    # fixed-prefix survivors: candidate start keys where f1..fn occur
+    # consecutively (None = unconstrained single-token prefix query)
+    survivors = None
+    if fixed:
+        cand = data[fixed[0]][0]
+        for t in fixed[1:]:
+            cand = np.intersect1d(cand, data[t][0], assume_unique=True)
+        if cand.size == 0:
+            return []
+        for off, t in enumerate(fixed):
+            keys = occ_keys(t, off, cand)
+            survivors = (
+                keys
+                if survivors is None
+                else np.intersect1d(survivors, keys, assume_unique=True)
+            )
+            if survivors.size == 0:
+                return []
+    last_off = len(fixed)
+    # per doc: summed doc-level tf of expansions completing the phrase
+    comp_docs: list[np.ndarray] = []
+    comp_tfs: list[np.ndarray] = []
+    for e in expansions:
+        if e not in data:
+            continue
+        keys = occ_keys(e, last_off)
+        if survivors is not None:
+            keys = np.intersect1d(keys, survivors, assume_unique=True)
+        if keys.size == 0:
+            continue
+        docs_e = np.unique(keys >> np.uint64(32)).astype(np.int64)
+        ids, tfs, _, _ = data[e]
+        comp_docs.append(docs_e)
+        comp_tfs.append(tfs[np.searchsorted(ids, docs_e)])
+    if not comp_docs:
+        return []
+    all_docs = np.concatenate(comp_docs)
+    all_tfs = np.concatenate(comp_tfs)
+    verified, inv = np.unique(all_docs, return_inverse=True)
+    gtf = np.zeros(verified.size, dtype=np.int64)
+    np.add.at(gtf, inv, all_tfs)
+    excl = _with_tombstones(reader, None)
+    keep = np.ones(verified.size, dtype=bool)
+    if excl is not None:
+        keep &= ~np.isin(verified, excl, assume_unique=True)
+    if where:
+        keep &= np.isin(verified, reader.filter_doc_ids(where), assume_unique=True)
+    verified, gtf = verified[keep], gtf[keep]
+    if verified.size == 0:
+        return []
+    # doc_len lookup assembled across all decoded terms' (id, dl) streams
+    dl_map_ids = np.concatenate([d[0] for d in data.values()])
+    dl_map_dls = np.concatenate([d[2] for d in data.values()])
+    order = np.argsort(dl_map_ids, kind="stable")
+    dl_ids_sorted = dl_map_ids[order]
+    dl_sorted = dl_map_dls[order]
+    dls = dl_sorted[np.searchsorted(dl_ids_sorted, verified)]
+    group_idf = bm25.idf_np(
+        max(float(tps[e].df) for e in expansions if e in tps),
+        float(reader.n_docs),
+    )
+    scores = bm25.score_np(gtf.astype(float), float(group_idf), dls, reader.avgdl)
+    for t in dict.fromkeys(fixed):
+        ids, tfs, dlst, _ = data[t]
+        idx = np.searchsorted(ids, verified)
+        scores += bm25.score_np(tfs[idx], tps[t].idf, dlst[idx], reader.avgdl)
+    if round_digits is not None:
+        scores = np.round(scores, round_digits)
+    order = np.lexsort((verified, -scores))[:k]
+    return [(int(verified[i]), float(scores[i])) for i in order]
+
+
 def search_near(
     reader: IndexReader,
     term_a: str,
