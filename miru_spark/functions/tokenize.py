@@ -31,12 +31,32 @@ _PATTERNS = {
     "whitespace": r"\s+",
     "code": r"[^a-z0-9_]+",
     "code_split": r"[^a-z0-9]+",
+    "english": r"\s+",
 }
 _TOKEN_PATTERNS = {
     "whitespace": r"\S+",
     "code": r"[a-z0-9_]+",
     "code_split": r"[a-z0-9]+",
 }
+
+# Lucene EnglishAnalyzer's default stop set (33 words, public constant)
+ENGLISH_STOPWORDS = (
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with"
+).split()
+
+
+def _stem_en(t):
+    """Lucene EnglishMinimalStemFilter: strip one trailing plural 's' when
+    the token has >= 4 chars and doesn't end in 'ss'/'us'. Column in,
+    Column out — stays in whole-stage codegen."""
+    strip = (
+        (F.length(t) >= 4)
+        & t.endswith("s")
+        & ~t.endswith("us")
+        & ~t.endswith("ss")
+    )
+    return F.when(strip, t.substr(F.lit(1), F.length(t) - 1)).otherwise(t)
 
 # boundary-insert patterns, applied IN ORDER (acronym rule first so
 # 'HTTPResponse' -> 'HTTP Response' before the generic hump rule runs);
@@ -63,16 +83,31 @@ def _prep_col(col: Column, mode: str) -> Column:
 def doc_len_col(content: Column | str, mode: str = "whitespace") -> Column:
     """Token count WITHOUT materializing the token array — one regexp_count
     pass. Exactly equals ``size(tokens_col(content, mode))``; used where only
-    the length is needed (docmap pass)."""
+    the length is needed (docmap pass). The ``english`` mode drops stopwords,
+    so its length needs the filtered array (stemming preserves count)."""
     col = F.col(content) if isinstance(content, str) else content
+    if mode == "english":
+        return F.size(tokens_col(col, mode)).cast("long")
     col = _prep_col(col, mode)
     return F.regexp_count(col, F.lit(_TOKEN_PATTERNS[mode])).cast("long")
 
 
 def tokens_col(content: Column | str, mode: str = "whitespace") -> Column:
-    """array<string> of non-empty tokens; pure JVM built-ins (preferred path)."""
+    """array<string> of non-empty tokens; pure JVM built-ins (preferred path).
+
+    ``english`` is the Lucene EnglishAnalyzer-shaped chain: lowercase ->
+    whitespace split -> default stop set -> EnglishMinimalStemFilter
+    (plural-only 's' stripping) — every stage a codegen built-in, and every
+    stage expressible 1:1 in the DuckDB oracle (lower/LIKE/substr), so the
+    full analysis chain is value-oracled end-to-end."""
     pat = _PATTERNS[mode]
     col = F.col(content) if isinstance(content, str) else content
+    if mode == "english":
+        arr = F.split(F.lower(col), pat)
+        arr = F.filter(
+            arr, lambda t: (t != F.lit("")) & ~t.isin(*ENGLISH_STOPWORDS)
+        )
+        return F.transform(arr, _stem_en)
     col = _prep_col(col, mode)
     arr = F.split(col, pat)
     return F.filter(arr, lambda t: t != F.lit(""))
@@ -83,6 +118,19 @@ def tokenize_py(text: str, mode: str = "whitespace") -> list[str]:
     term lists) with the same semantics the content was indexed under."""
     import re
 
+    if mode == "english":
+        stops = set(ENGLISH_STOPWORDS)
+
+        def stem(t: str) -> str:
+            if len(t) >= 4 and t.endswith("s") and t[-2] not in ("u", "s"):
+                return t[:-1]
+            return t
+
+        return [
+            stem(t)
+            for t in re.split(r"\s+", text.lower())
+            if t and t not in stops
+        ]
     if mode == "code":
         text = text.lower()
     elif mode == "code_split":
@@ -104,6 +152,24 @@ def tokenize_code_udf(content: pd.Series) -> pd.Series:
     return content.str.lower().str.split(r"[^a-z0-9_]+", regex=True).map(
         lambda toks: [t for t in toks if t]
     )
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_english_udf(content: pd.Series) -> pd.Series:
+    """Arrow-vectorized alternative to ``tokens_col(..., 'english')``."""
+    stops = set(ENGLISH_STOPWORDS)
+
+    def analyze(toks):
+        out = []
+        for t in toks:
+            if not t or t in stops:
+                continue
+            if len(t) >= 4 and t.endswith("s") and t[-2] not in ("u", "s"):
+                t = t[:-1]
+            out.append(t)
+        return out
+
+    return content.str.lower().str.split().map(analyze)
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

@@ -842,8 +842,68 @@ CODE_SPLIT_TOK_SQL = (
     + "), '[^a-z0-9]+')) AS term FROM documents"
 )
 
+_EN_DECOR_SQL = "text || CASE WHEN doc_id % 3 = 0 THEN ' Nodes trees' ELSE '' END"
+
+ENGLISH_TOK_SQL = (
+    "SELECT doc_id, CASE WHEN len(t) >= 4 AND t LIKE '%s' "
+    "AND t NOT LIKE '%us' AND t NOT LIKE '%ss' "
+    "THEN substr(t, 1, len(t) - 1) ELSE t END AS term FROM ("
+    f"SELECT doc_id, lower(unnest(string_split_regex({_EN_DECOR_SQL}, "
+    r"'\s+'))) AS t FROM documents) "
+    "WHERE t <> '' AND t NOT IN ({stops})"
+)
+
+
+def _english_tok_sql() -> str:
+    from miru_spark.functions.tokenize import ENGLISH_STOPWORDS
+
+    return ENGLISH_TOK_SQL.format(
+        stops=",".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    )
+
 _CODE_IDX: dict[str, str] = {}
 _CODE_SPLIT_IDX: dict[str, str] = {}
+_EN_IDX: dict[str, str] = {}
+
+
+def q_english_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A62 — the english analysis chain (Lucene EnglishAnalyzer shape:
+    lowercase -> default stop set -> EnglishMinimalStemFilter) end-to-end
+    through build+serve: every 3rd doc gets ' Nodes trees' appended, so the
+    query [node, tree] only ranks correctly if BOTH the plural stemming
+    ('nodes'->'node', 'trees'->'tree') and the stopword removal (which
+    changes doc_len/avgdl for every doc containing 'a'/'the') round-trip
+    the index identically to the SQL twin."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.plans.search import search_topk
+    from miru_spark.schema import read_corpus
+
+    if sf_dir not in _EN_IDX:
+        corpus = read_corpus(spark, sf_dir).withColumn(
+            "content",
+            F.concat(
+                F.col("content"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(" Nodes trees"))
+                .otherwise(F.lit("")),
+            ),
+        )
+        path = tempfile.mkdtemp(prefix="miru_en_") + "/idx"
+        build_index(spark, corpus, path, num_partitions=8, tokenizer="english")
+        _EN_IDX[sf_dir] = path
+    reader = IndexReader(spark, _EN_IDX[sf_dir])
+    from miru_spark.functions.tokenize import tokenize_py
+
+    terms = tokenize_py("Nodes and Trees", "english")  # -> [node, tree]
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_topk(reader, terms, mode="conjunctive", k=10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
 
 
 def q_code_split_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1382,6 +1442,11 @@ def register_all(register) -> None:
         ("code_split", q_code_split_tokenizer,
          bm25_oracle_sql(["func", "3"], "conjunctive",
                          tok_sql=CODE_SPLIT_TOK_SQL), DS),
+        # A62 english analysis chain: stopwords + minimal plural stemming
+        # round-trip build+serve (query 'Nodes and Trees' -> [node, tree])
+        ("english", q_english_analyzer,
+         bm25_oracle_sql(["node", "tree"], "conjunctive",
+                         tok_sql=_english_tok_sql()), DS),
         # A51 dis_max best_fields: max + 0.3 * rest across field subqueries
         ("dismax", q_dismax,
          bm25_dismax_oracle_sql(
