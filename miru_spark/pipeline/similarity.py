@@ -342,6 +342,7 @@ def kmeans_centroids(
     n_iter: int = 5,
     seed: int = 42,
     sample_limit: int = 100_000,
+    normalize: bool = False,
 ) -> np.ndarray:
     """Seeded numpy Lloyd iterations on a bounded driver-side sample (at
     10^12 scale the sample, not the corpus, bounds driver memory).
@@ -357,6 +358,8 @@ def kmeans_centroids(
         .toPandas()["embedding"]
     )
     X = np.stack(rows.to_numpy()).astype(np.float64)
+    if normalize:  # unit-sphere training space (the IVF-PQ cosine setup)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(X.shape[0], size=n_clusters, replace=False)]
     for _ in range(n_iter):
@@ -443,3 +446,230 @@ def ann_ivf_topk(
     if not os.path.exists(f"{path}/centroids.json"):
         build_ivf_index(embeddings, path, n_clusters, seed=seed)
     return ann_ivf_query(spark, path, query_vec, k, n_probe, round_digits)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (Jegou/Douze/Schmid 2011: product quantization for ANN)
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 5,
+    seed: int = 42,
+    sample_limit: int = 100_000,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks over coarse RESIDUALS (the IVF-PQ
+    formulation: quantize ``x/|x| - centroid[assign(x)]``, which has far
+    lower variance than raw vectors). Trained on the same deterministic
+    bounded sample as the coarse centroids. -> (m, n_codes, dim//m)."""
+    dim = centroids.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_limit)
+        .toPandas()["embedding"]
+    )
+    X = np.stack(rows.to_numpy()).astype(np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    assign = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    R = X - centroids[assign]
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, dsub))
+    for j in range(m):
+        S = R[:, j * dsub : (j + 1) * dsub]
+        cb = S[rng.choice(S.shape[0], size=n_codes, replace=False)].copy()
+        for _ in range(n_iter):
+            d = ((S[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(n_codes):
+                msk = a == c
+                if msk.any():
+                    cb[c] = S[msk].mean(axis=0)
+        books[j] = cb
+    return books
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 5,
+    seed: int = 42,
+    sample_limit: int = 100_000,
+) -> None:
+    """IVF-PQ build: coarse centroids + PQ codebooks train driver-side on a
+    bounded sample; ENCODING is fully distributed — one mapInPandas pass
+    per vector emits (vec_id, cluster, m uint8 codes), shipped to executors
+    as a closure (centroids + codebooks are a few KB). The coded table
+    persists partitioned by cluster, so probes prune directories exactly
+    like plain IVF while storing m bytes instead of dim floats per vector
+    (64-dim float32 -> 8 bytes = 32x). Vectors are unit-normalized at
+    encode time, making PQ's L2 metric rank-equivalent to cosine
+    (||a-b||^2 = 2 - 2cos on the unit sphere)."""
+    centroids = kmeans_centroids(
+        embeddings, n_clusters, n_iter, seed, sample_limit, normalize=True
+    )
+    books = train_pq_codebooks(
+        embeddings, centroids, m, n_codes, n_iter, seed, sample_limit
+    )
+    C, B = centroids, books
+    dim = C.shape[1]
+    dsub = dim // m
+
+    def encode(batches):
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            assign = (
+                ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            )
+            R = X - C[assign]
+            codes = np.empty((X.shape[0], m), dtype=np.int64)
+            for j in range(m):
+                S = R[:, j * dsub : (j + 1) * dsub]
+                d = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": assign,
+                    "codes": list(codes),
+                }
+            )
+
+    coded = embeddings.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, cluster int, codes array<tinyint>"
+        if n_codes <= 128
+        else "vec_id long, cluster int, codes array<smallint>",
+    )
+    coded.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/codes")
+    with open(f"{path}/pq_meta.json", "w") as f:
+        json.dump(
+            {
+                "centroids": C.tolist(),
+                "codebooks": B.tolist(),
+                "m": m,
+                "n_codes": n_codes,
+            },
+            f,
+        )
+
+
+def ann_ivfpq_query(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 100,
+    embeddings: DataFrame | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe an IVF-PQ index with asymmetric distance computation (ADC):
+    per probed cluster, ONE (m x n_codes) lookup table of subspace
+    distances from the query residual to every codebook entry; each coded
+    vector's approx distance is m table lookups (a fancy-index + row sum
+    in numpy — no decode, no float vectors read). ``rerank`` > 0 re-scores
+    the ADC top-``rerank`` candidates with exact cosine against the raw
+    embeddings (the standard two-stage recall fix); ``rerank=0`` returns
+    pure-ADC approximations (cos ~ 1 - d^2/2 on the unit sphere)."""
+    with open(f"{path}/pq_meta.json") as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    B = np.asarray(meta["codebooks"], dtype=np.float64)
+    m, dim = B.shape[0], C.shape[1]
+    dsub = dim // m
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    order = ((C - qv[None, :]) ** 2).sum(axis=1).argsort()[:n_probe]
+    probe = [int(c) for c in order]
+    # per-cluster LUTs, shipped as a closure (n_probe * m * n_codes floats)
+    luts = {}
+    for c in probe:
+        r = qv - C[c]
+        luts[c] = np.stack(
+            [
+                ((B[j][None, :, :] - r[j * dsub : (j + 1) * dsub][None, None, :]) ** 2)
+                .sum(axis=2)[0]
+                for j in range(m)
+            ]
+        )  # (m, n_codes)
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            dist = np.zeros(len(pdf))
+            clusters = pdf["cluster"].to_numpy()
+            for c in np.unique(clusters):
+                msk = clusters == c
+                lut = luts[int(c)]
+                sub = codes[msk]
+                dist[msk] = lut[np.arange(m)[:, None], sub.T].sum(axis=0)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "dist": dist}
+            )
+
+    scored = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cluster").isin(probe))
+        .mapInPandas(adc, "vec_id long, dist double")
+    )
+    if rerank and embeddings is not None:
+        cand = [
+            int(r["vec_id"])
+            for r in scored.orderBy(F.asc("dist"), F.asc("vec_id"))
+            .limit(rerank)
+            .collect()
+        ]
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        cos = F.round(cosine_col(F.col("embedding"), q), round_digits)
+        return (
+            embeddings.filter(F.col("vec_id").isin(cand))
+            .select("vec_id", cos.alias("cos"))
+            .orderBy(F.desc("cos"), F.asc("vec_id"))
+            .limit(k)
+        )
+    approx = F.round(1.0 - F.col("dist") / 2.0, round_digits)
+    return (
+        scored.select("vec_id", approx.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    n_probe: int = 4,
+    rerank: int = 100,
+    seed: int = 42,
+    round_digits: int = 6,
+    index_path: str | None = None,
+) -> DataFrame:
+    """One-shot wrapper: build (or reuse) the persisted IVF-PQ index, probe."""
+    spark = embeddings.sparkSession
+    path = index_path or _cache_path(
+        "miru_ivfpq", embeddings, n_clusters, m, n_codes, seed
+    )
+    if not os.path.exists(f"{path}/pq_meta.json"):
+        build_ivfpq_index(
+            embeddings, path, n_clusters, m=m, n_codes=n_codes, seed=seed
+        )
+    return ann_ivfpq_query(
+        spark, path, query_vec, k, n_probe, rerank,
+        embeddings=embeddings if rerank else None, round_digits=round_digits,
+    )

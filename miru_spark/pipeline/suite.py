@@ -140,6 +140,19 @@ def q_ann_lsh(spark, sf):
     return ann_lsh_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
 
 
+def q_ann_ivfpq(spark, sf):
+    """IVF-PQ (product quantization): 16-byte codes instead of raw floats,
+    ADC scoring, exact-cosine rerank — the compressed-domain ANN scale
+    path. Full probe + rerank here so the row is deterministic."""
+    from miru_spark.pipeline.similarity import ann_ivfpq_topk
+
+    emb = _emb(spark, sf)
+    return ann_ivfpq_topk(
+        emb, _query_vec(spark, sf), k=10, n_clusters=8, m=16, n_codes=32,
+        n_probe=8, rerank=100,
+    )
+
+
 def q_ann_ivf(spark, sf):
     from miru_spark.pipeline.similarity import ann_ivf_topk
 
@@ -329,6 +342,8 @@ def register_all(register) -> None:
     register_composite(register, "pipe_ann", [
         ("pipe_ann_lsh", q_ann_lsh, None, ("vec_id", "cos")),
         ("pipe_ann_ivf", q_ann_ivf, None, ("vec_id", "cos")),
+        # IVF-PQ: compressed-domain ADC + exact rerank (recall pytests)
+        ("pipe_ann_ivfpq", q_ann_ivfpq, None, ("vec_id", "cos")),
     ])
     register("pipe_text_quality", q_text_quality, text_quality_oracle_sql())
     register_composite(register, "pipe_tokens", [
