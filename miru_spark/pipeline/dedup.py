@@ -606,3 +606,132 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-span removal (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better": remove exact k-token spans that occur
+# verbatim elsewhere in the corpus — the suffix-array ExactSubstr dedup,
+# reformulated as distributed shingle aggregation)
+
+
+def _span_frame(docs: DataFrame, k: int, text_col: str) -> DataFrame:
+    """(doc_id, pos, span): every k-token window of every doc. Built from
+    JVM higher-order functions (transform/sequence/slice) — no Python."""
+    toks = tokens(F.col(text_col))
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return (
+        docs.filter(F.size(toks) >= k)
+        .select("doc_id", F.posexplode(spans).alias("pos", "span"))
+    )
+
+
+def duplicate_span_coverage(
+    docs: DataFrame, k: int = 5, min_docs: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos) token positions covered by any k-token span whose
+    exact sequence occurs in >= min_docs DISTINCT docs.
+
+    Plan: shingle frame -> hash agg count(DISTINCT doc_id) per span
+    (map-side combined; the span string is the shuffle key, so hot
+    boilerplate spans combine before the exchange) -> semi-join the
+    qualifying spans back onto the shingle frame -> explode each start
+    into its k covered positions -> distinct. Two shuffles total at any
+    corpus size; nothing quadratic."""
+    spans = _span_frame(docs, k, text_col)
+    dup = (
+        spans.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("span")
+    )
+    starts = spans.join(dup, "span", "left_semi")
+    return (
+        starts.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame, k: int = 5, min_docs: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_removed) per doc — the ExactSubstr dedup
+    bookkeeping row (how much of each doc is corpus-duplicated text)."""
+    toks = tokens(F.col(text_col))
+    counts = docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    removed = (
+        duplicate_span_coverage(docs, k, min_docs, text_col)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_removed"))
+    )
+    return (
+        counts.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame, k: int = 5, min_docs: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text_clean): each doc with every covered token dropped and
+    the survivors rejoined in order — the actual cleaning pass. Token
+    order restores via array_sort over (pos, token) structs (no window)."""
+    toks = tokens(F.col(text_col))
+    exploded = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    cov = duplicate_span_coverage(docs, k, min_docs, text_col)
+    kept = exploded.join(cov, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean")
+    )
+    # docs whose every token was covered (or shorter than k with no spans)
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("text_clean", F.lit("")).alias("text_clean")
+        )
+    )
+
+
+def duplicate_span_stats_oracle_sql(k: int = 5, min_docs: int = 2) -> str:
+    """DuckDB twin of duplicate_span_stats (1-based list arithmetic)."""
+    return f"""
+WITH arr AS (SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') a
+             FROM documents),
+tc AS (SELECT doc_id, CAST(len(a) AS BIGINT) n_tokens FROM arr),
+spans AS (SELECT doc_id, pos, array_to_string(a[pos:pos+{k - 1}], ' ') AS span
+          FROM (SELECT doc_id, a,
+                       unnest(generate_series(1, len(a) - {k} + 1)) AS pos
+                FROM arr WHERE len(a) >= {k})),
+dup AS (SELECT span FROM spans GROUP BY span
+        HAVING count(DISTINCT doc_id) >= {min_docs}),
+starts AS (SELECT doc_id, pos FROM spans JOIN dup USING(span)),
+covered AS (SELECT DISTINCT doc_id, pos + o AS cp
+            FROM (SELECT doc_id, pos,
+                         unnest(generate_series(0, {k - 1})) AS o
+                  FROM starts)),
+rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_removed
+        FROM covered GROUP BY 1)
+SELECT doc_id, n_tokens, COALESCE(n_removed, 0) AS n_removed
+FROM tc LEFT JOIN rem USING(doc_id)
+""".strip()

@@ -140,6 +140,19 @@ def q_ann_lsh(spark, sf):
     return ann_lsh_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
 
 
+def q_dedup_spans(spark, sf):
+    """Exact duplicate-span stats (ExactSubstr dedup bookkeeping)."""
+    from miru_spark.pipeline.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_docs(spark, sf), k=5, min_docs=2)
+
+
+def dedup_spans_sql():
+    from miru_spark.pipeline.dedup import duplicate_span_stats_oracle_sql
+
+    return duplicate_span_stats_oracle_sql(k=5, min_docs=2)
+
+
 def q_ann_ivfpq(spark, sf):
     """IVF-PQ (product quantization): 16-byte codes instead of raw floats,
     ADC scoring, exact-cosine rerank — the compressed-domain ANN scale
@@ -319,6 +332,10 @@ def register_all(register) -> None:
          ("keep_doc_id", "n_docs")),
         ("pipe_dedup_exact_keep", q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP,
          ("doc_id",)),
+        # ExactSubstr span dedup (Lee et al. 2022): per-doc tokens covered
+        # by k-grams occurring verbatim in >= 2 docs
+        ("pipe_dedup_spans", q_dedup_spans, dedup_spans_sql(),
+         ("doc_id", "n_tokens", "n_removed")),
     ])
     register("pipe_dedup_ngram_jaccard", q_dedup_ngram_jaccard, sql_dedup_ngram_jaccard())
     # rows-only (seeded-random signatures; recall/identity covered in pytest)
