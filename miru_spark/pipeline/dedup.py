@@ -640,8 +640,10 @@ def duplicate_span_coverage(
     boilerplate spans combine before the exchange) -> semi-join the
     qualifying spans back onto the shingle frame -> explode each start
     into its k covered positions -> distinct. Two shuffles total at any
-    corpus size; nothing quadratic."""
-    spans = _span_frame(docs, k, text_col)
+    corpus size; nothing quadratic. The shingle frame feeds BOTH sides of
+    the semi-join, so it persists (memory-and-disk, LRU-evicted) — without
+    it Spark recomputes the dominant posexplode twice per action."""
+    spans = _span_frame(docs, k, text_col).persist()
     dup = (
         spans.groupBy("span")
         .agg(F.count_distinct("doc_id").alias("nd"))

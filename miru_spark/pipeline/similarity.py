@@ -351,6 +351,16 @@ def kmeans_centroids(
     across runs and partition layouts (a bare ``limit`` is not), and Spark
     plans orderBy+limit as TakeOrderedAndProject: per-partition top-K +
     driver merge, no global sort shuffle."""
+    X = _sample_vectors(embeddings, sample_limit, normalize)
+    return _lloyd(X, n_clusters, n_iter, seed)
+
+
+def _sample_vectors(
+    embeddings: DataFrame, sample_limit: int, normalize: bool
+) -> np.ndarray:
+    """The deterministic bounded training sample as one ndarray — collected
+    ONCE per build; every trainer that needs it takes the array, not the
+    DataFrame, so no build pays the TakeOrderedAndProject twice."""
     rows = (
         embeddings.select("vec_id", "embedding")
         .orderBy("vec_id")
@@ -360,6 +370,10 @@ def kmeans_centroids(
     X = np.stack(rows.to_numpy()).astype(np.float64)
     if normalize:  # unit-sphere training space (the IVF-PQ cosine setup)
         X /= np.linalg.norm(X, axis=1, keepdims=True)
+    return X
+
+
+def _lloyd(X: np.ndarray, n_clusters: int, n_iter: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(X.shape[0], size=n_clusters, replace=False)]
     for _ in range(n_iter):
@@ -453,7 +467,7 @@ def ann_ivf_topk(
 
 
 def train_pq_codebooks(
-    embeddings: DataFrame,
+    embeddings: "DataFrame | np.ndarray",
     centroids: np.ndarray,
     m: int = 8,
     n_codes: int = 16,
@@ -463,19 +477,18 @@ def train_pq_codebooks(
 ) -> np.ndarray:
     """Per-subspace k-means codebooks over coarse RESIDUALS (the IVF-PQ
     formulation: quantize ``x/|x| - centroid[assign(x)]``, which has far
-    lower variance than raw vectors). Trained on the same deterministic
-    bounded sample as the coarse centroids. -> (m, n_codes, dim//m)."""
+    lower variance than raw vectors). Pass the already-collected normalized
+    sample ndarray to avoid re-running the sample query (build_ivfpq_index
+    does); a DataFrame is accepted for standalone use.
+    -> (m, n_codes, dim//m)."""
     dim = centroids.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
-    rows = (
-        embeddings.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(sample_limit)
-        .toPandas()["embedding"]
+    X = (
+        embeddings
+        if isinstance(embeddings, np.ndarray)
+        else _sample_vectors(embeddings, sample_limit, normalize=True)
     )
-    X = np.stack(rows.to_numpy()).astype(np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
     assign = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
     R = X - centroids[assign]
     dsub = dim // m
@@ -514,12 +527,9 @@ def build_ivfpq_index(
     (64-dim float32 -> 8 bytes = 32x). Vectors are unit-normalized at
     encode time, making PQ's L2 metric rank-equivalent to cosine
     (||a-b||^2 = 2 - 2cos on the unit sphere)."""
-    centroids = kmeans_centroids(
-        embeddings, n_clusters, n_iter, seed, sample_limit, normalize=True
-    )
-    books = train_pq_codebooks(
-        embeddings, centroids, m, n_codes, n_iter, seed, sample_limit
-    )
+    X = _sample_vectors(embeddings, sample_limit, normalize=True)
+    centroids = _lloyd(X, n_clusters, n_iter, seed)
+    books = train_pq_codebooks(X, centroids, m, n_codes, n_iter, seed)
     C, B = centroids, books
     dim = C.shape[1]
     dsub = dim // m

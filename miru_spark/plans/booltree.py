@@ -141,6 +141,16 @@ def _leaf(tok: str) -> Node:
         if not toks:
             raise ValueError("empty phrase")
         return BPhrase(toks)
+    # wildcard/fuzzy/synonym/slop tokens are FLAT-grammar rewrites (they
+    # expand through the term dictionary); inside a tree they would silently
+    # become literal terms that match nothing — reject loudly instead
+    if "*" in tok or "|" in tok or tok.rstrip("0123456789").endswith("~"):
+        raise ValueError(
+            f"{tok!r}: wildcard/fuzzy/synonym/slop tokens are not supported "
+            "inside boolean trees; use the flat grammar (search_prefix/"
+            "search_fuzzy/search_synonym/search_near) or expand the term "
+            "list first"
+        )
     base, sep, w = tok.rpartition("^")
     if sep and base:
         try:
@@ -226,7 +236,14 @@ def _validate(node: Node, under_and: bool = False) -> None:
 
 
 def parse_bool(query: str) -> Node:
-    """Parse ``(a OR b^2) AND NOT (c "d e")`` into a validated tree."""
+    """Parse ``(a OR b^2) AND NOT (c "d e")`` into a validated tree.
+
+    Parentheses are ALWAYS structural (Lucene QueryParser semantics): a
+    corpus term that literally contains ``(``/``)`` under the whitespace
+    tokenizer cannot be queried through this grammar — call
+    ``search_topk(reader, ["foo(bar)"])`` directly for literal-character
+    terms. Wildcard/fuzzy/synonym tokens are flat-grammar rewrites and are
+    rejected here rather than silently matched as literals."""
     ts = _TokenStream(_lex(query))
     if ts.peek() is None:
         raise ValueError("empty query")
@@ -333,31 +350,19 @@ class _Env:
             if t not in self.tps:
                 self._phrase[tokens] = empty
                 return empty
+        from miru_spark.plans.search import phrase_survivor_keys, survivor_docs
+
         cand = self._pos[uterms[0]][0]
         for t in uterms[1:]:
             cand = np.intersect1d(cand, self._pos[t][0], assume_unique=True)
         if cand.size == 0:
             self._phrase[tokens] = empty
             return empty
-        survivors = None
-        for off, t in enumerate(tokens):
-            ids, tfs, pos = self._pos[t]
-            occ_mask = np.repeat(np.isin(ids, cand, assume_unique=True), tfs)
-            doc_rep = np.repeat(ids, tfs)[occ_mask]
-            p = pos[occ_mask] - off
-            ok = p >= 0
-            keys = doc_rep[ok].astype(np.uint64) * np.uint64(1 << 32) + p[
-                ok
-            ].astype(np.uint64)
-            survivors = (
-                keys
-                if survivors is None
-                else np.intersect1d(survivors, keys, assume_unique=True)
-            )
-            if survivors.size == 0:
-                self._phrase[tokens] = empty
-                return empty
-        verified = np.unique(survivors >> np.uint64(32)).astype(np.int64)
+        survivors = phrase_survivor_keys(self._pos.__getitem__, tokens, cand)
+        if survivors.size == 0:
+            self._phrase[tokens] = empty
+            return empty
+        verified = survivor_docs(survivors)
         scores = np.zeros(verified.size)
         for t in uterms:
             ids, contribs = self.term_docs(t)
@@ -641,36 +646,38 @@ def bool_oracle_sql(
     terms, phrases = _leaf_terms(node)
     if phrases:
         raise NotImplementedError("phrase leaves have no SQL oracle yet")
-    tok_sql = tok_sql or DEFAULT_TOK_SQL
     col = {t: f"c{i}" for i, t in enumerate(terms)}
-    values = ",".join(f"({_sql_quote(t)})" for t in terms)
-    pivots = ",\n        ".join(
-        f"MAX(CASE WHEN term={_sql_quote(t)} THEN contrib END) AS {col[t]}"
-        for t in terms
-    )
     wheres = [_match_sql(node, col)]
     if meta_where:
         wheres.append(
             f"doc_id IN (SELECT doc_id FROM documents WHERE {meta_where})"
         )
     return f"""
-WITH tok AS ({tok_sql}),
-tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP BY 1,2),
-dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
-stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
-df    AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
-q(term) AS (VALUES {values}),
-c AS (SELECT tf.doc_id, tf.term,
-        ln(1+(stats.n-df.df+0.5)/(df.df+0.5))
-        * tf.tf*(1.2+1)/(tf.tf+1.2*(1-0.75+0.75*dl.dl/stats.avgdl)) AS contrib
-      FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc_id), stats),
-p AS (SELECT doc_id,
-        {pivots}
-      FROM c GROUP BY doc_id)
+{_pivot_ctes(terms, col, tok_sql or DEFAULT_TOK_SQL)}
 SELECT doc_id, round({_score_sql(node, col)}, {round_digits}) AS score
 FROM p WHERE {" AND ".join(wheres)}
 ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
+
+
+def _pivot_ctes(terms: list[str], col: dict[str, str], tok_sql: str) -> str:
+    """Shared CTE block for the tree-family oracles: the repo-wide BM25
+    base CTEs + per-term contributions pivoted into one column per leaf."""
+    from miru_spark.plans.relational import BM25_CONTRIB_EXPR, bm25_base_ctes
+
+    values = ",".join(f"({_sql_quote(t)})" for t in terms)
+    pivots = ",\n        ".join(
+        f"MAX(CASE WHEN term={_sql_quote(t)} THEN contrib END) AS {col[t]}"
+        for t in terms
+    )
+    return f"""WITH {bm25_base_ctes(tok_sql)},
+q(term) AS (VALUES {values}),
+c AS (SELECT tf.doc_id, tf.term,
+        {BM25_CONTRIB_EXPR} AS contrib
+      FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc_id), stats),
+p AS (SELECT doc_id,
+        {pivots}
+      FROM c GROUP BY doc_id)"""
 
 
 # ---------------------------------------------------------------------------
@@ -768,31 +775,13 @@ def boosting_oracle_sql(
     if pph or nph:
         raise NotImplementedError("phrase leaves have no SQL oracle yet")
     terms = list(dict.fromkeys(pterms + nterms))
-    tok_sql = tok_sql or DEFAULT_TOK_SQL
     col = {t: f"c{i}" for i, t in enumerate(terms)}
-    values = ",".join(f"({_sql_quote(t)})" for t in terms)
-    pivots = ",\n        ".join(
-        f"MAX(CASE WHEN term={_sql_quote(t)} THEN contrib END) AS {col[t]}"
-        for t in terms
-    )
     score = (
         f"({_score_sql(pos, col)}) * (CASE WHEN {_match_sql(neg, col)} "
         f"THEN {negative_boost!r} ELSE 1 END)"
     )
     return f"""
-WITH tok AS ({tok_sql}),
-tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP BY 1,2),
-dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
-stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
-df    AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
-q(term) AS (VALUES {values}),
-c AS (SELECT tf.doc_id, tf.term,
-        ln(1+(stats.n-df.df+0.5)/(df.df+0.5))
-        * tf.tf*(1.2+1)/(tf.tf+1.2*(1-0.75+0.75*dl.dl/stats.avgdl)) AS contrib
-      FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc_id), stats),
-p AS (SELECT doc_id,
-        {pivots}
-      FROM c GROUP BY doc_id)
+{_pivot_ctes(terms, col, tok_sql or DEFAULT_TOK_SQL)}
 SELECT doc_id, round({score}, {round_digits}) AS score
 FROM p WHERE {_match_sql(pos, col)}
 ORDER BY score DESC, doc_id LIMIT {k}

@@ -198,6 +198,25 @@ def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
 
 
+# the shared oracle skeleton: tokenize -> tf -> dl -> corpus stats -> df.
+# Every BM25 oracle in the repo derives from this block so the tokenization
+# convention and the BM25 constants live in ONE place.
+def bm25_base_ctes(tok_sql: str) -> str:
+    return f"""tok AS ({tok_sql}),
+tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP BY 1,2),
+dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
+df    AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1)"""
+
+
+# one term-occurrence's BM25 contribution (k1=1.2, b=0.75), in terms of the
+# base CTEs' column names
+BM25_CONTRIB_EXPR = (
+    "ln(1+(stats.n-df.df+0.5)/(df.df+0.5))\n"
+    "        * tf.tf*(1.2+1)/(tf.tf+1.2*(1-0.75+0.75*dl.dl/stats.avgdl))"
+)
+
+
 def bm25_phrase_oracle_sql(phrase: str, k: int = 10, round_digits: int = 6) -> str:
     terms = phrase.split()
     if not terms:
@@ -217,7 +236,7 @@ ORDER BY score DESC, doc_id LIMIT {k}
 
 
 def phrase_prefix_oracle_sql(
-    phrase: str, k: int = 10, round_digits: int = 6
+    phrase: str, k: int = 10, round_digits: int = 6, max_expansions: int = 50
 ) -> str:
     """Twin of plans.search.search_phrase_prefix (A61 — ES
     match_phrase_prefix): fixed tokens consecutive, followed by any term
@@ -252,7 +271,10 @@ tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP
 dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
 stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
 df    AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
-ex    AS (SELECT DISTINCT term FROM tf WHERE term LIKE '{_sql_quote(prefix)}%'),
+ex    AS (SELECT term FROM (
+             SELECT DISTINCT term FROM tf
+             WHERE term LIKE '{_sql_quote(prefix)}%'
+             ORDER BY term LIMIT {int(max_expansions)})),
 gdf   AS (SELECT max(df.df) AS df FROM ex JOIN df USING(term)),
 padded AS (SELECT doc_id,
              ' ' || array_to_string(list_filter(string_split(text,' '),

@@ -513,6 +513,10 @@ def search(
     :mod:`miru_spark.plans.booltree`): ``(a OR b) AND (c OR d) NOT e``.
     Range filters still extract first; ``field:value`` equality filters
     don't ride in the tree grammar (pass ``where=`` to ``search_bool``).
+    Parentheses are ALWAYS structural there (Lucene QueryParser rule): a
+    corpus term literally containing ``(``/``)`` can't be queried through
+    the grammar — call ``search_topk(reader, [token])`` directly. Wildcard
+    and fuzzy tokens inside trees raise (flat-grammar rewrites only).
 
     Prefix tokens rewrite to their dictionary expansions. In a positive
     position they are OR-groups, so they are only allowed where the flat
@@ -1640,6 +1644,53 @@ def _exhaustive_from_tps(
     return [(int(uids[i]), float(agg[i])) for i in order]
 
 
+def occurrence_keys(
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    pos: np.ndarray,
+    off: int,
+    cand: np.ndarray | None = None,
+) -> np.ndarray:
+    """uint64 ``doc_id * 2^32 + (position - off)`` keys for every occurrence
+    of one term, optionally restricted to candidate docs. The shared kernel
+    of ALL positional verification (phrase / proximity / phrase-prefix /
+    boolean-tree phrase leaves): two occurrences belong to the same phrase
+    start iff their keys are equal. uint64 because int64 ``doc_id * 2^32``
+    wraps negative at doc_id >= 2^31."""
+    if cand is not None:
+        occ_mask = np.repeat(np.isin(ids, cand, assume_unique=True), tfs)
+    else:
+        occ_mask = np.ones(int(tfs.sum()), dtype=bool)
+    doc_rep = np.repeat(ids, tfs)[occ_mask]
+    p = pos[occ_mask] - off
+    ok = p >= 0
+    return doc_rep[ok].astype(np.uint64) * np.uint64(1 << 32) + p[ok].astype(
+        np.uint64
+    )
+
+
+def phrase_survivor_keys(get, seq, cand) -> np.ndarray:
+    """Start keys of candidate docs where ``seq`` occurs consecutively:
+    one sorted-key intersection per phrase offset. ``get(term)`` returns
+    that term's decoded ``(ids, tfs, pos)`` arrays."""
+    survivors: np.ndarray | None = None
+    for off, t in enumerate(seq):
+        ids, tfs, pos = get(t)
+        keys = occurrence_keys(ids, tfs, pos, off, cand)
+        survivors = (
+            keys
+            if survivors is None
+            else np.intersect1d(survivors, keys, assume_unique=True)
+        )
+        if survivors.size == 0:
+            break
+    return survivors if survivors is not None else np.empty(0, dtype=np.uint64)
+
+
+def survivor_docs(keys: np.ndarray) -> np.ndarray:
+    return np.unique(keys >> np.uint64(32)).astype(np.int64)
+
+
 def search_phrase(
     reader: IndexReader,
     phrase: str,
@@ -1702,25 +1753,12 @@ def search_phrase(
         )
         if cand.size == 0:
             return []
-    survivors = None
-    for off, t in enumerate(seq):
-        ids, tfs, _, pos = data[t]
-        occ_mask = np.repeat(np.isin(ids, cand, assume_unique=True), tfs)
-        doc_rep = np.repeat(ids, tfs)[occ_mask]
-        p = pos[occ_mask] - off
-        ok = p >= 0
-        # uint64: int64 doc_id*2^32 wraps negative at doc_id >= 2^31
-        keys = doc_rep[ok].astype(np.uint64) * np.uint64(1 << 32) + p[
-            ok
-        ].astype(np.uint64)
-        survivors = (
-            keys
-            if survivors is None
-            else np.intersect1d(survivors, keys, assume_unique=True)
-        )
-        if survivors.size == 0:
-            return []
-    verified = np.unique(survivors >> np.uint64(32)).astype(np.int64)
+    survivors = phrase_survivor_keys(
+        lambda t: (data[t][0], data[t][1], data[t][3]), seq, cand
+    )
+    if survivors.size == 0:
+        return []
+    verified = survivor_docs(survivors)
     tomb = _with_tombstones(reader, None)
     if tomb is not None:
         verified = verified[~np.isin(verified, tomb, assume_unique=True)]
@@ -1803,20 +1841,9 @@ def search_phrase_prefix(
 
     data = {t: decode(t) for t in uterms if t in tps}
 
-    def occ_keys(t, off, cand=None):
-        """uint64 doc*2^32 + (pos - off) keys for every occurrence of t,
-        optionally restricted to candidate docs."""
+    def pos_view(t):
         ids, tfs, _, pos = data[t]
-        if cand is not None:
-            occ_mask = np.repeat(np.isin(ids, cand, assume_unique=True), tfs)
-        else:
-            occ_mask = np.ones(int(tfs.sum()), dtype=bool)
-        doc_rep = np.repeat(ids, tfs)[occ_mask]
-        p = pos[occ_mask] - off
-        ok = p >= 0
-        return doc_rep[ok].astype(np.uint64) * np.uint64(1 << 32) + p[ok].astype(
-            np.uint64
-        )
+        return ids, tfs, pos
 
     # fixed-prefix survivors: candidate start keys where f1..fn occur
     # consecutively (None = unconstrained single-token prefix query)
@@ -1827,15 +1854,9 @@ def search_phrase_prefix(
             cand = np.intersect1d(cand, data[t][0], assume_unique=True)
         if cand.size == 0:
             return []
-        for off, t in enumerate(fixed):
-            keys = occ_keys(t, off, cand)
-            survivors = (
-                keys
-                if survivors is None
-                else np.intersect1d(survivors, keys, assume_unique=True)
-            )
-            if survivors.size == 0:
-                return []
+        survivors = phrase_survivor_keys(pos_view, fixed, cand)
+        if survivors.size == 0:
+            return []
     last_off = len(fixed)
     # per doc: summed doc-level tf of expansions completing the phrase
     comp_docs: list[np.ndarray] = []
@@ -1843,12 +1864,12 @@ def search_phrase_prefix(
     for e in expansions:
         if e not in data:
             continue
-        keys = occ_keys(e, last_off)
+        keys = occurrence_keys(*pos_view(e), last_off)
         if survivors is not None:
             keys = np.intersect1d(keys, survivors, assume_unique=True)
         if keys.size == 0:
             continue
-        docs_e = np.unique(keys >> np.uint64(32)).astype(np.int64)
+        docs_e = survivor_docs(keys)
         ids, tfs, _, _ = data[e]
         comp_docs.append(docs_e)
         comp_tfs.append(tfs[np.searchsorted(ids, docs_e)])

@@ -519,15 +519,18 @@ def dedup_event_stream(
     ``withWatermark + dropDuplicates(event_id)`` keeps one state entry per
     id and emits only first arrivals — replayed copies landing in LATER
     micro-batches hit the persisted state and vanish, which is the whole
-    point (a per-batch distinct cannot do this). The watermark bounds state
-    retention: ids older than it are evicted, so state is
-    O(events within the watermark horizon), not O(stream history) — the
-    standard Structured Streaming dedup contract. The default horizon is
-    effectively unbounded for the finite test feeds; production picks the
-    replay window (e.g. '2 days' for a Kafka retention of 1)."""
+    point (a per-batch distinct cannot do this). The dedup key INCLUDES the
+    watermarked event-time column — Structured Streaming only evicts
+    dropDuplicates state when it does (that rule is why
+    dropDuplicatesWithinWatermark exists); with ``ts`` in the key, entries
+    older than the watermark age out and state is O(events within the
+    horizon), not O(stream history). Replayed copies carry the original
+    event's ``ts``, so (event_id, ts) dedups them exactly. The default
+    horizon is effectively unbounded for the finite test feeds; production
+    picks the replay window (e.g. '2 days' for a Kafka retention of 1)."""
     events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return events_stream.withWatermark("ts", watermark).dropDuplicates(
-        ["event_id"]
+        ["event_id", "ts"]
     )
 
 

@@ -42,7 +42,7 @@ def _streamed_index(spark: SparkSession, sf_dir: str) -> str:
         stream_corpus(spark, drops), idx, docs_per_part=max(1, -(-n // 8)),
         num_partitions=8,
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     finalize_streamed_index(spark, idx, num_partitions=8)
     _STREAM_IDX[sf_dir] = idx
     return idx
@@ -107,7 +107,7 @@ def _upserted_index(spark: SparkSession, sf_dir: str) -> str:
         stream_corpus(spark, drops), idx, docs_per_part=max(1, -(-n // 8)),
         num_partitions=8,
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     finalize_streamed_index(spark, idx, num_partitions=8)
     upd = (
         corpus.filter(F.col("doc_id").isin([7, 11]))
@@ -152,7 +152,7 @@ def q_stream_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     # the per-window rows themselves, oracle-checkable: Spark's 1-day
     # tumbling windows are epoch-aligned (UTC session tz), so window_start
     # == date_trunc('day', ts). total_value stays out of the driver entry
@@ -196,7 +196,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     return spark.sql(
         f"SELECT event_id, user_id, event_type FROM {name} ORDER BY event_id"
     )
@@ -233,7 +233,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     return spark.sql(
         f"""SELECT source, n_docs, n_chars FROM (
               SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_docs DESC) rk

@@ -157,6 +157,10 @@ def test_parse_precedence_and_shapes():
         '"unterminated',
         "()",
         "a^0 AND b",
+        "(sp* OR join) AND hash",  # wildcard = flat-grammar rewrite only
+        "(join~ OR hash) AND a",   # fuzzy likewise
+        "(tcp|ip) AND a",          # synonym groups likewise
+        '("a b"~2) AND c',         # slop phrases likewise
     ],
 )
 def test_parse_rejects(bad):

@@ -106,11 +106,19 @@ def test_single_token_equals_synonym_group(pos_reader):
 
 
 def test_max_expansions_truncates_in_term_order(pos_reader):
+    """cap=1 keeps exactly the FIRST expansion in term order, and a
+    single-expansion prefix phrase scores identically to the plain exact
+    phrase of that expansion (the SynonymQuery blend of one term is the
+    term itself, idf included)."""
+    from miru_spark.plans.search import search_phrase
+
     full = sorted(pos_reader.expand_prefix("s", max_terms=100))
     assert len(full) > 1
     got1 = search_phrase_prefix(pos_reader, "the s", k=10**9, max_expansions=1)
-    # cap=1 keeps only the first expansion in term order
     only = full[0]
+    exact = search_phrase(pos_reader, f"the {only}", k=10**9)
+    assert got1 == exact
+    assert got1  # non-vacuous: the capped phrase still matches something
     gotfull = search_phrase_prefix(pos_reader, "the s", k=10**9)
     assert {d for d, _ in got1} <= {d for d, _ in gotfull}
 

@@ -34,7 +34,9 @@ def test_stats_match_duck(spark, docs, duck):
     )
     assert got == exp
     assert any(x > 0 for _, _, x in got)  # the corpus genuinely has dups
-    assert any(x == 0 for _, _, x in got) or all(x > 0 for _, _, x in got)
+    # and coverage is partial somewhere: 0 < n_removed < n_tokens (the
+    # operator masks spans, it doesn't just flag whole docs)
+    assert any(0 < x < n for _, n, x in got)
 
 
 def test_handcrafted_semantics(spark):

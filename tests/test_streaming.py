@@ -282,7 +282,7 @@ def test_streamed_index_serves_prefix_and_fuzzy(spark, tmp_path):
         stream_corpus(spark, drops), idx, docs_per_part=max(1, -(-n // 4)),
         num_partitions=4,
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     finalize_streamed_index(spark, idx, num_partitions=4)
     streamed = IndexReader(spark, idx)
 
@@ -322,7 +322,7 @@ def test_finalize_rejects_mixed_positional_batches(spark, tmp_path):
         stream_corpus(spark, drops), idx,
         docs_per_part=max(1, -(-n // 4)), num_partitions=4, positions=False,
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     corpus.filter(F.col("doc_id") >= half).coalesce(1).write.mode("append").parquet(drops)
     # guard 1: the restart with flipped positions= is refused up front
     with pytest.raises(ValueError, match="conflicts with"):
@@ -337,7 +337,7 @@ def test_finalize_rejects_mixed_positional_batches(spark, tmp_path):
         stream_corpus(spark, drops), idx,
         docs_per_part=max(1, -(-n // 4)), num_partitions=4, positions=True,
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     with pytest.raises(ValueError, match="mix positional"):
         finalize_streamed_index(spark, idx, num_partitions=4)
 
@@ -390,7 +390,7 @@ def test_stream_dedup_kills_cross_batch_replays(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     out = spark.sql("SELECT event_id FROM dedup_t")
     assert out.count() == n  # not 2n: every replay died
     assert out.distinct().count() == n
