@@ -634,6 +634,42 @@ ORDER BY dist, df DESC, term LIMIT 5
 _ADD_IDX: dict[str, str] = {}
 
 
+_SHARD_IDX: dict[str, list[str]] = {}
+
+
+def q_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A63 federated serving (Lucene MultiReader): the corpus built as two
+    independent shard indexes over DISJOINT doc_id ranges (no renumbering
+    — the content-derived global ids), served with combined corpus stats;
+    the oracle is the plain full-corpus BM25 SQL, so the row proves the
+    federated ranking is identical to a single-index build."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.plans.search import search_sharded
+    from miru_spark.schema import read_corpus
+
+    if sf_dir not in _SHARD_IDX:
+        base = tempfile.mkdtemp(prefix="miru_shard_")
+        corpus = read_corpus(spark, sf_dir)
+        m = corpus.count() // 2
+        build_index(
+            spark, corpus.filter(F.col("doc_id") < m), f"{base}/s0",
+            num_partitions=4,
+        )
+        build_index(
+            spark, corpus.filter(F.col("doc_id") >= m), f"{base}/s1",
+            num_partitions=4,
+        )
+        _SHARD_IDX[sf_dir] = [f"{base}/s0", f"{base}/s1"]
+    readers = [IndexReader(spark, p) for p in _SHARD_IDX[sf_dir]]
+    rows = search_sharded(readers, ["join", "hash"], mode="conjunctive", k=10)
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 def q_addindexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A43 addIndexes (Lucene IndexWriter.addIndexes): the corpus is built
     as TWO independent shard indexes (each 0-based) and merged with
@@ -1420,6 +1456,10 @@ def register_all(register) -> None:
         # A43 addIndexes: two shard builds merged == one full build
         ("bm25_index_addindexes", q_addindexes,
          bm25_oracle_sql(["the", "dup"], "disjunctive"), DS),
+        # A63 federated serving (MultiReader): two shard builds served
+        # with combined stats == one full build
+        ("bm25_index_sharded", q_sharded,
+         bm25_oracle_sql(["join", "hash"], "conjunctive"), DS),
     ])
     from miru_spark.plans.relational import (
         DEFAULT_TOK_SQL,

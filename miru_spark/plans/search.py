@@ -1565,6 +1565,92 @@ def search_many(
     return out
 
 
+def search_sharded(
+    readers: list[IndexReader],
+    terms: list[str],
+    mode: str = "conjunctive",
+    k: int = 10,
+    exclude: list[str] | None = None,
+    boosts: dict[str, float] | None = None,
+    round_digits: int | None = 6,
+) -> list[tuple[int, float]]:
+    """A63 — federated serving over N shard indexes (Lucene MultiReader /
+    IndexSearcher over multiple segments; ES cross-shard search): query
+    every shard and rank with COMBINED corpus statistics, so the result is
+    rank-identical to searching one merged index.
+
+    This is the serving dual of ``merge_indexes`` (A43): shards built as
+    independent jobs can either be physically merged once, or served
+    federated with this function — both produce the same ranking (tested).
+    The statistics that make per-shard scores comparable are global:
+    ``df(t) = sum over shards``, ``n_docs = sum``, ``avgdl`` =
+    token-weighted mean — exactly how Lucene's MultiReader aggregates
+    sub-reader stats, and exactly what a distributed search tier does with
+    a stats-exchange round before scattering the query. Per shard the
+    work is the usual pruned fetch + vectorized decode; shard doc_id
+    spaces must be disjoint (the engine's content-derived ids are).
+    """
+    if mode not in ("conjunctive", "disjunctive"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if not readers:
+        raise ValueError("need at least one shard reader")
+    terms = list(dict.fromkeys(terms))
+    exclude = _check_exclude(terms, exclude)
+    boosts = boosts or {}
+    if any(not (b > 0) for b in boosts.values()):
+        raise ValueError("boosts must be positive")
+    n_docs = float(sum(r.n_docs for r in readers))
+    avgdl = sum(r.n_docs * r.avgdl for r in readers) / n_docs
+    per_reader = [r.fetch_terms(terms) for r in readers]
+    df_global = {
+        t: sum(tps[t].df for tps in per_reader if t in tps) for t in terms
+    }
+    present = [t for t in terms if df_global[t] > 0]
+    if mode == "conjunctive" and len(present) < len(terms):
+        return []
+    idf = {
+        t: float(bm25.idf_np(float(df_global[t]), n_docs))
+        * float(boosts.get(t, 1.0))
+        for t in present
+    }
+    # per-shard decode, scored with GLOBAL stats; shard id spaces are
+    # disjoint so cross-shard aggregation is pure concatenation
+    all_ids: list[np.ndarray] = []
+    all_scores: list[np.ndarray] = []
+    all_counts: list[np.ndarray] = []
+    excl_parts: list[np.ndarray] = []
+    for r, tps in zip(readers, per_reader):
+        for t in present:
+            if t not in tps:
+                continue
+            ids, tfs, dls = r.decode_term(tps[t])
+            all_ids.append(ids.astype(np.int64))
+            all_scores.append(bm25.score_np(tfs, idf[t], dls, avgdl))
+            all_counts.append(np.ones(ids.size, dtype=np.int64))
+        ex = _with_tombstones(r, _exclusion_ids(r, exclude))
+        if ex is not None and ex.size:
+            excl_parts.append(ex)
+    if not all_ids:
+        return []
+    ids = np.concatenate(all_ids)
+    uids, inv = np.unique(ids, return_inverse=True)
+    agg = np.zeros(uids.size)
+    np.add.at(agg, inv, np.concatenate(all_scores))
+    cnt = np.zeros(uids.size, dtype=np.int64)
+    np.add.at(cnt, inv, np.concatenate(all_counts))
+    if mode == "conjunctive":
+        keep = cnt == len(terms)
+        uids, agg = uids[keep], agg[keep]
+    if excl_parts and uids.size:
+        excl = np.unique(np.concatenate(excl_parts))
+        keep = ~np.isin(uids, excl)
+        uids, agg = uids[keep], agg[keep]
+    if round_digits is not None:
+        agg = np.round(agg, round_digits)
+    order = np.lexsort((uids, -agg))[:k]
+    return [(int(uids[i]), float(agg[i])) for i in order]
+
+
 def search_exhaustive(
     reader: IndexReader,
     terms: list[str],
