@@ -634,6 +634,32 @@ ORDER BY dist, df DESC, term LIMIT 5
 _ADD_IDX: dict[str, str] = {}
 
 
+_PERC_QUERIES = [
+    (1, ["join", "hash"], "conjunctive", []),
+    (2, ["dup", "tree"], "disjunctive", []),
+    (3, ["the"], "conjunctive", ["dup"]),
+]
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A64 percolation: three registered queries (AND / OR / NOT) matched
+    against the whole corpus — reverse search, the alerting primitive."""
+    from miru_spark.plans.percolate import percolate
+    from miru_spark.schema import read_corpus
+
+    qdf = spark.createDataFrame(
+        _PERC_QUERIES,
+        "query_id long, terms array<string>, mode string, exclude array<string>",
+    )
+    return percolate(read_corpus(spark, sf_dir), qdf)
+
+
+def _percolate_oracle() -> str:
+    from miru_spark.plans.percolate import percolate_oracle_sql
+
+    return percolate_oracle_sql(_PERC_QUERIES)
+
+
 _SHARD_IDX: dict[str, list[str]] = {}
 
 
@@ -1431,7 +1457,13 @@ def register_all(register) -> None:
          _percentiles_oracle(["the", "a"], "conjunctive"),
          ("pct", "value")),
     ])
-    register("bm25_index_mlt", q_mlt, mlt_oracle_sql(42, n_terms=5, k=10))
+    register_composite(register, "bm25_index_mlt", [
+        ("mlt", q_mlt, mlt_oracle_sql(42, n_terms=5, k=10), DS),
+        # A64 percolation (reverse search / alerting): registered queries
+        # matched against every incoming doc
+        ("percolate", q_percolate, _percolate_oracle(),
+         ("doc_id", "query_id")),
+    ])
     register("bm25_index_stats", q_index_stats, SQL_INDEX_STATS)
     register_composite(register, "bm25_index_suggest", [
         ("prefix", q_suggest, SQL_SUGGEST, ("term", "df")),

@@ -1,0 +1,109 @@
+"""A64 — percolation (ES percolate query / Lucene MemoryIndex alerting):
+REVERSE search. Queries are registered as data; each incoming document is
+matched against every registered query — the saved-search / alerting
+primitive ("tell me when a doc matching my query arrives").
+
+Spark-first shape: one distinct (doc_id, term) projection of the incoming
+batch joined to the exploded query-term table, then a hash aggregation per
+(doc_id, query_id) counting matched distinct terms — conjunctive queries
+need all of theirs, disjunctive at least one, and NOT clauses anti-join.
+Both shuffles are map-side combined; the query table is tiny next to the
+corpus, so AQE broadcasts it and the document side never reshuffles. At
+alerting scale (millions of registered queries) the production refinement
+is the same one ES uses: index the QUERIES' rarest terms and prune the
+join to candidate queries per doc — the join below is that plan's exact
+semantics, stated in one DataFrame expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from miru_spark.functions.tokenize import tokens_col
+
+
+def percolate(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tokenizer: str = "whitespace",
+    text_col: str = "content",
+) -> DataFrame:
+    """(doc_id, query_id) for every (document, registered query) match.
+
+    ``queries`` schema: (query_id long, terms array<string>,
+    mode string in {conjunctive, disjunctive}, exclude array<string>
+    nullable). A doc matches a query iff it contains every/any query term
+    (by mode) and none of the excluded terms.
+    """
+    doc_terms = (
+        corpus.select("doc_id", F.explode(tokens_col(text_col, tokenizer)).alias("term"))
+        .distinct()
+    )
+    q = queries.select(
+        "query_id",
+        "mode",
+        F.size("terms").alias("n_terms"),
+        F.explode("terms").alias("term"),
+    )
+    matched = (
+        doc_terms.join(q, "term")
+        .groupBy("doc_id", "query_id", "mode", "n_terms")
+        .agg(F.count_distinct("term").alias("n_matched"))
+        .filter(
+            (
+                (F.col("mode") == "conjunctive")
+                & (F.col("n_matched") == F.col("n_terms"))
+            )
+            | ((F.col("mode") == "disjunctive") & (F.col("n_matched") >= 1))
+        )
+        .select("doc_id", "query_id")
+    )
+    if "exclude" in queries.columns:
+        xq = queries.select(
+            "query_id", F.explode_outer("exclude").alias("term")
+        ).filter(F.col("term").isNotNull())
+        hits_excl = doc_terms.join(xq, "term").select("doc_id", "query_id")
+        matched = matched.join(hits_excl, ["doc_id", "query_id"], "left_anti")
+    return matched
+
+
+def percolate_oracle_sql(
+    query_rows: list[tuple[int, list[str], str, list[str]]],
+) -> str:
+    """DuckDB twin over the documents view: the same distinct-term join +
+    per-(doc, query) match-count filter + NOT anti-join, with the
+    registered queries inlined as VALUES rows."""
+    qvals = []
+    xvals = []
+    for qid, terms, mode, exclude in query_rows:
+        for t in terms:
+            qvals.append(f"({int(qid)}, '{t}', '{mode}', {len(terms)})")
+        for t in exclude or []:
+            xvals.append(f"({int(qid)}, '{t}')")
+    x_cte = (
+        f",\nxq(query_id, term) AS (VALUES {','.join(xvals)}),\n"
+        "xhit AS (SELECT DISTINCT doc_id, query_id FROM dt JOIN xq USING(term))"
+        if xvals
+        else ""
+    )
+    x_where = (
+        "AND NOT EXISTS (SELECT 1 FROM xhit "
+        "WHERE xhit.doc_id = m.doc_id AND xhit.query_id = m.query_id)"
+        if xvals
+        else ""
+    )
+    return f"""
+WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS term
+            FROM documents),
+q(query_id, term, mode, n_terms) AS (VALUES {','.join(qvals)}){x_cte},
+m AS (
+  SELECT doc_id, query_id, mode, n_terms,
+         count(DISTINCT term) AS n_matched
+  FROM dt JOIN q USING(term)
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_id, query_id FROM m
+WHERE ((mode = 'conjunctive' AND n_matched = n_terms)
+       OR (mode = 'disjunctive' AND n_matched >= 1))
+{x_where}
+""".strip()
