@@ -468,7 +468,7 @@ def q_facets_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mk_near(ta, tb, slop):
+def _mk_near(ta, tb, slop, in_order=False):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
         from miru_spark.plans.search import search_near
@@ -476,7 +476,9 @@ def _mk_near(ta, tb, slop):
         reader = ensure_index(spark, sf_dir)
         rows = [
             (int(d), round(float(s), 6))
-            for d, s in search_near(reader, ta, tb, slop=slop, k=10)
+            for d, s in search_near(
+                reader, ta, tb, slop=slop, k=10, in_order=in_order
+            )
         ]
         return spark.createDataFrame(rows, "doc_id long, score double")
 
@@ -1409,6 +1411,12 @@ def register_all(register) -> None:
         # A53 rescore (ES rescore): BM25 top-100 window re-ranked by a
         # second-pass phrase query, final = 1*bm25 + 2*phrase_bm25
         ("bm25_index_rescore", _mk_rescore(), _rescore_oracle(), DS),
+        # A65 ordered proximity (Lucene span_near inOrder=true): b must
+        # FOLLOW a within the slop
+        ("bm25_index_near_ordered",
+         _mk_near("the", "a", 2, in_order=True),
+         bm25_near_oracle_sql("the", "a", slop=2, in_order=True),
+         DS),
         # A61 match_phrase_prefix (ES autocomplete phrase): fixed tokens
         # consecutive + any dictionary expansion of the last token,
         # expansion slot SynonymQuery-blended

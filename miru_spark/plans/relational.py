@@ -487,14 +487,25 @@ ORDER BY score DESC, doc_id LIMIT {k}
 
 
 def bm25_near_oracle_sql(
-    term_a: str, term_b: str, slop: int = 3, k: int = 10, round_digits: int = 6
+    term_a: str,
+    term_b: str,
+    slop: int = 3,
+    k: int = 10,
+    round_digits: int = 6,
+    in_order: bool = False,
 ) -> str:
     """Oracle for proximity search: docs with the two terms within ``slop``
-    positions (either order), ranked by their conjunctive BM25."""
+    positions (either order, or ``in_order`` = b strictly after a — Lucene
+    span_near(inOrder=true)), ranked by their conjunctive BM25."""
     inner = bm25_oracle_sql(
         [term_a, term_b], "conjunctive", k=1 << 30, round_digits=round_digits
     )
     qa, qb = _sql_quote(term_a), _sql_quote(term_b)
+    prox = (
+        f"b.i - a.i BETWEEN 1 AND {slop}"
+        if in_order
+        else f"abs(a.i - b.i) <= {slop}"
+    )
     return f"""
 WITH ranked AS ({inner}),
 toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
@@ -503,7 +514,7 @@ pos AS (SELECT doc_id, i, l[i] AS term
         FROM toks, UNNEST(range(1, len(l)+1)) AS u(i)),
 near AS (SELECT DISTINCT a.doc_id
          FROM pos a JOIN pos b ON a.doc_id = b.doc_id
-         WHERE a.term = '{qa}' AND b.term = '{qb}' AND abs(a.i - b.i) <= {slop})
+         WHERE a.term = '{qa}' AND b.term = '{qb}' AND {prox})
 SELECT doc_id, score FROM ranked JOIN near USING(doc_id)
 ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()

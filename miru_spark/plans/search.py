@@ -2005,15 +2005,20 @@ def search_near(
     k: int = 10,
     round_digits: int | None = 6,
     where: dict | None = None,
+    in_order: bool = False,
 ) -> list[tuple[int, float]]:
     """Proximity search (``'"a b"~N'``): docs where the two terms occur
     within ``slop`` token positions of each other (either order), ranked by
     their conjunctive BM25. Served ENTIRELY from the positional index.
+    ``in_order=True`` is Lucene ``span_near(inOrder=true)``: ``term_b``
+    must follow ``term_a`` within the slop (``0 < pos_b - pos_a <= slop``)
+    — 'new york' near-ordered is not 'york new'.
 
     Vectorized verify: occurrences become keys doc_id*2^32 + position;
     because slop << 2^32, |key_a - key_b| <= slop implies same-doc
     proximity, so one searchsorted of a's keys into b's sorted keys (check
-    both neighbors) decides every candidate at once — no per-doc loop.
+    both neighbors; only the forward neighbor when ordered) decides every
+    candidate at once — no per-doc loop.
     """
     from miru_spark.index.format import unpack_positions
 
@@ -2065,8 +2070,9 @@ def search_near(
     uslop = np.uint64(slop)
     j = np.searchsorted(kb, ka)
     near = np.zeros(ka.size, dtype=bool)
-    left = j > 0
-    near[left] = ka[left] - kb[j[left] - 1] <= uslop
+    if not in_order:  # backward neighbor: b at or before a
+        left = j > 0
+        near[left] = ka[left] - kb[j[left] - 1] <= uslop
     right = j < kb.size
     near[right] |= kb[j[right]] - ka[right] <= uslop
     verified = np.unique(ka[near] >> np.uint64(32)).astype(np.int64)

@@ -52,3 +52,34 @@ def test_near_via_parser(pos_reader):
         search(pos_reader, '"a b c"~2')  # exactly two terms
     with pytest.raises(ValueError):
         search_near(pos_reader, "the", "the", slop=1)
+
+
+# ---- ordered proximity (Lucene span_near inOrder=true) ---------------------
+
+
+@pytest.mark.parametrize(
+    "ta,tb,slop",
+    [("join", "hash", 2), ("the", "a", 1), ("the", "dup", 5)],
+    ids=lambda x: str(x),
+)
+def test_near_ordered_matches_oracle(pos_reader, duck, ta, tb, slop):
+    got = search_near(pos_reader, ta, tb, slop=slop, k=10, in_order=True)
+    exp = duck.execute(
+        bm25_near_oracle_sql(ta, tb, slop=slop, k=10, in_order=True)
+    ).fetchall()
+    assert got == [(int(d), float(s)) for d, s in exp]
+
+
+def test_ordered_union_is_unordered(pos_reader):
+    """ordered(a,b) ∪ ordered(b,a) must equal unordered(a,b) as doc sets:
+    every near pair is b-after-a or a-after-b."""
+    a, b, slop = "the", "a", 2
+    un = {d for d, _ in search_near(pos_reader, a, b, slop=slop, k=10**9)}
+    ab = {d for d, _ in search_near(pos_reader, a, b, slop=slop, k=10**9,
+                                    in_order=True)}
+    ba = {d for d, _ in search_near(pos_reader, b, a, slop=slop, k=10**9,
+                                    in_order=True)}
+    assert ab | ba == un
+    assert ab <= un and ba <= un
+    # non-vacuous asymmetry: the two directions genuinely differ somewhere
+    assert ab != ba or not un
