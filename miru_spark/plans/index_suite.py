@@ -636,6 +636,38 @@ ORDER BY dist, df DESC, term LIMIT 5
 _ADD_IDX: dict[str, str] = {}
 
 
+_JSONL_IDX: dict[str, str] = {}
+
+
+def q_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 source breadth: documents -> gzipped JSONL -> index -> serve."""
+    import tempfile
+
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.plans.search import search_topk
+    from miru_spark.schema import corpus_from_any
+
+    if sf_dir not in _JSONL_IDX:
+        base = tempfile.mkdtemp(prefix="miru_jsonl_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        jl = f"{base}/docs"
+        docs.coalesce(2).write.option("compression", "gzip").json(jl)
+        idx = f"{base}/idx"
+        build_index(
+            spark, corpus_from_any(spark, jl, "jsonl"), idx, num_partitions=4
+        )
+        _JSONL_IDX[sf_dir] = idx
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_topk(
+            IndexReader(spark, _JSONL_IDX[sf_dir]), ["the", "a"],
+            mode="conjunctive", k=10,
+        )
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 _PERC_QUERIES = [
     (1, ["join", "hash"], "conjunctive", []),
     (2, ["dup", "tree"], "disjunctive", []),
@@ -1500,6 +1532,11 @@ def register_all(register) -> None:
         # with combined stats == one full build
         ("bm25_index_sharded", q_sharded,
          bm25_oracle_sql(["join", "hash"], "conjunctive"), DS),
+        # A1 source-format breadth: the corpus re-materialized as gzipped
+        # JSONL (the LLM-data interchange format), built, served — same
+        # plain SQL oracle, so format independence is value-proven
+        ("bm25_index_jsonl_source", q_jsonl_source,
+         bm25_oracle_sql(["the", "a"], "conjunctive"), DS),
     ])
     from miru_spark.plans.relational import (
         DEFAULT_TOK_SQL,

@@ -49,6 +49,48 @@ def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """documents from JSONL (optionally .gz — Spark decompresses by
+    extension), the standard LLM-training-data interchange format. The
+    schema is EXPLICIT: schema inference would scan the data once just to
+    guess types (and guess doc_id as string for large ids), and at 100-TB
+    scale that pre-pass is a full extra read. Columns may appear in any
+    order; extra JSON keys are ignored."""
+    return spark.read.schema(DOCUMENTS_SCHEMA).json(path)
+
+
+def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
+    """documents from headered CSV (optionally .gz). Explicit schema for
+    the same reasons as JSONL; header consumed for column order only.
+    Multiline/quoted text fields are handled by Spark's CSV parser."""
+    return (
+        spark.read.schema(DOCUMENTS_SCHEMA)
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def corpus_from_any(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    """One corpus entry point across source formats — downstream (index
+    build, pipeline ops) is format-blind, and the format-identity test
+    proves rank-identical serving from parquet, JSONL, and CSV sources."""
+    readers = {
+        "parquet": lambda: spark.read.schema(DOCUMENTS_SCHEMA).parquet(path),
+        "jsonl": lambda: read_documents_jsonl(spark, path),
+        "csv": lambda: read_documents_csv(spark, path),
+    }
+    if fmt not in readers:
+        raise ValueError(f"unknown corpus format {fmt!r} (know {sorted(readers)})")
+    return corpus_from_documents(readers[fmt]())
+
+
 def corpus_from_documents(docs: DataFrame) -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars) -> canonical corpus + doc_id."""
     return docs.select(
