@@ -363,3 +363,44 @@ def test_boosting_validation(reader):
         search_boosting(reader, "a", "b", negative_boost=1.5)
     with pytest.raises(ValueError):
         search_boosting(reader, "a", "NOT b")  # negative side still validates
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: random trees vs the reference evaluator
+
+
+def test_random_trees_match_reference(reader, ref_ctx):
+    """Deterministic random-tree fuzz (seeded; no hypothesis shrinking
+    needed since the generator is pure): 40 random trees over the corpus
+    vocabulary, driver path vs the pure-Python reference evaluator."""
+    import random
+
+    rng = random.Random(20260818)
+    vocab = ["the", "a", "data", "join", "hash", "dup", "sort", "merge",
+             "tree", "node", "scan", "slow"]
+
+    def gen(depth: int):
+        r = rng.random()
+        if depth >= 3 or r < 0.35:
+            t = rng.choice(vocab)
+            return t + ("^2" if rng.random() < 0.2 else "")
+        kids = [gen(depth + 1) for _ in range(rng.randint(2, 3))]
+        if r < 0.65:
+            return "(" + " OR ".join(kids) + ")"
+        expr = "(" + " AND ".join(kids)
+        if rng.random() < 0.4:
+            expr += " NOT " + rng.choice(vocab)
+        return expr + ")"
+
+    checked = 0
+    for _ in range(40):
+        q = gen(0)
+        try:
+            node = parse_bool(q)
+        except ValueError:
+            continue  # e.g. same term required and negated after collapse
+        got = search_bool(reader, q, k=15)
+        want = _ref_topk(node, ref_ctx, k=15)
+        assert got == want, q
+        checked += 1
+    assert checked >= 35  # the generator must mostly produce valid trees
