@@ -116,6 +116,40 @@ def _constscore_oracle(query: str, boost: float) -> str:
     return constant_score_oracle_sql(query, boost=boost, k=10)
 
 
+def _mk_facets_composite(terms, mode, size):
+    """A66 — page 2 of composite buckets driven by page 1's real last key,
+    so the driver row proves the after-key boundary, not just an agg."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_facets_composite
+
+        reader = ensure_index(spark, sf_dir)
+        p1 = search_facets_composite(
+            reader, terms, mode=mode, sources=("lang", "repo"), size=size
+        ).collect()
+        cursor = (p1[-1]["lang"], p1[-1]["repo"])
+        return search_facets_composite(
+            reader, terms, mode=mode, sources=("lang", "repo"), size=size,
+            after=cursor,
+        )
+
+    return run
+
+
+def _facets_composite_oracle(terms, mode, size) -> str:
+    from miru_spark.plans.relational import facet_composite_oracle_sql
+
+    # rows (size+1)..(2*size) of the full bucket ordering == page 2
+    inner = facet_composite_oracle_sql(
+        terms, mode, sources=("lang", "repo"), size=2 * size
+    )
+    return (
+        f"SELECT lang, repo, n_docs FROM ({inner}) "
+        f"ORDER BY lang, repo LIMIT {size} OFFSET {size}"
+    )
+
+
 def _mk_phrase_prefix(phrase: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -1432,6 +1466,12 @@ def register_all(register) -> None:
          collapse_oracle_sql(["join", "hash", "dup"], "disjunctive",
                              k_groups=4, per_group=2),
          ("grp", "grk", "rk", "doc_id", "score")),
+        # A66 composite aggregation (ES composite): page 2 of (lang, repo)
+        # buckets via a REAL page-1 after-key cursor
+        ("bm25_index_facets_composite",
+         _mk_facets_composite(["the", "a"], "conjunctive", size=4),
+         _facets_composite_oracle(["the", "a"], "conjunctive", size=4),
+         ("lang", "repo", "n_docs")),
     ])
     register_composite(register, "bm25_index_phrase_near", [
         (n, _mk_phrase_dist(p), bm25_phrase_oracle_sql(p), DS)

@@ -36,15 +36,31 @@ def percolate(
     nullable). A doc matches a query iff it contains every/any query term
     (by mode) and none of the excluded terms.
     """
-    doc_terms = (
-        corpus.select("doc_id", F.explode(tokens_col(text_col, tokenizer)).alias("term"))
-        .distinct()
-    )
     q = queries.select(
         "query_id",
         "mode",
         F.size("terms").alias("n_terms"),
         F.explode("terms").alias("term"),
+    )
+    # restrict the exploded corpus to the QUERY vocabulary before the
+    # distinct: the expensive distinct then dedups only matching
+    # (doc, term) pairs instead of the whole token stream. On the 31-term
+    # synthetic corpus with all-hot query terms this trims ~20% (the
+    # matches themselves dominate); on a Zipfian corpus where registered
+    # queries touch a sliver of the vocabulary it removes almost the whole
+    # token stream. Broadcast semi-join, no shuffle added.
+    vocab = q.select("term").distinct()
+    if "exclude" in queries.columns:
+        vocab = vocab.unionByName(
+            queries.select(F.explode_outer("exclude").alias("term"))
+            .filter(F.col("term").isNotNull())
+        ).distinct()
+    doc_terms = (
+        corpus.select(
+            "doc_id", F.explode(tokens_col(text_col, tokenizer)).alias("term")
+        )
+        .join(F.broadcast(vocab), "term", "left_semi")
+        .distinct()
     )
     matched = (
         doc_terms.join(q, "term")

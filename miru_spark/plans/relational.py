@@ -520,6 +520,47 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
+def facet_composite_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    sources: tuple[str, ...] = ("lang", "repo"),
+    size: int = 5,
+    after: tuple | None = None,
+) -> str:
+    """Twin of plans.search.search_facets_composite (A66 — ES composite
+    agg): key-ordered multi-source buckets with an after-key cursor.
+    ``sources`` use the ENGINE's docmap column names; the documents-view
+    stand-ins are mapped here (repo -> source) and aliased back so the
+    driver's column-name compare lines up."""
+    src = {"lang": "lang", "repo": "source"}
+    terms = list(dict.fromkeys(terms))
+    values = ",".join("('" + _sql_quote(t) + "')" for t in terms)
+    need = "= (SELECT count(*) FROM q)" if mode == "conjunctive" else ">= 1"
+    raw = [src[c] for c in sources]
+    sel = ", ".join(f"{r} AS {c}" for r, c in zip(raw, sources))
+    grp = ", ".join(raw)
+    wh = ""
+    if after is not None:
+        clauses = []
+        for i in range(len(sources)):
+            parts = [
+                f"{raw[j]} = '{_sql_quote(str(after[j]))}'" for j in range(i)
+            ] + [f"{raw[i]} > '{_sql_quote(str(after[i]))}'"]
+            clauses.append("(" + " AND ".join(parts) + ")")
+        wh = "HAVING " + " OR ".join(clauses)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf  AS (SELECT DISTINCT doc_id, term FROM tok WHERE term<>''),
+q(term) AS (VALUES {values}),
+m AS (SELECT doc_id FROM tf JOIN q USING(term) GROUP BY doc_id
+      HAVING count(*) {need})
+SELECT {sel}, count(*) AS n_docs
+FROM documents JOIN m USING(doc_id)
+GROUP BY {grp} {wh}
+ORDER BY {grp} LIMIT {size}
+""".strip()
+
+
 def facet_rollup_oracle_sql(
     terms: list[str], mode: str = "conjunctive",
     facet_cols: tuple[str, str] = ("lang", "repo"),

@@ -810,6 +810,53 @@ def search_facets(
     )
 
 
+def search_facets_composite(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    sources: tuple[str, ...] = ("lang", "repo"),
+    size: int = 5,
+    after: tuple | None = None,
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A66 — composite aggregation (ES ``composite`` agg): paginated
+    multi-source buckets. Buckets are the distinct value TUPLES of the
+    source columns over the full candidate set, emitted in key order,
+    ``size`` per page, with an ``after`` key cursor — aggregation-side
+    keyset pagination, the bucket twin of ``search_after`` (A38). Deep
+    pages never re-materialize earlier ones: the after-key predicate is a
+    codegen filter ahead of the TakeOrderedAndProject top-``size``, so a
+    page costs one candidate scan + one hash agg regardless of how deep
+    the cursor is — which is exactly why ES recommends composite over
+    ``terms`` aggs for walking high-cardinality buckets."""
+    if not sources:
+        raise ValueError("composite aggregation needs at least one source")
+    if after is not None and len(after) != len(sources):
+        raise ValueError("after key arity must match sources")
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
+    ).select("doc_id")
+    dm = reader.docmap_df().select("doc_id", *sources)
+    agg = cand.join(dm, "doc_id").groupBy(*list(sources)).agg(
+        F.count("*").alias("n_docs")
+    )
+    if after is not None:
+        # tuple ordering: (s0, s1, ...) > after, expanded to boolean algebra
+        pred = None
+        for i in range(len(sources)):
+            eq = None
+            for j in range(i):
+                e = F.col(sources[j]) == F.lit(after[j])
+                eq = e if eq is None else (eq & e)
+            gt = F.col(sources[i]) > F.lit(after[i])
+            clause = gt if eq is None else (eq & gt)
+            pred = clause if pred is None else (pred | clause)
+        agg = agg.filter(pred)
+    return agg.orderBy(*list(sources)).limit(size)
+
+
 def explain(
     reader: IndexReader,
     terms: list[str],

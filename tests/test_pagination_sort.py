@@ -400,3 +400,72 @@ def test_highlight_wraps_terms(spark):
             for t in snip.split(" ")
         ) if snip else ""
         assert marked[d] == exp
+
+
+# ---- A66 composite aggregation (ES composite: paginated buckets) -----------
+
+
+def test_composite_pages_tile_full_buckets(reader):
+    from miru_spark.plans.search import search_facets_composite
+
+    full = [
+        (r["lang"], r["repo"], int(r["n_docs"]))
+        for r in search_facets_composite(
+            reader, ["the"], "disjunctive", sources=("lang", "repo"),
+            size=10**6,
+        ).collect()
+    ]
+    assert full == sorted(full)
+    pages, cursor = [], None
+    while True:
+        page = [
+            (r["lang"], r["repo"], int(r["n_docs"]))
+            for r in search_facets_composite(
+                reader, ["the"], "disjunctive", sources=("lang", "repo"),
+                size=3, after=cursor,
+            ).collect()
+        ]
+        if not page:
+            break
+        pages.extend(page)
+        cursor = (page[-1][0], page[-1][1])
+    assert pages == full
+    assert len(full) > 3  # multiple pages genuinely exercised
+
+
+def test_composite_matches_duck(reader, duck):
+    from miru_spark.plans.relational import facet_composite_oracle_sql
+    from miru_spark.plans.search import search_facets_composite
+
+    p1 = search_facets_composite(
+        reader, ["the", "a"], "conjunctive", sources=("lang", "repo"), size=4
+    ).collect()
+    cursor = (p1[-1]["lang"], p1[-1]["repo"])
+    got = [
+        (r["lang"], r["repo"], int(r["n_docs"]))
+        for r in search_facets_composite(
+            reader, ["the", "a"], "conjunctive", sources=("lang", "repo"),
+            size=4, after=cursor,
+        ).collect()
+    ]
+    exp = duck.execute(
+        facet_composite_oracle_sql(
+            ["the", "a"], "conjunctive", sources=("lang", "repo"), size=4,
+            after=cursor,
+        )
+    ).fetchall()
+    assert got == [(l, r, int(n)) for l, r, n in exp]
+    assert got
+
+
+def test_composite_validation(reader):
+    import pytest as _pytest
+
+    from miru_spark.plans.search import search_facets_composite
+
+    with _pytest.raises(ValueError):
+        search_facets_composite(reader, ["the"], sources=())
+    with _pytest.raises(ValueError):
+        search_facets_composite(
+            reader, ["the"], sources=("lang", "repo"), after=("en",)
+        )
