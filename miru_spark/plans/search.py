@@ -552,6 +552,15 @@ def search(
         return search_bool(reader, query, k=k, where=range_filters or None)
     terms, mode, exclude = parse_query(query)
     if mode == "phrase":
+        if terms and terms[-1].endswith("*") and "*" not in terms[-1][:-1]:
+            # '"distributed jo*"' = match_phrase_prefix (A61): the quoted
+            # phrase's last token is a prefix to expand via the dictionary
+            return search_phrase_prefix(
+                reader,
+                " ".join(terms[:-1] + [terms[-1][:-1]]),
+                k=k,
+                where=range_filters or None,
+            )
         return search_phrase(
             reader, " ".join(terms), k=k, where=range_filters or None
         )

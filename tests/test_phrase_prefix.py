@@ -131,3 +131,18 @@ def test_validation(pos_reader, reader):
     with pytest.raises(ValueError, match="max_expansions"):
         search_phrase_prefix(pos_reader, "the a", max_expansions=0)
     assert search_phrase_prefix(pos_reader, "the zzzzz") == []
+
+
+def test_grammar_quoted_prefix_phrase(pos_reader):
+    """'"the d*"' through search() routes to match_phrase_prefix."""
+    from miru_spark.plans.search import search
+
+    got = search(pos_reader, '"the d*"', k=10)
+    assert got == search_phrase_prefix(pos_reader, "the d", k=10)
+    assert got
+    # a quoted phrase WITHOUT a trailing star stays an exact phrase
+    from miru_spark.plans.search import search_phrase
+
+    assert search(pos_reader, '"the a"', k=10) == search_phrase(
+        pos_reader, "the a", k=10
+    )
