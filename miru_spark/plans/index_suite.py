@@ -168,6 +168,23 @@ def _phrase_prefix_oracle(phrase: str) -> str:
     return phrase_prefix_oracle_sql(phrase, k=10)
 
 
+def _mk_adjacency(filters):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_adjacency_matrix
+
+        reader = ensure_index(spark, sf_dir)
+        return search_adjacency_matrix(reader, filters)
+
+    return run
+
+
+def _adjacency_oracle(filters) -> str:
+    from miru_spark.plans.relational import adjacency_matrix_oracle_sql
+
+    return adjacency_matrix_oracle_sql(filters)
+
+
 def _mk_cardinality(terms, mode, col):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -1536,6 +1553,14 @@ def register_all(register) -> None:
          _mk_percentiles(["the", "a"], "conjunctive"),
          _percentiles_oracle(["the", "a"], "conjunctive"),
          ("pct", "value")),
+        # A67 adjacency_matrix (ES): per-filter + pairwise-intersection
+        # doc counts over named conjunctive term filters
+        ("bm25_index_adjacency",
+         _mk_adjacency({"joins": ["join", "hash"], "sorting": ["sort"],
+                        "common": ["the"]}),
+         _adjacency_oracle({"joins": ["join", "hash"], "sorting": ["sort"],
+                            "common": ["the"]}),
+         ("bucket", "n_docs")),
     ])
     register_composite(register, "bm25_index_mlt", [
         ("mlt", q_mlt, mlt_oracle_sql(42, n_terms=5, k=10), DS),

@@ -520,6 +520,36 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
+def adjacency_matrix_oracle_sql(filters: dict[str, list[str]]) -> str:
+    """Twin of plans.search.search_adjacency_matrix (A67 — ES
+    adjacency_matrix agg): per-filter and pairwise-intersection doc counts,
+    buckets named 'a' / 'a&b' in sorted-name order."""
+    names = sorted(filters)
+    fvals = ",".join(
+        f"('{_sql_quote(n)}', '{_sql_quote(t)}')"
+        for n in names
+        for t in dict.fromkeys(filters[n])
+    )
+    svals = ",".join(
+        f"('{_sql_quote(n)}', {len(dict.fromkeys(filters[n]))})" for n in names
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf  AS (SELECT DISTINCT doc_id, term FROM tok WHERE term<>''),
+f(fname, term) AS (VALUES {fvals}),
+fs(fname, n_terms) AS (VALUES {svals}),
+m AS (SELECT doc_id, fname
+      FROM tf JOIN f USING(term) JOIN fs USING(fname)
+      GROUP BY doc_id, fname, n_terms
+      HAVING count(DISTINCT term) = n_terms)
+SELECT CASE WHEN a.fname = b.fname THEN a.fname
+            ELSE a.fname || '&' || b.fname END AS bucket,
+       count(*) AS n_docs
+FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.fname <= b.fname
+GROUP BY 1 ORDER BY 1
+""".strip()
+
+
 def facet_composite_oracle_sql(
     terms: list[str],
     mode: str = "conjunctive",

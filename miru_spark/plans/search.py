@@ -819,6 +819,72 @@ def search_facets(
     )
 
 
+def search_adjacency_matrix(
+    reader: IndexReader,
+    filters: dict[str, list[str]],
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A67 — adjacency_matrix aggregation (ES ``adjacency_matrix``): given
+    named term filters, count the docs matching each filter AND each
+    pairwise intersection — the co-occurrence matrix search UIs render as
+    a chord diagram ("docs about spark AND streaming").
+
+    Plan: ONE pruned postings scan covering every filter's terms ->
+    ids-only decode -> per-(doc, filter) distinct-term counts -> the
+    per-doc matched-filter SET -> self-join per doc emits the (i, j>=i)
+    pairs. The self-join is per-doc over matched FILTERS (a handful), not
+    over docs — so the output is |filters|^2 buckets, never quadratic in
+    the corpus. Filter semantics = conjunctive term lists, matching ES's
+    filters-as-queries."""
+    if not filters:
+        raise ValueError("adjacency_matrix needs at least one named filter")
+    names = sorted(filters)
+    rows = [(n, t) for n in names for t in dict.fromkeys(filters[n])]
+    spark = reader.spark
+    fdf = spark.createDataFrame(rows, "fname string, term string")
+    sizes = {n: len(dict.fromkeys(filters[n])) for n in names}
+    sdf = spark.createDataFrame(list(sizes.items()), "fname string, n_terms int")
+    terms = sorted({t for _, t in rows})
+    chunks = reader.postings_df(terms)
+    ids = chunks.mapInArrow(_ids_term_arrow, _DOCID_TERM_SCHEMA)
+    excl = _with_tombstones(reader, _exclusion_ids(reader, exclude or []))
+    if excl is not None and excl.size:
+        ids = ids.join(
+            spark.createDataFrame([(int(d),) for d in excl], "doc_id long"),
+            "doc_id", "left_anti",
+        )
+    if where:
+        from miru_spark.filters import spark_predicate
+
+        allow = reader.docmap_df()
+        for c, val in where.items():
+            allow = allow.filter(spark_predicate(c, val))
+        ids = ids.join(allow.select("doc_id"), "doc_id", "left_semi")
+    matched = (
+        ids.join(F.broadcast(fdf), "term")
+        .groupBy("doc_id", "fname")
+        .agg(F.count_distinct("term").alias("nm"))
+        .join(F.broadcast(sdf), "fname")
+        .filter(F.col("nm") == F.col("n_terms"))
+        .select("doc_id", "fname")
+    )
+    a = matched.alias("a")
+    b = matched.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.fname") <= F.col("b.fname")),
+    ).select(
+        F.when(F.col("a.fname") == F.col("b.fname"), F.col("a.fname"))
+        .otherwise(F.concat_ws("&", F.col("a.fname"), F.col("b.fname")))
+        .alias("bucket")
+    )
+    return pairs.groupBy("bucket").agg(F.count("*").alias("n_docs")).orderBy(
+        "bucket"
+    )
+
+
 def search_facets_composite(
     reader: IndexReader,
     terms: list[str],
@@ -2247,6 +2313,37 @@ def _ids_only_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
                 )
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids.astype(np.int64))], names=["doc_id"]
+            )
+
+
+_DOCID_TERM_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("term", T.StringType())]
+)
+
+
+def _ids_term_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Like :func:`_ids_only_arrow` but keeps the chunk's term tag (for
+    plans that need per-(doc, term) presence, e.g. adjacency_matrix)."""
+    from miru_spark.functions.codecs import varint_decode
+    from miru_spark.index.format import delta_decode, unpack_chunk
+
+    for batch in batches:
+        for row in batch.to_pylist():
+            if int(row["codec"]) == 1:  # varint: gaps stream only
+                total = sum(int(m["n"]) for m in row["blocks"])
+                off = int(row["blocks"][0]["off_g"]) if row["blocks"] else 0
+                gaps, _ = varint_decode(row["blob"], off, count=total)
+                ids = delta_decode(gaps)
+            else:
+                ids, _, _ = unpack_chunk(
+                    row["blob"], row["blocks"], int(row["codec"])
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype(np.int64)),
+                    pa.array([row["term"]] * len(ids), type=pa.string()),
+                ],
+                names=["doc_id", "term"],
             )
 
 

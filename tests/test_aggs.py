@@ -99,3 +99,54 @@ def test_percentiles_validation(reader):
         search_percentiles(reader, ["the"], percentiles=(0.0, 0.5))
     with pytest.raises(ValueError):
         search_percentiles(reader, ["the"], percentiles=())
+
+
+# ---- A67 adjacency_matrix (ES): pairwise filter-intersection counts --------
+
+FILTERS = {
+    "joins": ["join", "hash"],
+    "sorting": ["sort"],
+    "common": ["the"],
+}
+
+
+def test_adjacency_matrix_matches_duck(reader, duck):
+    from miru_spark.plans.relational import adjacency_matrix_oracle_sql
+    from miru_spark.plans.search import search_adjacency_matrix
+
+    got = sorted(
+        (r["bucket"], int(r["n_docs"]))
+        for r in search_adjacency_matrix(reader, FILTERS).collect()
+    )
+    exp = sorted(
+        (b, int(n))
+        for b, n in duck.execute(adjacency_matrix_oracle_sql(FILTERS)).fetchall()
+    )
+    assert got == exp
+    buckets = dict(got)
+    # diagonal present, intersections bounded by their sides
+    assert buckets["joins"] > 0 and buckets["common"] > 0
+    assert buckets.get("common&joins", 0) <= min(
+        buckets["common"], buckets["joins"]
+    )
+    assert len(got) <= 6  # 3 filters -> at most 3 diag + 3 pairs
+
+
+def test_adjacency_matrix_agrees_with_counts(reader):
+    """Diagonal buckets must equal the forward conjunctive hit counts."""
+    from miru_spark.plans.search import search_adjacency_matrix, search_topk
+
+    got = {
+        r["bucket"]: int(r["n_docs"])
+        for r in search_adjacency_matrix(reader, FILTERS).collect()
+    }
+    for name, terms in FILTERS.items():
+        want = len(search_topk(reader, terms, "conjunctive", k=10**9))
+        assert got.get(name, 0) == want, name
+
+
+def test_adjacency_matrix_validation(reader):
+    from miru_spark.plans.search import search_adjacency_matrix
+
+    with pytest.raises(ValueError):
+        search_adjacency_matrix(reader, {})
