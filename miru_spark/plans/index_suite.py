@@ -519,6 +519,21 @@ def q_facets_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mk_span_first(term, end):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_span_first
+
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search_span_first(reader, term, end, k=10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
 def _mk_near(ta, tb, slop, in_order=False):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -1315,6 +1330,7 @@ def register_all(register) -> None:
         bm25_delete_oracle_sql,
         bm25_near_oracle_sql,
         bm25_regex_oracle_sql,
+        bm25_span_first_oracle_sql,
         collapse_oracle_sql,
         count_oracle_sql,
         facet_rollup_oracle_sql,
@@ -1512,6 +1528,12 @@ def register_all(register) -> None:
         ("bm25_index_phrase_prefix",
          _mk_phrase_prefix("the d"),
          _phrase_prefix_oracle("the d"),
+         DS),
+        # A68 span_first (Lucene SpanFirstQuery): term within the first N
+        # token positions — the title/lead restriction
+        ("bm25_index_span_first",
+         _mk_span_first("the", 5),
+         bm25_span_first_oracle_sql("the", 5),
          DS),
     ])
     register_composite(register, "bm25_index_snippets", [

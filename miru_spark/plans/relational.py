@@ -486,6 +486,30 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
+def bm25_span_first_oracle_sql(
+    term: str, end: int, k: int = 10, round_digits: int = 6
+) -> str:
+    """Twin of plans.search.search_span_first (A68 — Lucene
+    SpanFirstQuery): docs whose first ``end`` tokens contain ``term``
+    (1-based DuckDB position i <= end == 0-based pos < end), ranked by the
+    term's plain BM25."""
+    inner = bm25_oracle_sql(
+        [term], "conjunctive", k=1 << 30, round_digits=round_digits
+    )
+    qt = _sql_quote(term)
+    return f"""
+WITH ranked AS ({inner}),
+toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         FROM documents),
+pos AS (SELECT doc_id, i, l[i] AS term
+        FROM toks, UNNEST(range(1, len(l)+1)) AS u(i)),
+hit AS (SELECT DISTINCT doc_id FROM pos
+        WHERE term = '{qt}' AND i <= {end})
+SELECT doc_id, score FROM ranked JOIN hit USING(doc_id)
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def bm25_near_oracle_sql(
     term_a: str,
     term_b: str,

@@ -2214,6 +2214,67 @@ def search_near(
     return [(int(verified[i]), float(scores[i])) for i in order]
 
 
+def search_span_first(
+    reader: IndexReader,
+    term: str,
+    end: int,
+    k: int = 10,
+    round_digits: int | None = 6,
+    where: dict | None = None,
+) -> list[tuple[int, float]]:
+    """Positional restriction (Lucene ``SpanFirstQuery``): docs where
+    ``term`` occurs within the first ``end`` token positions (0-based
+    ``pos < end`` — a single-term span ending at ``pos + 1 <= end``),
+    ranked by the term's BM25. The title/lead-paragraph restriction: on a
+    code corpus, "``import`` in the first 20 tokens" finds the files that
+    START with the import block rather than merely containing the word.
+
+    Served entirely from the positional index: one pruned fetch, then a
+    vectorized first-``end`` mask over the occurrence stream — no corpus
+    access, no per-doc loop. Scores are the term's plain BM25 (Lucene
+    scores SpanFirst through the same term weight), so results are a
+    position-filtered subset of the single-term ranking.
+    """
+    from miru_spark.index.format import unpack_positions
+
+    if end < 1:
+        raise ValueError("end must be >= 1 (first N positions)")
+    if not reader.positions:
+        raise ValueError(
+            "span_first needs a positional index (positions=True)"
+        )
+    tps = reader.fetch_terms([term], with_positions=True)
+    if term not in tps:
+        return []
+    ids_l, tf_l, dl_l, pos_l = [], [], [], []
+    for r in tps[term].chunks:
+        ids, tfs, dls = unpack_chunk_bm(r["blob"], r["bm"], int(r["codec"]))
+        ids_l.append(ids.astype(np.int64))
+        tf_l.append(tfs.astype(np.int64))
+        dl_l.append(dls.astype(np.int64))
+        pos_l.append(unpack_positions(r["pos_blob"], tfs).astype(np.int64))
+    ids = np.concatenate(ids_l)
+    tfs = np.concatenate(tf_l)
+    dls = np.concatenate(dl_l)
+    pos = np.concatenate(pos_l)
+    verified = np.unique(np.repeat(ids, tfs)[pos < end])
+    if where:
+        verified = np.intersect1d(
+            verified, reader.filter_doc_ids(where), assume_unique=True
+        )
+    tomb = _with_tombstones(reader, None)
+    if tomb is not None:
+        verified = verified[~np.isin(verified, tomb, assume_unique=True)]
+    if verified.size == 0:
+        return []
+    idx = np.searchsorted(ids, verified)
+    scores = bm25.score_np(tfs[idx], tps[term].idf, dls[idx], reader.avgdl)
+    if round_digits is not None:
+        scores = np.round(scores, round_digits)
+    order = np.lexsort((verified, -scores))[:k]
+    return [(int(verified[i]), float(scores[i])) for i in order]
+
+
 def search_phrase_distributed(
     reader: IndexReader,
     phrase: str,

@@ -83,3 +83,35 @@ def test_ordered_union_is_unordered(pos_reader):
     assert ab <= un and ba <= un
     # non-vacuous asymmetry: the two directions genuinely differ somewhere
     assert ab != ba or not un
+
+
+# ---- span_first (Lucene SpanFirstQuery: term within first N positions) -----
+
+
+@pytest.mark.parametrize(
+    "term,end",
+    [("the", 5), ("join", 10), ("dup", 3), ("the", 1), ("zzz_missing", 4)],
+    ids=lambda x: str(x),
+)
+def test_span_first_matches_oracle(pos_reader, duck, term, end):
+    from miru_spark.plans.relational import bm25_span_first_oracle_sql
+    from miru_spark.plans.search import search_span_first
+
+    got = search_span_first(pos_reader, term, end, k=10)
+    exp = duck.execute(bm25_span_first_oracle_sql(term, end, k=10)).fetchall()
+    assert got == [(int(d), float(s)) for d, s in exp]
+
+
+def test_span_first_monotone_and_degenerate(pos_reader):
+    """Widening the window only ADDS docs; end >= max doc_len equals the
+    plain single-term ranking (rounded)."""
+    from miru_spark.plans.search import search, search_span_first
+
+    tight = {d for d, _ in search_span_first(pos_reader, "the", 2, k=10**9)}
+    wide = {d for d, _ in search_span_first(pos_reader, "the", 50, k=10**9)}
+    assert tight <= wide and len(wide) > len(tight)
+    full = search_span_first(pos_reader, "the", 10**6, k=10)
+    plain = [(d, round(s, 6)) for d, s in search(pos_reader, "the", k=10)]
+    assert full == plain
+    with pytest.raises(ValueError):
+        search_span_first(pos_reader, "the", 0)
