@@ -42,6 +42,29 @@ def score_np(tf: np.ndarray, idf: float, doc_len: np.ndarray, avgdl: float) -> n
     return idf * tf * (K1 + 1.0) / norm
 
 
+def lm_dirichlet_np(
+    tf: np.ndarray,
+    cf: float,
+    doc_len: np.ndarray,
+    n_tokens: float,
+    mu: float = 2000.0,
+) -> np.ndarray:
+    """Per-posting LM Dirichlet contribution of one term (Lucene
+    ``LMDirichletSimilarity``, Zhai & Lafferty 2001):
+
+        p(t|C)     = (cf + 1) / (n_tokens + 1)     (Lucene's +1 smoothing)
+        score(t,d) = max(0, ln(1 + tf / (mu * p(t|C))) + ln(mu / (dl + mu)))
+
+    ``cf`` is the term's collection frequency (total occurrences across the
+    corpus); the clamp-at-zero is per (term, doc), exactly as Lucene's
+    ``score > 0 ? score : 0``. The default mu=2000 is Lucene's."""
+    p = (float(cf) + 1.0) / (float(n_tokens) + 1.0)
+    s = np.log1p(tf.astype(np.float64) / (mu * p)) + np.log(
+        mu / (doc_len.astype(np.float64) + mu)
+    )
+    return np.maximum(s, 0.0)
+
+
 def max_block_score(tf: np.ndarray, idf: float, doc_len: np.ndarray, avgdl: float) -> float:
     """Exact per-block score upper bound for block-max WAND metadata."""
     if tf.size == 0:

@@ -519,6 +519,21 @@ def q_facets_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mk_lm(terms, mode, mu):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_lm
+
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search_lm(reader, terms, mode=mode, mu=mu, k=10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
 def _mk_span_first(term, end):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -1331,6 +1346,7 @@ def register_all(register) -> None:
         bm25_near_oracle_sql,
         bm25_regex_oracle_sql,
         bm25_span_first_oracle_sql,
+        lm_dirichlet_oracle_sql,
         collapse_oracle_sql,
         count_oracle_sql,
         facet_rollup_oracle_sql,
@@ -1410,6 +1426,12 @@ def register_all(register) -> None:
         # A52 function_score: gauss doc_len decay x log1p field-value
         # factor, summed, multiplied into BM25 (ES function_score)
         ("bm25_index_funcscore", _mk_funcscore(), _funcscore_oracle(), DS),
+        # A69 pluggable similarity (Lucene LMDirichletSimilarity): same
+        # index + candidate plan, Dirichlet-smoothed LM scoring
+        ("bm25_index_lm_dirichlet",
+         _mk_lm(["the", "dup"], "disjunctive", 2000.0),
+         lm_dirichlet_oracle_sql(["the", "dup"], "disjunctive", mu=2000.0),
+         DS),
         # A57 boosting query (ES boosting): negative tree demotes by
         # negative_boost instead of excluding — the soft NOT
         ("bm25_index_boosting",

@@ -486,6 +486,45 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
+def lm_dirichlet_oracle_sql(
+    terms: list[str],
+    mode: str = "disjunctive",
+    mu: float = 2000.0,
+    k: int = 10,
+    round_digits: int = 6,
+    tok_sql: str | None = None,
+) -> str:
+    """Twin of plans.search.search_lm (A69 — Lucene LMDirichletSimilarity):
+    per matched term max(0, ln(1 + tf/(mu*p)) + ln(mu/(dl+mu))) with
+    p = (cf+1)/(n_tokens+1), cf/n_tokens recomputed from the corpus."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    values = ",".join("('" + t.replace("'", "''") + "')" for t in terms)
+    conj = (
+        "WHERE nmatch = (SELECT count(*) FROM q)"
+        if mode == "conjunctive"
+        else ""
+    )
+    m = float(mu)
+    return f"""
+WITH tok AS ({tok_sql or DEFAULT_TOK_SQL}),
+tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP BY 1,2),
+dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
+tot   AS (SELECT sum(dl)::DOUBLE t FROM dl),
+cf    AS (SELECT term, sum(tf)::DOUBLE cf FROM tf GROUP BY 1),
+q(term) AS (VALUES {values}),
+s AS (SELECT tf.doc_id,
+        sum(greatest(ln(1 + tf.tf/({m!r}*((cf.cf+1)/(tot.t+1))))
+                     + ln({m!r}/(dl.dl+{m!r})), 0)) raw,
+        count(*) nmatch
+      FROM tf JOIN q USING(term) JOIN cf USING(term) JOIN dl USING(doc_id), tot
+      GROUP BY 1)
+SELECT doc_id, round(raw, {round_digits}) AS score FROM s {conj}
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def bm25_span_first_oracle_sql(
     term: str, end: int, k: int = 10, round_digits: int = 6
 ) -> str:

@@ -2275,6 +2275,82 @@ def search_span_first(
     return [(int(verified[i]), float(scores[i])) for i in order]
 
 
+def search_lm(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "disjunctive",
+    mu: float = 2000.0,
+    k: int = 10,
+    round_digits: int | None = 6,
+    where: dict | None = None,
+) -> list[tuple[int, float]]:
+    """Pluggable similarity (Lucene ``LMDirichletSimilarity``): the same
+    index, postings, and candidate plan as BM25, scored with the Dirichlet
+    -smoothed language model instead — per matched term
+    ``max(0, ln(1 + tf/(mu*p(t|C))) + ln(mu/(dl+mu)))`` with
+    ``p(t|C) = (cf+1)/(n_tokens+1)`` (Lucene's smoothing; mu=2000 default).
+    Everything the scorer needs is already in the index: tf/dl per posting,
+    collection frequency = the term's decoded tf sum, total token count
+    from corpus stats — no second corpus pass, no index change. Exhaustive
+    evaluation only: arbitrary similarities break BM25's monotone
+    block-max bounds, so WAND is intentionally not offered here (same
+    reasoning as function_score)."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    if mu <= 0:
+        raise ValueError("mu must be > 0")
+    if mode not in ("conjunctive", "disjunctive"):
+        raise ValueError(f"unknown mode {mode!r}")
+    tps = reader.fetch_terms(terms)
+    if not tps or (mode == "conjunctive" and len(tps) < len(terms)):
+        return []
+    n_tokens = float(reader.stats["n_tokens"])
+    per_term = []
+    for tp in tps.values():
+        ids_l, tf_l, dl_l = [], [], []
+        for r in tp.chunks:
+            ids, tfs, dls = unpack_chunk_bm(r["blob"], r["bm"], int(r["codec"]))
+            ids_l.append(ids.astype(np.int64))
+            tf_l.append(tfs.astype(np.int64))
+            dl_l.append(dls.astype(np.int64))
+        per_term.append(
+            (
+                np.concatenate(ids_l),
+                np.concatenate(tf_l),
+                np.concatenate(dl_l),
+            )
+        )
+    if mode == "conjunctive":
+        universe = per_term[0][0]
+        for ids, _, _ in per_term[1:]:
+            universe = np.intersect1d(universe, ids, assume_unique=True)
+    else:
+        universe = per_term[0][0]
+        for ids, _, _ in per_term[1:]:
+            universe = np.union1d(universe, ids)
+    if where:
+        universe = np.intersect1d(
+            universe, reader.filter_doc_ids(where), assume_unique=True
+        )
+    tomb = _with_tombstones(reader, None)
+    if tomb is not None:
+        universe = universe[~np.isin(universe, tomb, assume_unique=True)]
+    if universe.size == 0:
+        return []
+    scores = np.zeros(universe.size)
+    for ids, tfs, dls in per_term:
+        m = np.isin(universe, ids, assume_unique=True)
+        idx = np.searchsorted(ids, universe[m])
+        scores[m] += bm25.lm_dirichlet_np(
+            tfs[idx], float(tfs.sum()), dls[idx], n_tokens, mu
+        )
+    if round_digits is not None:
+        scores = np.round(scores, round_digits)
+    order = np.lexsort((universe, -scores))[:k]
+    return [(int(universe[i]), float(scores[i])) for i in order]
+
+
 def search_phrase_distributed(
     reader: IndexReader,
     phrase: str,
