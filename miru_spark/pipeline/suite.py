@@ -174,6 +174,39 @@ def q_ann_ivf(spark, sf):
 
 # ---- text analysis --------------------------------------------------------
 
+_CLEAN_PARAMS = dict(
+    allowed_langs=("en", "es"), min_quality=0.55, min_tokens=15,
+    max_top2gram=0.07, max_dup_token=0.68, sample_rate=0.8,
+)
+
+
+def q_clean(spark, sf):
+    from pyspark.sql import functions as F
+
+    from miru_spark.pipeline.clean import clean_corpus
+
+    docs = _docs(spark, sf)
+    clones = docs.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    aug = docs.select("doc_id", "text").unionByName(
+        clones.select("doc_id", "text")
+    )
+    return clean_corpus(aug, **_CLEAN_PARAMS)
+
+
+def sql_clean():
+    from miru_spark.pipeline.clean import clean_oracle_sql
+
+    return clean_oracle_sql(
+        corpus_sql=(
+            "SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0"
+        ),
+        **_CLEAN_PARAMS,
+    )
+
+
 def q_text_quality(spark, sf):
     from miru_spark.pipeline.textqual import text_quality
 
@@ -362,7 +395,17 @@ def register_all(register) -> None:
         # IVF-PQ: compressed-domain ADC + exact rerank (recall pytests)
         ("pipe_ann_ivfpq", q_ann_ivfpq, None, ("vec_id", "cos")),
     ])
-    register("pipe_text_quality", q_text_quality, text_quality_oracle_sql())
+    register_composite(register, "pipe_text_quality", [
+        ("pipe_text_quality", q_text_quality, text_quality_oracle_sql(),
+         ("doc_id", "n_chars", "n_tokens", "avg_token_len",
+          "stopword_ratio", "quality_score")),
+        # end-to-end cleaning pipeline (Dolma/CCNet recipe shape): lang ->
+        # quality -> repetition -> exact dedup -> hash sample, each doc
+        # attributed to the FIRST stage that removed it; corpus is
+        # dup-augmented (every 25th doc cloned) so the dedup stage is
+        # non-vacuous
+        ("pipe_clean", q_clean, sql_clean(), ("doc_id", "stage")),
+    ])
     register_composite(register, "pipe_tokens", [
         ("pipe_token_stats", q_token_stats, TOKEN_STATS_SQL,
          ("bucket", "n_docs")),
