@@ -39,6 +39,14 @@ _TOKEN_PATTERNS = {
     "code_split": r"[a-z0-9]+",
 }
 
+# edge n-gram bounds (Lucene EdgeNGramTokenFilter / ES edge_ngram):
+# each token emits its prefixes of length EDGE_MIN..min(len, EDGE_MAX);
+# tokens longer than EDGE_MAX also emit themselves (preserveOriginal) so
+# exact long-term search keeps working; tokens shorter than EDGE_MIN emit
+# nothing (the ES default behavior)
+EDGE_MIN = 2
+EDGE_MAX = 8
+
 # Lucene EnglishAnalyzer's default stop set (33 words, public constant)
 ENGLISH_STOPWORDS = (
     "a an and are as at be but by for if in into is it no not of on or "
@@ -86,7 +94,7 @@ def doc_len_col(content: Column | str, mode: str = "whitespace") -> Column:
     the length is needed (docmap pass). The ``english`` mode drops stopwords,
     so its length needs the filtered array (stemming preserves count)."""
     col = F.col(content) if isinstance(content, str) else content
-    if mode == "english":
+    if mode in ("english", "edge"):
         return F.size(tokens_col(col, mode)).cast("long")
     col = _prep_col(col, mode)
     return F.regexp_count(col, F.lit(_TOKEN_PATTERNS[mode])).cast("long")
@@ -100,8 +108,34 @@ def tokens_col(content: Column | str, mode: str = "whitespace") -> Column:
     (plural-only 's' stripping) — every stage a codegen built-in, and every
     stage expressible 1:1 in the DuckDB oracle (lower/LIKE/substr), so the
     full analysis chain is value-oracled end-to-end."""
-    pat = _PATTERNS[mode]
     col = F.col(content) if isinstance(content, str) else content
+    if mode == "edge":
+        # index-time autocomplete (A70): prefix queries become EXACT term
+        # lookups — no dictionary scan at serve time. All higher-order
+        # built-ins, stays in codegen.
+        toks = F.filter(
+            F.split(F.lower(col), r"\s+"),
+            lambda t: F.length(t) >= EDGE_MIN,
+        )
+        return F.flatten(
+            F.transform(
+                toks,
+                lambda t: F.concat(
+                    F.transform(
+                        F.sequence(
+                            F.lit(EDGE_MIN),
+                            F.least(F.length(t), F.lit(EDGE_MAX)),
+                        ),
+                        lambda n: t.substr(F.lit(1), n),
+                    ),
+                    # preserveOriginal for tokens past EDGE_MAX
+                    F.filter(
+                        F.array(t), lambda x: F.length(x) > F.lit(EDGE_MAX)
+                    ),
+                ),
+            )
+        )
+    pat = _PATTERNS[mode]
     if mode == "english":
         arr = F.split(F.lower(col), pat)
         arr = F.filter(
@@ -118,6 +152,15 @@ def tokenize_py(text: str, mode: str = "whitespace") -> list[str]:
     term lists) with the same semantics the content was indexed under."""
     import re
 
+    if mode == "edge":
+        out: list[str] = []
+        for t in re.split(r"\s+", text.lower()):
+            if len(t) < EDGE_MIN:
+                continue
+            out.extend(t[:n] for n in range(EDGE_MIN, min(len(t), EDGE_MAX) + 1))
+            if len(t) > EDGE_MAX:
+                out.append(t)
+        return out
     if mode == "english":
         stops = set(ENGLISH_STOPWORDS)
 

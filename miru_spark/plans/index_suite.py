@@ -1041,6 +1041,34 @@ def _english_tok_sql() -> str:
 _CODE_IDX: dict[str, str] = {}
 _CODE_SPLIT_IDX: dict[str, str] = {}
 _EN_IDX: dict[str, str] = {}
+_EDGE_IDX: dict[str, str] = {}
+
+
+def q_edge_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A70 — edge n-gram index-time autocomplete (Lucene
+    EdgeNGramTokenFilter / ES search_as_you_type): the corpus indexed with
+    tokenizer='edge' turns every prefix query into an EXACT term lookup —
+    the production autocomplete path at scale (no dictionary scan, no
+    query rewrite; prefix heat is absorbed at index-build time). The query
+    here is the raw user keystrokes 'jo' + 'ha' served conjunctively."""
+    import tempfile
+
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.plans.search import search_topk
+    from miru_spark.schema import read_corpus
+
+    if sf_dir not in _EDGE_IDX:
+        path = tempfile.mkdtemp(prefix="miru_edge_") + "/idx"
+        build_index(spark, read_corpus(spark, sf_dir), path,
+                    num_partitions=8, tokenizer="edge")
+        _EDGE_IDX[sf_dir] = path
+    reader = IndexReader(spark, _EDGE_IDX[sf_dir])
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_topk(reader, ["jo", "ha"], mode="conjunctive", k=10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
 
 
 def q_english_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1649,6 +1677,7 @@ def register_all(register) -> None:
     ])
     from miru_spark.plans.relational import (
         DEFAULT_TOK_SQL,
+        EDGE_TOK_SQL,
         bm25_dismax_oracle_sql,
         bm25_multifield_oracle_sql,
     )
@@ -1673,6 +1702,11 @@ def register_all(register) -> None:
         ("english", q_english_analyzer,
          bm25_oracle_sql(["node", "tree"], "conjunctive",
                          tok_sql=_english_tok_sql()), DS),
+        # A70 edge n-gram autocomplete: prefixes indexed as terms, the raw
+        # keystrokes 'jo ha' served as an exact conjunctive lookup
+        ("edge_ngram", q_edge_ngram,
+         bm25_oracle_sql(["jo", "ha"], "conjunctive",
+                         tok_sql=EDGE_TOK_SQL), DS),
         # A51 dis_max best_fields: max + 0.3 * rest across field subqueries
         ("dismax", q_dismax,
          bm25_dismax_oracle_sql(

@@ -793,6 +793,22 @@ DEFAULT_TOK_SQL = (
     "SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents"
 )
 
+# twin of tokenize.tokens_col(..., 'edge') — A70 edge n-gram autocomplete:
+# prefixes of length EDGE_MIN..min(len, EDGE_MAX) per token, plus the full
+# token past EDGE_MAX (preserveOriginal); sub-EDGE_MIN tokens emit nothing
+EDGE_TOK_SQL = """
+SELECT doc_id, substr(tok, 1, n) AS term
+FROM (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok
+      FROM documents) s,
+     UNNEST(range(2, least(length(tok), 8) + 1)) AS u(n)
+WHERE length(tok) >= 2
+UNION ALL
+SELECT doc_id, tok AS term
+FROM (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok
+      FROM documents) s2
+WHERE length(tok) > 8
+""".strip()
+
 
 def _candidate_ctes(terms: list[str], mode: str, tok_sql: str) -> str:
     """Shared CTE block: tokenize -> tf -> BIGINT doc_len -> the query's
