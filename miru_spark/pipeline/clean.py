@@ -63,7 +63,7 @@ def clean_corpus(
         "doc_id", "dup_token_ratio", "top_2gram_ratio", "dup_5gram_ratio"
     )
     flagged = (
-        docs.select("doc_id", "text")
+        docs.select("doc_id", F.sha2(F.col("text"), 256).alias("text_h"))
         .join(lng, "doc_id")
         .join(qual, "doc_id")
         .join(rep, "doc_id")
@@ -86,9 +86,11 @@ def clean_corpus(
     flagged = flagged.withColumn(
         "alive", F.col("f_lang") & F.col("f_quality") & F.col("f_rep")
     )
-    # rank within (text, alive): dead twins can't steal rank 1 from a
-    # surviving doc; the when() keeps the rank only for survivors
-    w = Window.partitionBy("text", "alive").orderBy("doc_id")
+    # rank within (text hash, alive): dead twins can't steal rank 1 from a
+    # surviving doc; the when() keeps the rank only for survivors. Identity
+    # is sha256(text), projected at the scan — the window shuffle ships
+    # 32-byte digests and flags, never the document text
+    w = Window.partitionBy("text_h", "alive").orderBy("doc_id")
     flagged = flagged.withColumn(
         "dedup_rk", F.when(F.col("alive"), F.row_number().over(w))
     )
