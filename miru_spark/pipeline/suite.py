@@ -244,6 +244,24 @@ def q_contamination(spark, sf):
     return contamination_flags(_docs(spark, sf), benchmark_ids=list(range(10)), n=8)
 
 
+def q_contamination_bloom(spark, sf):
+    """The broadcast-Bloom scale path for the same decontamination: eval
+    grams packed into 2^20 bits, probed per-doc in one mapInPandas scan —
+    no join. With a filter this generous the FP expectation at this corpus
+    size is ~1e-7 and hashing is deterministic, so the output is stably
+    identical to the exact semi-join oracle (the no-false-negative
+    superset property is what the dedicated pytest pins)."""
+    from miru_spark.pipeline.bloom import (
+        build_ngram_bloom,
+        contamination_flags_bloom,
+    )
+
+    docs = _docs(spark, sf)
+    ids = list(range(10))
+    bits = build_ngram_bloom(docs, ids, n=8, n_bits=1 << 20, k_hashes=4)
+    return contamination_flags_bloom(docs, ids, bits, n=8)
+
+
 def q_redact(spark, sf):
     # PII-shaped redaction plumbing over the JSON-bearing events table:
     # digit runs -> '#'. The pattern is chosen to behave identically in
@@ -415,10 +433,14 @@ def register_all(register) -> None:
     register("pipe_lang_id", q_lang_id, lang_id_oracle_sql())
     register("pipe_winnow_pairs", q_winnow_pairs, None)
     register("pipe_repetition", q_repetition, repetition_oracle_sql())
-    register(
-        "pipe_contamination", q_contamination,
-        contamination_oracle_sql(list(range(10)), n=8),
-    )
+    register_composite(register, "pipe_contamination", [
+        ("pipe_contamination", q_contamination,
+         contamination_oracle_sql(list(range(10)), n=8), ("doc_id",)),
+        # Bloom broadcast-bits scale path, same oracle (deterministic
+        # identity at this size; no-false-negatives pinned in pytest)
+        ("pipe_contamination_bloom", q_contamination_bloom,
+         contamination_oracle_sql(list(range(10)), n=8), ("doc_id",)),
+    ])
     register("pipe_redact", q_redact, SQL_REDACT)
     register("pipe_grep_content", q_grep_content, SQL_GREP)
     register_composite(register, "pipe_sample", [
