@@ -534,6 +534,21 @@ def _mk_lm(terms, mode, mu):
     return run
 
 
+def _mk_sloppy_phrase(phrase, slop):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search
+
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search(reader, f'"{phrase}"~{slop}', k=10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
 def _mk_span_first(term, end):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -1373,6 +1388,7 @@ def register_all(register) -> None:
         bm25_delete_oracle_sql,
         bm25_near_oracle_sql,
         bm25_regex_oracle_sql,
+        bm25_sloppy_phrase_oracle_sql,
         bm25_span_first_oracle_sql,
         lm_dirichlet_oracle_sql,
         collapse_oracle_sql,
@@ -1584,6 +1600,12 @@ def register_all(register) -> None:
         ("bm25_index_span_first",
          _mk_span_first("the", 5),
          bm25_span_first_oracle_sql("the", 5),
+         DS),
+        # A71 sloppy n-term phrase (ES match_phrase slop, alignment-window
+        # semantics) through the grammar: '"the a data"~2'
+        ("bm25_index_sloppy_phrase",
+         _mk_sloppy_phrase("the a data", 2),
+         bm25_sloppy_phrase_oracle_sql(["the", "a", "data"], 2),
          DS),
     ])
     register_composite(register, "bm25_index_snippets", [

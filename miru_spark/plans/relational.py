@@ -525,6 +525,43 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
+def bm25_sloppy_phrase_oracle_sql(
+    phrase_terms: list[str], slop: int, k: int = 10, round_digits: int = 6
+) -> str:
+    """Twin of plans.search.search_phrase_sloppy (A71 — sloppy n-term
+    phrase, alignment-window semantics): one position row per phrase
+    offset, n-way self-join per doc, window condition
+    max(p_j - j) - min(p_j - j) <= slop; rank = conjunctive BM25 over the
+    DISTINCT phrase terms."""
+    n = len(phrase_terms)
+    if n < 2:
+        raise ValueError("sloppy phrase needs >= 2 tokens")
+    uterms = list(dict.fromkeys(phrase_terms))
+    inner = bm25_oracle_sql(
+        uterms, "conjunctive", k=1 << 30, round_digits=round_digits
+    )
+    joins = "\n              ".join(
+        f"JOIN pos p{j} ON p{j}.doc_id = p0.doc_id" for j in range(1, n)
+    )
+    terms_cond = " AND ".join(
+        f"p{j}.term = '{_sql_quote(t)}'" for j, t in enumerate(phrase_terms)
+    )
+    qexprs = ", ".join(f"(p{j}.i - {j})" for j in range(n))
+    return f"""
+WITH ranked AS ({inner}),
+toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         FROM documents),
+pos AS (SELECT doc_id, i, l[i] AS term
+        FROM toks, UNNEST(range(1, len(l)+1)) AS u(i)),
+hit AS (SELECT DISTINCT p0.doc_id
+        FROM pos p0 {joins}
+        WHERE {terms_cond}
+          AND greatest({qexprs}) - least({qexprs}) <= {int(slop)})
+SELECT doc_id, score FROM ranked JOIN hit USING(doc_id)
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def bm25_span_first_oracle_sql(
     term: str, end: int, k: int = 10, round_digits: int = 6
 ) -> str:

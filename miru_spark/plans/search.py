@@ -565,6 +565,13 @@ def search(
             reader, " ".join(terms), k=k, where=range_filters or None
         )
     if mode.startswith("near:"):
+        if len(terms) > 2:
+            # 3+-term proximity routes to the sloppy phrase (alignment-
+            # window semantics); 2-term keeps the unordered-pair near
+            return search_phrase_sloppy(
+                reader, " ".join(terms), slop=int(mode[5:]), k=k,
+                where=range_filters or None,
+            )
         if len(terms) != 2:
             raise ValueError("proximity queries take exactly two terms")
         return search_near(
@@ -2273,6 +2280,129 @@ def search_span_first(
         scores = np.round(scores, round_digits)
     order = np.lexsort((verified, -scores))[:k]
     return [(int(verified[i]), float(scores[i])) for i in order]
+
+
+def search_phrase_sloppy(
+    reader: IndexReader,
+    phrase: str,
+    slop: int,
+    k: int = 10,
+    tokenizer: str = "whitespace",
+    round_digits: int | None = 6,
+    where: dict | None = None,
+) -> list[tuple[int, float]]:
+    """Sloppy n-term phrase (ES ``match_phrase`` with ``slop`` — alignment-
+    window semantics): a doc matches iff each phrase term at offset j has
+    an occurrence p_j such that the ALIGNED positions q_j = p_j - j all
+    fit in a window of width <= slop (max q - min q <= slop). slop=0 is
+    exactly the consecutive phrase; the match set is monotone in slop.
+    (This is the interval-query formulation — Lucene's slop is a
+    transposition edit distance, a different but closely related measure;
+    both agree at slop=0 and grow monotonically.) Repeated phrase terms
+    pick from the same occurrence set per offset, mirrored by the oracle.
+
+    Served from the positional index: one pruned fetch, docid intersection,
+    then per-candidate smallest-window coverage over the tagged merge of
+    the aligned occurrence lists (two pointers, O(occurrences) per doc —
+    candidates are already intersection-pruned, so the loop is small).
+    Rank = conjunctive BM25 over the phrase's distinct terms (the phrase
+    convention shared with search_phrase)."""
+    from miru_spark.functions.tokenize import tokenize_py
+    from miru_spark.index.format import unpack_positions
+
+    seq = tokenize_py(phrase, tokenizer)
+    if len(seq) < 2:
+        raise ValueError("sloppy phrase needs >= 2 tokens")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    if not reader.positions:
+        raise ValueError(
+            "sloppy phrase needs a positional index (positions=True)"
+        )
+    uterms = list(dict.fromkeys(seq))
+    tps = reader.fetch_terms(uterms, with_positions=True)
+    if len(tps) < len(uterms):
+        return []
+    data = {}
+    for t in uterms:
+        ids_l, tf_l, dl_l, pos_l = [], [], [], []
+        for r in tps[t].chunks:
+            ids, tfs, dls = unpack_chunk_bm(r["blob"], r["bm"], int(r["codec"]))
+            ids_l.append(ids.astype(np.int64))
+            tf_l.append(tfs.astype(np.int64))
+            dl_l.append(dls.astype(np.int64))
+            pos_l.append(unpack_positions(r["pos_blob"], tfs).astype(np.int64))
+        data[t] = (
+            np.concatenate(ids_l),
+            np.concatenate(tf_l),
+            np.concatenate(dl_l),
+            np.concatenate(pos_l),
+        )
+    cand = data[uterms[0]][0]
+    for t in uterms[1:]:
+        cand = np.intersect1d(cand, data[t][0], assume_unique=True)
+    if where:
+        cand = np.intersect1d(
+            cand, reader.filter_doc_ids(where), assume_unique=True
+        )
+    tomb = _with_tombstones(reader, None)
+    if tomb is not None:
+        cand = cand[~np.isin(cand, tomb, assume_unique=True)]
+    if cand.size == 0:
+        return []
+    # per-term occurrence streams restricted to candidates, keyed by doc
+    occ: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t in uterms:
+        ids, tfs, _, pos = data[t]
+        m = np.repeat(np.isin(ids, cand, assume_unique=True), tfs)
+        occ[t] = (np.repeat(ids, tfs)[m], pos[m])
+    n = len(seq)
+    verified = []
+    for d in cand.tolist():
+        merged_q, merged_tag = [], []
+        for j, t in enumerate(seq):
+            docs_t, pos_t = occ[t]
+            lo = np.searchsorted(docs_t, d, side="left")
+            hi = np.searchsorted(docs_t, d, side="right")
+            merged_q.append(pos_t[lo:hi] - j)
+            merged_tag.append(np.full(hi - lo, j, dtype=np.int64))
+        q = np.concatenate(merged_q)
+        tag = np.concatenate(merged_tag)
+        order = np.argsort(q, kind="stable")
+        q, tag = q[order], tag[order]
+        # two-pointer smallest window covering all n offsets
+        need = n
+        count = np.zeros(n, dtype=np.int64)
+        left = 0
+        ok = False
+        for right in range(q.size):
+            if count[tag[right]] == 0:
+                need -= 1
+            count[tag[right]] += 1
+            while need == 0:
+                if q[right] - q[left] <= slop:
+                    ok = True
+                    break
+                count[tag[left]] -= 1
+                if count[tag[left]] == 0:
+                    need += 1
+                left += 1
+            if ok:
+                break
+        if ok:
+            verified.append(d)
+    if not verified:
+        return []
+    v = np.array(verified, dtype=np.int64)
+    scores = np.zeros(v.size)
+    for t in uterms:
+        ids, tfs, dls, _ = data[t]
+        idx = np.searchsorted(ids, v)
+        scores += bm25.score_np(tfs[idx], tps[t].idf, dls[idx], reader.avgdl)
+    if round_digits is not None:
+        scores = np.round(scores, round_digits)
+    order = np.lexsort((v, -scores))[:k]
+    return [(int(v[i]), float(scores[i])) for i in order]
 
 
 def search_lm(

@@ -48,8 +48,12 @@ def test_near_via_parser(pos_reader):
     assert search(pos_reader, '"join hash"~2', k=5) == search_near(
         pos_reader, "join", "hash", slop=2, k=5
     )
-    with pytest.raises(ValueError):
-        search(pos_reader, '"a b c"~2')  # exactly two terms
+    # 3+-term ~N routes to the sloppy phrase (A71), no longer an error
+    from miru_spark.plans.search import search_phrase_sloppy
+
+    assert search(pos_reader, '"the a data"~2', k=5) == search_phrase_sloppy(
+        pos_reader, "the a data", slop=2, k=5
+    )
     with pytest.raises(ValueError):
         search_near(pos_reader, "the", "the", slop=1)
 
@@ -115,3 +119,40 @@ def test_span_first_monotone_and_degenerate(pos_reader):
     assert full == plain
     with pytest.raises(ValueError):
         search_span_first(pos_reader, "the", 0)
+
+
+# ---- sloppy n-term phrase (ES match_phrase slop, alignment window) ---------
+
+
+@pytest.mark.parametrize(
+    "phrase,slop",
+    [("the a data", 2), ("the a data", 0), ("join hash the", 4),
+     ("the a", 3), ("the the a", 2), ("the zzz_missing a", 5)],
+    ids=lambda x: str(x),
+)
+def test_sloppy_phrase_matches_oracle(pos_reader, duck, phrase, slop):
+    from miru_spark.plans.relational import bm25_sloppy_phrase_oracle_sql
+    from miru_spark.plans.search import search_phrase_sloppy
+
+    got = search_phrase_sloppy(pos_reader, phrase, slop=slop, k=10)
+    exp = duck.execute(
+        bm25_sloppy_phrase_oracle_sql(phrase.split(), slop, k=10)
+    ).fetchall()
+    assert got == [(int(d), float(s)) for d, s in exp]
+
+
+def test_sloppy_phrase_properties(pos_reader):
+    """slop=0 == exact consecutive phrase (doc sets); match set is
+    monotone in slop; validation errors."""
+    from miru_spark.plans.search import search_phrase, search_phrase_sloppy
+
+    s0 = {d for d, _ in search_phrase_sloppy(pos_reader, "the a", 0, k=10**9)}
+    ex = {d for d, _ in search_phrase(pos_reader, "the a", k=10**9)}
+    assert s0 == ex and s0
+    tight = {d for d, _ in search_phrase_sloppy(pos_reader, "the a data", 1, k=10**9)}
+    wide = {d for d, _ in search_phrase_sloppy(pos_reader, "the a data", 6, k=10**9)}
+    assert tight <= wide
+    with pytest.raises(ValueError):
+        search_phrase_sloppy(pos_reader, "single", 2)
+    with pytest.raises(ValueError):
+        search_phrase_sloppy(pos_reader, "the a", -1)
