@@ -435,6 +435,38 @@ class IndexReader:
                 (int(v) for v in tbl.column("df").to_pylist()))
         )
 
+    def expand_term_range(
+        self,
+        lo: str,
+        hi: str,
+        include_lo: bool = True,
+        include_hi: bool = True,
+        max_terms: int = 1024,
+    ) -> list[str]:
+        """All index terms in the lexicographic range [lo, hi] (bounds
+        optionally exclusive) — Lucene TermRangeQuery's rewrite source.
+        The range predicate itself is the statistics prune: the dictionary
+        is term-sorted, so only files/row-groups whose term min/max
+        overlap [lo, hi] are read."""
+        if not lo or not hi or lo > hi:
+            raise ValueError("need lo <= hi, both non-empty")
+        import pyarrow.compute as pc
+
+        f = pc.field("term")
+        flt = (f >= lo) if include_lo else (f > lo)
+        flt &= (f <= hi) if include_hi else (f < hi)
+        terms = sorted(
+            self._term_dict().to_table(columns=["term"], filter=flt)
+            .column("term")
+            .to_pylist()
+        )
+        if len(terms) > max_terms:
+            raise ValueError(
+                f"range [{lo!r}, {hi!r}] expands to {len(terms)} terms "
+                f"(> max_terms={max_terms}); narrow the range"
+            )
+        return terms
+
     def expand_regex(self, pattern: str, max_terms: int = 1024) -> list[str]:
         """Vocabulary terms fully matching ``pattern`` (grep-style code
         search). The pattern's longest LITERAL prefix (chars before the

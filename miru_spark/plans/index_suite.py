@@ -534,6 +534,34 @@ def _mk_lm(terms, mode, mu):
     return run
 
 
+def _mk_term_range(lo, hi, il, ih):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_term_range
+
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search_term_range(
+                reader, lo, hi, include_lo=il, include_hi=ih, k=10
+            )
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
+def _mk_matrix_stats(terms, mode):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_matrix_stats
+
+        reader = ensure_index(spark, sf_dir)
+        return search_matrix_stats(reader, terms, mode=mode)
+
+    return run
+
+
 def _mk_sloppy_phrase(phrase, slop):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -1388,6 +1416,7 @@ def register_all(register) -> None:
         bm25_delete_oracle_sql,
         bm25_near_oracle_sql,
         bm25_regex_oracle_sql,
+        bm25_term_range_oracle_sql,
         bm25_sloppy_phrase_oracle_sql,
         bm25_span_first_oracle_sql,
         lm_dirichlet_oracle_sql,
@@ -1396,6 +1425,7 @@ def register_all(register) -> None:
         facet_rollup_oracle_sql,
         field_stats_oracle_sql,
         histogram_oracle_sql,
+        matrix_stats_oracle_sql,
         mlt_oracle_sql,
         snippet_oracle_sql,
         sorted_oracle_sql,
@@ -1529,6 +1559,12 @@ def register_all(register) -> None:
          _mk_grammar("d*p"),
          bm25_regex_oracle_sql("d.*p"),
          DS),
+        # A72 term range (Lucene TermRangeQuery): vocabulary slice
+        # ['d', 'k') scoring-boolean rewritten, statistics-pruned seek
+        ("bm25_index_term_range",
+         _mk_term_range("d", "k", True, False),
+         bm25_term_range_oracle_sql("d", "k", True, False),
+         DS),
     ])
     register_composite(register, "bm25_index_fuzzy", [
         (n, _mk_fuzzy(p), bm25_fuzzy_oracle_sql(p, max_edits=1), DS)
@@ -1647,6 +1683,13 @@ def register_all(register) -> None:
          _mk_percentiles(["the", "a"], "conjunctive"),
          _percentiles_oracle(["the", "a"], "conjunctive"),
          ("pct", "value")),
+        # A73 matrix_stats (ES matrix_stats): exact-integer moment sums ->
+        # means/variances/covariance/correlation of (doc_len, doc_id)
+        ("bm25_index_matrix_stats",
+         _mk_matrix_stats(["the", "a"], "conjunctive"),
+         matrix_stats_oracle_sql(["the", "a"], "conjunctive"),
+         ("n_docs", "mean_x", "mean_y", "var_x", "var_y",
+          "covariance", "correlation")),
         # A67 adjacency_matrix (ES): per-filter + pairwise-intersection
         # doc counts over named conjunctive term filters
         ("bm25_index_adjacency",

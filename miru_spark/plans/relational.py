@@ -324,6 +324,27 @@ def bm25_prefix_oracle_sql(prefix: str, k: int = 10, round_digits: int = 6) -> s
     )
 
 
+def bm25_term_range_oracle_sql(
+    lo: str,
+    hi: str,
+    include_lo: bool = True,
+    include_hi: bool = True,
+    k: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """Oracle for a term range query (A72 — Lucene TermRangeQuery):
+    disjunctive BM25 over every vocabulary term in [lo, hi]."""
+    if not lo or not hi or lo > hi:
+        raise ValueError("need lo <= hi, both non-empty")
+    lo_op = ">=" if include_lo else ">"
+    hi_op = "<=" if include_hi else "<"
+    return _expansion_oracle_sql(
+        f"term {lo_op} '{_sql_quote(lo)}' AND term {hi_op} '{_sql_quote(hi)}'",
+        k,
+        round_digits,
+    )
+
+
 def bm25_regex_oracle_sql(pattern: str, k: int = 10, round_digits: int = 6) -> str:
     """Oracle for a regex term query: disjunctive BM25 over every
     vocabulary term fully matching the pattern (RE2 full-match; use
@@ -919,6 +940,38 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(doc_len) AS BIGINT) AS sum_v,
        round(avg(doc_len), 6) AS avg_v
 FROM cand JOIN dl USING(doc_id)
+""".strip()
+
+
+def matrix_stats_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    tok_sql: str = DEFAULT_TOK_SQL,
+) -> str:
+    """Twin of plans.search.search_matrix_stats (A73 — ES matrix_stats) for
+    the (doc_len, doc_id) pair: the SAME exact-integer moment sums, the
+    SAME float derivations — both engines divide identical longs, so the
+    rounded statistics cannot drift with partition merge order."""
+    return f"""
+{_candidate_ctes(terms, mode, tok_sql)},
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(doc_len) AS BIGINT) AS sx,
+             CAST(sum(doc_id) AS BIGINT) AS sy,
+             CAST(sum(doc_len*doc_len) AS BIGINT) AS sxx,
+             CAST(sum(doc_id*doc_id) AS BIGINT) AS syy,
+             CAST(sum(doc_len*doc_id) AS BIGINT) AS sxy
+      FROM cand JOIN dl USING(doc_id))
+SELECT n AS n_docs,
+       round(sx / CAST(n AS DOUBLE), 6) AS mean_x,
+       round(sy / CAST(n AS DOUBLE), 6) AS mean_y,
+       round((sxx - sx*sx / CAST(n AS DOUBLE)) / (n - 1), 6) AS var_x,
+       round((syy - sy*sy / CAST(n AS DOUBLE)) / (n - 1), 6) AS var_y,
+       round((sxy - sx*sy / CAST(n AS DOUBLE)) / (n - 1), 6) AS covariance,
+       round(((sxy - sx*sy / CAST(n AS DOUBLE)) / (n - 1))
+             / sqrt(((sxx - sx*sx / CAST(n AS DOUBLE)) / (n - 1))
+                    * ((syy - sy*sy / CAST(n AS DOUBLE)) / (n - 1))), 6)
+         AS correlation
+FROM s
 """.strip()
 
 

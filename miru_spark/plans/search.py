@@ -717,6 +717,32 @@ def search_prefix(
     return search_topk(reader, terms, mode="disjunctive", k=k, strategy=strategy)
 
 
+def search_term_range(
+    reader: IndexReader,
+    lo: str,
+    hi: str,
+    include_lo: bool = True,
+    include_hi: bool = True,
+    k: int = 10,
+    max_terms: int = 1024,
+    strategy: str = "auto",
+) -> list[tuple[int, float]]:
+    """Term range query (Lucene TermRangeQuery / ES range on a keyword
+    field): every vocabulary term lexicographically within [lo, hi]
+    (bounds optionally exclusive), rewritten scoring-boolean — disjunctive
+    BM25 over the expansions, each scored with its own idf. Same rewrite
+    discipline as prefix/regex/fuzzy: the dictionary seek is
+    statistics-pruned, the expansion count is capped, the serving path is
+    the shared one."""
+    terms = reader.expand_term_range(
+        lo, hi, include_lo=include_lo, include_hi=include_hi,
+        max_terms=max_terms,
+    )
+    if not terms:
+        return []
+    return search_topk(reader, terms, mode="disjunctive", k=k, strategy=strategy)
+
+
 def search_fuzzy(
     reader: IndexReader,
     term: str,
@@ -1182,6 +1208,55 @@ def search_field_stats(
         F.max(col).cast("long").alias("max_v"),
         F.sum(col).cast("long").alias("sum_v"),
         F.round(F.avg(col), 6).alias("avg_v"),
+    )
+
+
+def search_matrix_stats(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    col_x: str = "doc_len",
+    col_y: str = "doc_id",
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A73 — matrix_stats aggregation (ES ``matrix_stats``): second-moment
+    statistics of a numeric docmap field PAIR over the candidate set —
+    count, means, sample variances, covariance, Pearson correlation.
+
+    Numerically disciplined: the single hash agg accumulates EXACT integer
+    moment sums (n, Σx, Σy, Σx², Σy², Σxy — map-side combinable longs, a
+    handful of numbers per partition at any corpus size), and the float
+    statistics derive from them in one final projection. Exact integer
+    partials make the result independent of partition merge order — the
+    same discipline as the B27 integer-cents oracle."""
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
+    ).select("doc_id")
+    cols = ["doc_id"] + [c for c in (col_x, col_y) if c != "doc_id"]
+    dm = reader.docmap_df().select(*cols)
+    x, y = F.col(col_x).cast("long"), F.col(col_y).cast("long")
+    sums = cand.join(dm, "doc_id").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    covar = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    return sums.select(
+        F.col("n").alias("n_docs"),
+        F.round(F.col("sx") / n, 6).alias("mean_x"),
+        F.round(F.col("sy") / n, 6).alias("mean_y"),
+        F.round(var_x, 6).alias("var_x"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(covar, 6).alias("covariance"),
+        F.round(covar / F.sqrt(var_x * var_y), 6).alias("correlation"),
     )
 
 

@@ -1,0 +1,80 @@
+"""Term range queries (TermRangeQuery) + matrix_stats aggregation."""
+
+from __future__ import annotations
+
+import pytest
+
+from miru_spark.plans.relational import (
+    bm25_term_range_oracle_sql,
+    matrix_stats_oracle_sql,
+)
+from miru_spark.plans.search import search_matrix_stats, search_term_range
+
+
+@pytest.fixture(scope="module")
+def reader(spark, tmp_path_factory):
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.schema import read_corpus
+    from tests.conftest import SF_DIR
+
+    p = str(tmp_path_factory.mktemp("tridx") / "idx")
+    build_index(spark, read_corpus(spark, SF_DIR), p, num_partitions=4)
+    return IndexReader(spark, p)
+
+
+@pytest.mark.parametrize(
+    "lo,hi,il,ih",
+    [("d", "f", True, True), ("join", "merge", True, False),
+     ("a", "b", False, True), ("x", "z", True, True)],
+    ids=lambda x: str(x),
+)
+def test_term_range_matches_oracle(reader, duck, lo, hi, il, ih):
+    got = [(d, round(s, 6))
+           for d, s in search_term_range(reader, lo, hi, il, ih, k=10)]
+    exp = duck.execute(bm25_term_range_oracle_sql(lo, hi, il, ih, k=10)).fetchall()
+    assert got == [(int(d), float(s)) for d, s in exp]
+
+
+def test_term_range_expansion_and_bounds(reader):
+    """Expansion equals the vocabulary slice; bound toggles drop exactly
+    the endpoint terms; validation."""
+    full = reader.expand_term_range("data", "join")
+    assert full and full == sorted(full)
+    assert all("data" <= t <= "join" for t in full)
+    assert "data" not in reader.expand_term_range("data", "join", include_lo=False)
+    assert "join" not in reader.expand_term_range("data", "join", include_hi=False)
+    with pytest.raises(ValueError):
+        reader.expand_term_range("z", "a")
+    with pytest.raises(ValueError):
+        reader.expand_term_range("a", "zz", max_terms=2)
+
+
+@pytest.mark.parametrize(
+    "terms,mode",
+    [(["the", "a"], "conjunctive"), (["join"], "disjunctive")],
+    ids=lambda x: str(x),
+)
+def test_matrix_stats_matches_oracle(reader, duck, terms, mode):
+    got = [tuple(r) for r in search_matrix_stats(reader, terms, mode=mode).collect()]
+    want = [tuple(r) for r in duck.execute(matrix_stats_oracle_sql(terms, mode)).fetchall()]
+    assert got == want
+
+
+def test_matrix_stats_numpy_identity(reader):
+    """Independent numpy recompute (sample moments) of the same stats."""
+    import numpy as np
+
+    from miru_spark.plans.search import search_distributed
+
+    cand = {r.doc_id for r in search_distributed(
+        reader, ["the", "a"], mode="conjunctive", k=None, round_digits=None
+    ).select("doc_id").collect()}
+    dm = {r.doc_id: r.doc_len for r in reader.docmap_df().collect()}
+    x = np.array([dm[d] for d in sorted(cand)], dtype=np.float64)
+    y = np.array(sorted(cand), dtype=np.float64)
+    row = search_matrix_stats(reader, ["the", "a"], mode="conjunctive").first()
+    assert row["n_docs"] == len(cand)
+    assert abs(row["var_x"] - np.var(x, ddof=1)) < 1e-5
+    assert abs(row["covariance"] - np.cov(x, y, ddof=1)[0, 1]) < 1e-5
+    assert abs(row["correlation"] - np.corrcoef(x, y)[0, 1]) < 1e-5
