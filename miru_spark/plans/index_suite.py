@@ -1268,6 +1268,37 @@ def q_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+def q_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A74 — multi_match type=cross_fields (ES BlendedTermQuery): blended
+    per-term df across content+path, term contribution = max weighted
+    per-field BM25, conjunctive = every term in SOME field ('txt' lives
+    only in path, 'join' only in content — best_fields/AND rejects this
+    doc set, cross_fields accepts it)."""
+    from miru_spark.plans.multifield import (
+        build_multifield_index,
+        open_field_readers,
+        search_fields_cross,
+    )
+    from miru_spark.schema import read_corpus
+
+    if sf_dir not in _MF_IDX:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="miru_mf_") + "/idx"
+        build_multifield_index(
+            spark, read_corpus(spark, sf_dir), base, num_partitions=8
+        )
+        _MF_IDX[sf_dir] = base
+    readers = open_field_readers(spark, _MF_IDX[sf_dir])
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_fields_cross(
+            readers, ["txt", "join"], weights=_MF_WEIGHTS, mode="conjunctive"
+        )
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 _SIG_ARGS = dict(mode="disjunctive", top_n=10, min_doc_count=3)
 
 
@@ -1743,6 +1774,7 @@ def register_all(register) -> None:
     from miru_spark.plans.relational import (
         DEFAULT_TOK_SQL,
         EDGE_TOK_SQL,
+        bm25_cross_fields_oracle_sql,
         bm25_dismax_oracle_sql,
         bm25_multifield_oracle_sql,
     )
@@ -1772,6 +1804,14 @@ def register_all(register) -> None:
         ("edge_ngram", q_edge_ngram,
          bm25_oracle_sql(["jo", "ha"], "conjunctive",
                          tok_sql=EDGE_TOK_SQL), DS),
+        # A74 cross_fields (BlendedTermQuery): term-centric AND across
+        # fields, blended df — completes the multi_match trio
+        ("cross_fields", q_cross_fields,
+         bm25_cross_fields_oracle_sql(
+             ["txt", "join"],
+             {"content": (DEFAULT_TOK_SQL, _MF_WEIGHTS["content"]),
+              "path": (_MF_PATH_TOK, _MF_WEIGHTS["path"])},
+             "conjunctive"), DS),
         # A51 dis_max best_fields: max + 0.3 * rest across field subqueries
         ("dismax", q_dismax,
          bm25_dismax_oracle_sql(

@@ -165,6 +165,90 @@ def search_fields(
     return [(int(uids[i]), float(agg[i])) for i in order]
 
 
+def search_fields_cross(
+    readers: dict[str, IndexReader],
+    terms: list[str],
+    weights: dict | None = None,
+    mode: str = "disjunctive",
+    k: int = 10,
+    where: dict | None = None,
+) -> list[tuple[int, float]]:
+    """A74 — multi_match ``type=cross_fields`` (ES BlendedTermQuery):
+    TERM-centric field blending, the third multi_match type beside
+    most_fields (A36, field sums) and best_fields (A51, field dis-max).
+
+    Per term t: the document frequency is BLENDED across fields —
+    df_blend(t) = max_f df_f(t) — so every field's subquery shares ONE idf
+    (computed against n_blend = max_f n_docs_f), killing the per-field idf
+    skew that makes rare-in-one-field terms dominate; the term's
+    contribution for a doc is the MAX weighted per-field BM25 (the
+    BlendedTermQuery dis-max rewrite), and the doc's score sums term
+    contributions. Matching is term-centric: conjunctive requires every
+    term in SOME field — 'john smith' over (first, last) name fields
+    matches john in one field + smith in the other, the document both
+    most_fields/AND and best_fields/AND reject."""
+    from miru_spark.plans.search import _with_tombstones
+
+    if mode not in ("disjunctive", "conjunctive"):
+        raise ValueError(f"unknown mode {mode!r}")
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    w = _norm_weights(readers, weights)
+    n_blend = float(max(r.n_docs for r in readers.values()))
+    excl: np.ndarray | None = None
+    fetched = {}
+    for fname, reader in readers.items():
+        excl = _with_tombstones(reader, excl)
+        if w[fname] != 0.0:
+            fetched[fname] = reader.fetch_terms(terms)
+    term_ids: list[np.ndarray] = []
+    term_scores: list[np.ndarray] = []
+    per_term_sets: dict[str, np.ndarray] = {}
+    for t in terms:
+        dfs = [
+            fetched[f][t].df for f in fetched if t in fetched[f]
+        ]
+        if not dfs:
+            if mode == "conjunctive":
+                return []
+            continue
+        idf = float(bm25.idf_np(max(dfs), n_blend))
+        ids_l, s_l = [], []
+        for fname, tps in fetched.items():
+            if t not in tps:
+                continue
+            reader = readers[fname]
+            ids, tfs, dls = reader.decode_term(tps[t])
+            ids_l.append(ids.astype(np.int64))
+            s_l.append(
+                bm25.score_np(tfs, idf, dls, reader.avgdl) * w[fname]
+            )
+        uids_t, inv = np.unique(np.concatenate(ids_l), return_inverse=True)
+        mx = np.zeros(uids_t.size)
+        np.maximum.at(mx, inv, np.concatenate(s_l))  # scores are >= 0
+        term_ids.append(uids_t)
+        term_scores.append(mx)
+        per_term_sets[t] = uids_t
+    if not term_ids:
+        return []
+    uids, inv = np.unique(np.concatenate(term_ids), return_inverse=True)
+    agg = np.zeros(uids.size)
+    np.add.at(agg, inv, np.concatenate(term_scores))
+    keep = np.ones(uids.size, dtype=bool)
+    if mode == "conjunctive":
+        for t in terms:
+            keep &= np.isin(uids, per_term_sets[t], assume_unique=True)
+    if excl is not None and excl.size:
+        keep &= ~np.isin(uids, excl, assume_unique=True)
+    if where:
+        incl = next(iter(readers.values())).filter_doc_ids(where)
+        keep &= np.isin(uids, incl, assume_unique=True)
+    uids, agg = uids[keep], agg[keep]
+    order = np.lexsort((uids, -agg))[:k]
+    return [(int(uids[i]), float(agg[i])) for i in order]
+
+
 _MF_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

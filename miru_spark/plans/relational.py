@@ -792,6 +792,61 @@ ORDER BY g.grk, i.rk
 """.strip()
 
 
+def bm25_cross_fields_oracle_sql(
+    terms: list[str],
+    field_toks: dict[str, tuple[str, float]],
+    mode: str = "disjunctive",
+    k: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """Twin of plans.multifield.search_fields_cross (A74 — ES
+    ``cross_fields`` / BlendedTermQuery): per term, df is blended as the
+    MAX across fields (one idf vs n_blend = max field doc count), the
+    term-doc contribution is the max weighted per-field BM25, docs sum
+    term contributions; conjunctive = every term in SOME field."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    values = ",".join("('" + t.replace("'", "''") + "')" for t in terms)
+    names = sorted(field_toks)
+    ctes, unions, ncounts, dfu = [], [], [], []
+    for i, fname in enumerate(names):
+        tok_sql, weight = field_toks[fname]
+        ctes.append(
+            f"tok{i} AS ({tok_sql}),\n"
+            f"tf{i} AS (SELECT doc_id, term, count(*)::DOUBLE tf "
+            f"FROM tok{i} WHERE term<>'' GROUP BY 1,2),\n"
+            f"dl{i} AS (SELECT doc_id, sum(tf) dl FROM tf{i} GROUP BY 1),\n"
+            f"st{i} AS (SELECT avg(dl) avgdl FROM dl{i}),\n"
+            f"df{i} AS (SELECT term, count(*)::DOUBLE df FROM tf{i} GROUP BY 1)"
+        )
+        ncounts.append(f"(SELECT count(*) FROM dl{i})")
+        dfu.append(f"SELECT term, df FROM df{i}")
+        unions.append(
+            f"SELECT tf{i}.doc_id, tf{i}.term,\n"
+            f"    {float(weight)!r} * ln(1+(nb.n-dfb.dfb+0.5)/(dfb.dfb+0.5))\n"
+            f"      * tf{i}.tf*(1.2+1)/(tf{i}.tf+1.2*(1-0.75+0.75*dl{i}.dl/st{i}.avgdl)) AS s\n"
+            f"  FROM tf{i} JOIN q USING(term) JOIN dfb USING(term) "
+            f"JOIN dl{i} USING(doc_id), st{i}, nb"
+        )
+    conj = (
+        "WHERE nmatch = (SELECT count(*) FROM q)"
+        if mode == "conjunctive"
+        else ""
+    )
+    return f"""
+WITH q(term) AS (VALUES {values}),
+{",".join(ctes)},
+nb AS (SELECT greatest({", ".join(ncounts)})::DOUBLE n),
+dfb AS (SELECT term, max(df) dfb FROM ({" UNION ALL ".join(dfu)}) GROUP BY 1),
+u AS ({" UNION ALL ".join(unions)}),
+tb AS (SELECT doc_id, term, max(s) s FROM u GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(s) raw, count(*) nmatch FROM tb GROUP BY 1)
+SELECT doc_id, round(raw, {round_digits}) AS score FROM agg {conj}
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def bm25_dismax_oracle_sql(
     terms: list[str],
     field_toks: dict[str, tuple[str, float]],

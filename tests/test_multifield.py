@@ -185,3 +185,98 @@ def test_weight_validation(mf_readers):
         search_fields(mf_readers, ["the"], weights={"content": -1.0})
     with pytest.raises(ValueError, match="empty term list"):
         search_fields(mf_readers, [])
+
+
+# ---- A74 cross_fields (ES BlendedTermQuery, term-centric blending) ---------
+
+
+def _cross_oracle(terms, mode, k=10):
+    from miru_spark.plans.relational import (
+        DEFAULT_TOK_SQL,
+        bm25_cross_fields_oracle_sql,
+    )
+
+    return bm25_cross_fields_oracle_sql(
+        terms,
+        {"content": (DEFAULT_TOK_SQL, WEIGHTS["content"]),
+         "path": (PATH_TOK, WEIGHTS["path"])},
+        mode, k=k,
+    )
+
+
+@pytest.mark.parametrize(
+    "mode,terms",
+    [("disjunctive", ["the", "00007"]), ("conjunctive", ["the", "00007"]),
+     ("conjunctive", ["txt", "join"]), ("disjunctive", ["doc"])],
+    ids=lambda x: str(x),
+)
+def test_cross_fields_matches_oracle(mf_readers, mode, terms):
+    from miru_spark.plans.multifield import search_fields_cross
+
+    got = _r6(search_fields_cross(mf_readers, terms, weights=WEIGHTS, mode=mode))
+    assert got == _duck(_cross_oracle(terms, mode))
+
+
+def test_cross_fields_term_centric_and(mf_readers):
+    """'txt join' conjunctive: txt exists only in path, join only in
+    content — cross_fields (term in SOME field) matches; best_fields
+    (one field must contain every term) rejects every doc."""
+    from miru_spark.plans.dismax import search_fields_dismax
+    from miru_spark.plans.multifield import search_fields_cross
+
+    cross = search_fields_cross(
+        mf_readers, ["txt", "join"], weights=WEIGHTS, mode="conjunctive"
+    )
+    best = search_fields_dismax(
+        mf_readers, ["txt", "join"], weights=WEIGHTS, mode="conjunctive"
+    )
+    assert cross and not best
+
+
+def test_cross_fields_degenerate_identity(mf_readers):
+    """No term of this corpus occurs in BOTH fields, so blending is the
+    identity: for a single-field term, cross_fields == most_fields exactly
+    (blend-of-one df, max-of-one contribution)."""
+    from miru_spark.plans.multifield import search_fields, search_fields_cross
+
+    cross = search_fields_cross(mf_readers, ["doc"], weights=WEIGHTS, k=1000)
+    most = search_fields(mf_readers, ["doc"], weights=WEIGHTS, k=1000)
+    assert cross == most and cross
+
+
+def test_cross_fields_blended_df_on_spanning_term(spark, tmp_path_factory):
+    """A term living in BOTH fields with different dfs: the blended df
+    (max across fields) must change scores vs most_fields' per-field idf,
+    and the term-doc contribution must be the MAX field score, not the
+    sum."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.plans.multifield import (
+        build_multifield_index,
+        open_field_readers,
+        search_fields,
+        search_fields_cross,
+    )
+
+    rows = [
+        # 'alpha' in EVERY path, but only docs 0-1 have it in content
+        (0, "alpha beta common", "alpha_0.txt"),
+        (1, "alpha gamma common", "alpha_1.txt"),
+        (2, "delta beta common", "alpha_2.txt"),
+        (3, "gamma delta common", "alpha_3.txt"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, content string, path string"
+    ).withColumn("repo", F.lit("r")).withColumn("lang", F.lit("en")) \
+        .withColumn("commit", F.lit("v0"))
+    base = str(tmp_path_factory.mktemp("mfspan") / "idx")
+    build_multifield_index(spark, corpus, base, num_partitions=2)
+    readers = open_field_readers(spark, base)
+    w = {"content": 1.0, "path": 1.0}
+    cross = dict(search_fields_cross(readers, ["alpha"], weights=w, k=100))
+    most = dict(search_fields(readers, ["alpha"], weights=w, k=100))
+    assert set(cross) == set(most) == {0, 1, 2, 3}
+    # docs 0-1 match in both fields: most SUMS the two contributions,
+    # cross takes the max — and the blended df (4, from path) lowers the
+    # content-side idf (df 2) — so values must differ there
+    assert any(abs(cross[d] - most[d]) > 1e-9 for d in (0, 1))
