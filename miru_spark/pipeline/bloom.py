@@ -27,17 +27,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _gram_col(n: int):
-    """Token n-gram array column over `text` — IDENTICAL derivation to
-    textqual.contamination_flags so the exact and Bloom paths agree."""
-    joined = ", ".join(f"element_at(toks, i+{j})" for j in range(n))
-    return F.when(
-        F.size("toks") >= n,
-        F.expr(
-            f"transform(sequence(1, size(toks)-{n - 1}), "
-            f"i -> concat_ws(' ', {joined}))"
-        ),
-    ).otherwise(F.expr("array()").cast("array<string>"))
+# the ONE gram derivation, shared with the exact semi-join twin — the
+# no-false-negatives guarantee requires token-identical grams on both paths
+from miru_spark.pipeline.textqual import ngram_col as _gram_col  # noqa: E402
 
 
 def _positions(grams: np.ndarray, n_bits: int, k_hashes: int) -> np.ndarray:
@@ -99,19 +91,27 @@ def contamination_flags_bloom(
     def probe(batches):
         local = bbits.value
         for pdf in batches:
-            hit = np.zeros(len(pdf), dtype=bool)
-            for row_i, grams in enumerate(pdf["grams"]):
-                g = np.asarray(grams, dtype=object)
-                if g.size == 0:
-                    continue
-                pos = _positions(g, n_bits, k_hashes)
-                present = (
-                    local[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))
-                ) != 0
-                hit[row_i] = bool(present.all(axis=1).any())
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"][hit]}
+            # batch-vectorized: ONE hash pass over every gram in the batch
+            # (two keyed hash_array calls total), then a per-row any()
+            # via count-reduceat over the row boundaries — no per-doc loop
+            lens = pdf["grams"].map(len).to_numpy(dtype=np.int64)
+            if lens.sum() == 0:
+                yield pd.DataFrame({"doc_id": pdf["doc_id"][:0]})
+                continue
+            flat = np.concatenate(
+                [np.asarray(g, dtype=object) for g in pdf["grams"] if len(g)]
             )
+            pos = _positions(flat, n_bits, k_hashes)
+            present = (
+                local[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))
+            ) != 0
+            # sentinel 0 keeps boundaries of trailing empty rows in range
+            gram_hit = np.append(present.all(axis=1).astype(np.int64), 0)
+            bounds = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(lens[:-1], out=bounds[1:])
+            counts = np.add.reduceat(gram_hit, bounds)
+            counts[lens == 0] = 0  # empty rows read a stray single element
+            yield pd.DataFrame({"doc_id": pdf["doc_id"][counts > 0]})
 
     toks = F.array_remove(F.split(F.col("text"), " "), "")
     cand = (

@@ -236,6 +236,21 @@ FROM r ORDER BY doc_id
 
 # --------------------------------------------------------- decontamination --
 
+def ngram_col(n: int):
+    """Token ``n``-gram array column over a ``toks`` column — THE single
+    gram derivation shared by the exact decontamination semi-join and the
+    Bloom scale path (`pipeline.bloom`): both twins' guarantees (shared
+    oracle, no-false-negatives subset) require token-identical grams."""
+    joined = ", ".join(f"element_at(toks, i+{j})" for j in range(n))
+    return F.when(
+        F.size("toks") >= n,
+        F.expr(
+            f"transform(sequence(1, size(toks)-{n - 1}), "
+            f"i -> concat_ws(' ', {joined}))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+
+
 def contamination_flags(
     docs: DataFrame, benchmark_ids: list[int], n: int = 8
 ) -> DataFrame:
@@ -245,16 +260,8 @@ def contamination_flags(
     the benchmark side is tiny (distinct grams of the eval set) so the
     join broadcasts, and the corpus side streams — no all-pairs stage."""
     toks = F.array_remove(F.split(F.col("text"), " "), "")
-    joined = ", ".join(f"element_at(toks, i+{j})" for j in range(n))
-    gram_expr = F.when(
-        F.size("toks") >= n,
-        F.expr(
-            f"transform(sequence(1, size(toks)-{n - 1}), "
-            f"i -> concat_ws(' ', {joined}))"
-        ),
-    ).otherwise(F.expr("array()").cast("array<string>"))
     grams = docs.select("doc_id", toks.alias("toks")).select(
-        "doc_id", F.explode(gram_expr).alias("g")
+        "doc_id", F.explode(ngram_col(n)).alias("g")
     )
     bench = [int(i) for i in benchmark_ids]
     bench_grams = grams.filter(F.col("doc_id").isin(bench)).select("g").distinct()

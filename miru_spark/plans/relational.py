@@ -1015,18 +1015,27 @@ s AS (SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(doc_len*doc_len) AS BIGINT) AS sxx,
              CAST(sum(doc_id*doc_id) AS BIGINT) AS syy,
              CAST(sum(doc_len*doc_id) AS BIGINT) AS sxy
-      FROM cand JOIN dl USING(doc_id))
+      FROM cand JOIN dl USING(doc_id)),
+d AS (SELECT n,
+             CAST(sx AS DOUBLE) sx, CAST(sy AS DOUBLE) sy,
+             CAST(sxx AS DOUBLE) sxx, CAST(syy AS DOUBLE) syy,
+             CAST(sxy AS DOUBLE) sxy,
+             CAST(n AS DOUBLE) nd
+      FROM s),
+v AS (SELECT n, nd, sx, sy,
+             (sxx - sx*sx / nd) / (nd - 1) AS vx,
+             (syy - sy*sy / nd) / (nd - 1) AS vy,
+             (sxy - sx*sy / nd) / (nd - 1) AS cv
+      FROM d)
 SELECT n AS n_docs,
-       round(sx / CAST(n AS DOUBLE), 6) AS mean_x,
-       round(sy / CAST(n AS DOUBLE), 6) AS mean_y,
-       round((sxx - sx*sx / CAST(n AS DOUBLE)) / (n - 1), 6) AS var_x,
-       round((syy - sy*sy / CAST(n AS DOUBLE)) / (n - 1), 6) AS var_y,
-       round((sxy - sx*sy / CAST(n AS DOUBLE)) / (n - 1), 6) AS covariance,
-       round(((sxy - sx*sy / CAST(n AS DOUBLE)) / (n - 1))
-             / sqrt(((sxx - sx*sx / CAST(n AS DOUBLE)) / (n - 1))
-                    * ((syy - sy*sy / CAST(n AS DOUBLE)) / (n - 1))), 6)
-         AS correlation
-FROM s
+       round(sx / nd, 6) AS mean_x,
+       round(sy / nd, 6) AS mean_y,
+       round(CASE WHEN n > 1 THEN vx END, 6) AS var_x,
+       round(CASE WHEN n > 1 THEN vy END, 6) AS var_y,
+       round(CASE WHEN n > 1 THEN cv END, 6) AS covariance,
+       round(CASE WHEN n > 1 AND vx > 0 AND vy > 0
+                  THEN cv / sqrt(vx * vy) END, 6) AS correlation
+FROM v
 """.strip()
 
 

@@ -566,8 +566,13 @@ def search(
         )
     if mode.startswith("near:"):
         if len(terms) > 2:
-            # 3+-term proximity routes to the sloppy phrase (alignment-
-            # window semantics); 2-term keeps the unordered-pair near
+            # Grammar semantics, pinned: 2-term '"a b"~N' is UNORDERED
+            # pair proximity (|pos_a - pos_b| <= N — Lucene span_near
+            # unordered, A28); 3+-term routes to the sloppy PHRASE
+            # (alignment window over q_j = p_j - j, A71), which is
+            # order-sensitive. The two measures intentionally differ —
+            # call search_phrase_sloppy directly for 2-term phrase-slop
+            # semantics (it accepts 2 tokens).
             return search_phrase_sloppy(
                 reader, " ".join(terms), slop=int(mode[5:]), k=k,
                 where=range_filters or None,
@@ -1245,18 +1250,32 @@ def search_matrix_stats(
         F.sum(y * y).alias("syy"),
         F.sum(x * y).alias("sxy"),
     )
+    # the SUMS stay exact longs (bound: n * max(x*y) < 2^63 — fine for
+    # doc_len-scale fields into the billions of docs; past that, swap the
+    # accumulators to decimal(38,0), same plan shape); the DERIVED products
+    # sx*sx etc. are computed in double — sy ~ 1e11 at 500k docs would
+    # overflow int64 when squared
     n = F.col("n").cast("double")
-    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
-    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
-    covar = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    var_x = (F.col("sxx") - sx * sx / n) / (n - 1)
+    var_y = (F.col("syy") - sy * sy / n) / (n - 1)
+    covar = (F.col("sxy") - sx * sy / n) / (n - 1)
+    # n=1 (no sample variance) and zero-variance (constant field) yield
+    # NULL, never a divide-by-zero — mirrored exactly in the SQL twin
+    guard = F.col("n") > 1
+    var_x_g = F.when(guard, var_x)
+    var_y_g = F.when(guard, var_y)
+    corr = F.when(
+        guard & (var_x > 0) & (var_y > 0), covar / F.sqrt(var_x * var_y)
+    )
     return sums.select(
         F.col("n").alias("n_docs"),
-        F.round(F.col("sx") / n, 6).alias("mean_x"),
-        F.round(F.col("sy") / n, 6).alias("mean_y"),
-        F.round(var_x, 6).alias("var_x"),
-        F.round(var_y, 6).alias("var_y"),
-        F.round(covar, 6).alias("covariance"),
-        F.round(covar / F.sqrt(var_x * var_y), 6).alias("correlation"),
+        F.round(sx / n, 6).alias("mean_x"),
+        F.round(sy / n, 6).alias("mean_y"),
+        F.round(var_x_g, 6).alias("var_x"),
+        F.round(var_y_g, 6).alias("var_y"),
+        F.round(F.when(guard, covar), 6).alias("covariance"),
+        F.round(corr, 6).alias("correlation"),
     )
 
 

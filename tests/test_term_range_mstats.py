@@ -78,3 +78,14 @@ def test_matrix_stats_numpy_identity(reader):
     assert abs(row["var_x"] - np.var(x, ddof=1)) < 1e-5
     assert abs(row["covariance"] - np.cov(x, y, ddof=1)[0, 1]) < 1e-5
     assert abs(row["correlation"] - np.corrcoef(x, y)[0, 1]) < 1e-5
+
+
+def test_matrix_stats_single_doc_yields_nulls(reader, duck):
+    """n=1 candidate set: no sample variance exists — both engines return
+    NULL for var/covar/corr (never a divide-by-zero or inf/NaN mismatch)."""
+    terms = ["join", "hash", "dup", "sort", "merge"]  # conj -> few/one doc
+    got = search_matrix_stats(reader, terms, mode="conjunctive").first()
+    want = duck.execute(matrix_stats_oracle_sql(terms, "conjunctive")).fetchone()
+    assert tuple(got) == tuple(want)
+    if got["n_docs"] == 1:
+        assert got["var_x"] is None and got["correlation"] is None
