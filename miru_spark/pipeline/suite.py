@@ -207,6 +207,14 @@ def sql_clean():
     )
 
 
+def q_perplexity(spark, sf):
+    from miru_spark.pipeline.lm import perplexity, train_bigram_lm
+
+    docs = _docs(spark, sf)
+    bg, uni, v = train_bigram_lm(docs)
+    return perplexity(docs, bg, uni, v)
+
+
 def q_text_quality(spark, sf):
     from miru_spark.pipeline.textqual import text_quality
 
@@ -376,6 +384,7 @@ def register_all(register) -> None:
         text_quality_oracle_sql,
         token_counts_oracle_sql,
     )
+    from miru_spark.pipeline.lm import perplexity_oracle_sql
     from miru_spark.plans.composite import register_composite
 
     register_composite(register, "pipe_dedup_exact", [
@@ -429,6 +438,10 @@ def register_all(register) -> None:
          ("bucket", "n_docs")),
         ("pipe_token_counts", q_token_counts, token_counts_oracle_sql(),
          ("doc_id", "n_ws_tokens", "n_bpe_tokens", "chars_per_token")),
+        # bigram-LM perplexity (the CCNet quality signal): self-trained
+        # add-k model, train + score are pure hash-agg/join plans
+        ("pipe_perplexity", q_perplexity, perplexity_oracle_sql(),
+         ("doc_id", "n_bigrams", "avg_nll", "ppl")),
     ])
     register("pipe_lang_id", q_lang_id, lang_id_oracle_sql())
     register("pipe_winnow_pairs", q_winnow_pairs, None)
