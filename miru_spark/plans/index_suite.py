@@ -731,6 +731,34 @@ GROUP BY term ORDER BY df DESC, term LIMIT 5
 """.strip()
 
 
+_LM_CACHE: dict[str, tuple] = {}
+
+
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A75 — ES phrase suggester: 'joinn hashh' -> 'join hash' via fuzzy
+    candidate generation + bigram-LM rerank (self-trained corpus model)."""
+    from miru_spark.pipeline.lm import train_bigram_lm
+    from miru_spark.plans.didyoumean import suggest_phrase
+    from miru_spark.plans.flagship import ensure_index
+
+    reader = ensure_index(spark, sf_dir)
+    if sf_dir not in _LM_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _LM_CACHE[sf_dir] = train_bigram_lm(docs)
+    bg, uni, v = _LM_CACHE[sf_dir]
+    rows = suggest_phrase(reader, "joinn hashh", bg, uni, v, top_n=3)
+    return spark.createDataFrame(rows, "suggestion string, score double")
+
+
+def _phrase_suggest_sql():
+    from miru_spark.plans.didyoumean import phrase_suggest_oracle_sql
+
+    return phrase_suggest_oracle_sql("joinn", "hashh", top_n=3)
+
+
+_PHRASE_SUGGEST_SQL = _phrase_suggest_sql()
+
+
 def q_spell(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Did-you-mean (Lucene DirectSpellChecker): corrections for the typo
     'sow' within 1 edit, more-popular-only, ranked (dist, df desc, term)."""
@@ -1743,6 +1771,10 @@ def register_all(register) -> None:
         # A37 spell correction: fuzzy-dictionary neighbors of a typo,
         # more-popular-only, (dist, df desc, term) rank
         ("spell", q_spell, SQL_SPELL, ("term", "dist", "df")),
+        # A75 phrase suggester (ES phrase suggest): whole-query
+        # did-you-mean — fuzzy candidates per token, bigram-LM rerank
+        ("phrase_suggest", q_phrase_suggest,
+         _PHRASE_SUGGEST_SQL, ("suggestion", "score")),
     ])
     register(
         "bm25_index_resume", q_index_resume,
