@@ -55,6 +55,17 @@ def _relaxed(schema):
     )
 
 
+def lev_dist_bounded(a: str, b: str, max_edits: int) -> int:
+    """Exact edit distance when <= ``max_edits``, else ``max_edits + 1`` —
+    THE bounded-distance helper shared by spell suggestion (A37) and the
+    phrase suggester (A75), so a future semantics change (e.g. Lucene-style
+    transpositions) lands in exactly one place."""
+    for d in range(max_edits + 1):
+        if _lev_within(a, b, d):
+            return d
+    return max_edits + 1
+
+
 def _lev_within(a: str, b: str, k: int) -> bool:
     """Banded Levenshtein: True iff dist(a, b) <= k; early-exits when a DP
     row's minimum exceeds k (Ukkonen's cutoff)."""

@@ -20,14 +20,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from miru_spark.index.reader import IndexReader, _lev_within
-
-
-def _lev_dist(a: str, b: str, max_edits: int) -> int:
-    for d in range(max_edits + 1):
-        if _lev_within(a, b, d):
-            return d
-    return max_edits + 1
+from miru_spark.index.reader import IndexReader, lev_dist_bounded as _lev_dist
 
 
 def suggest_phrase(
@@ -40,15 +33,24 @@ def suggest_phrase(
     max_candidates: int = 5,
     k_smooth: float = 0.5,
     top_n: int = 3,
+    beam: int = 64,
+    total_tokens: int | None = None,
 ) -> list[tuple[str, float]]:
     """Top ``top_n`` corrected phrases as (suggestion, round(lm_score, 6)),
     ordered by score desc then suggestion asc. Unknown tokens with no
-    dictionary neighbors stay verbatim (scored through smoothing)."""
+    dictionary neighbors stay verbatim (scored through smoothing); the
+    oracle twin carries the same fallback row. ``beam`` bounds the partial
+    phrases kept per position (a REAL beam — long queries stay linear, not
+    max_candidates^n); it only affects queries where
+    max_candidates^(position) exceeds it, so short oracle-checked queries
+    are exact. Pass ``total_tokens`` (the LM's Σ unigram counts) to skip
+    recomputing the train-time constant per call. Assumes the repo-wide
+    pre-normalized single-space corpus convention (same as every oracle)."""
     tokens = query.split()
     if not tokens:
         raise ValueError("empty query")
-    if max_candidates < 1 or top_n < 1:
-        raise ValueError("max_candidates and top_n must be >= 1")
+    if max_candidates < 1 or top_n < 1 or beam < 1:
+        raise ValueError("max_candidates, top_n, and beam must be >= 1")
     # unigram counts for every candidate, gathered in one filtered collect
     cand_lists: list[list[str]] = []
     all_cands: set[str] = set()
@@ -62,7 +64,11 @@ def suggest_phrase(
         r["w1"]: int(r["c1"])
         for r in unigrams.filter(F.col("w1").isin(list(all_cands))).collect()
     }
-    tot = unigrams.agg(F.sum("c1")).first()[0] or 0
+    tot = (
+        int(total_tokens)
+        if total_tokens is not None
+        else unigrams.agg(F.sum("c1")).first()[0] or 0
+    )
     # rank each token's candidates by (edit distance, corpus freq desc,
     # term asc) — the same key the SQL twin orders by — and cap
     for i, t in enumerate(tokens):
@@ -98,6 +104,9 @@ def suggest_phrase(
         phrases = [
             (p + [w], s + lp_next(p[-1], w)) for p, s in phrases for w in cands
         ]
+        if len(phrases) > beam:  # beam prune, deterministic tie-break
+            phrases.sort(key=lambda r: (-r[1], r[0]))
+            phrases = phrases[:beam]
     scored = sorted(
         ((" ".join(p), round(s, 6)) for p, s in phrases),
         key=lambda r: (-r[1], r[0]),
@@ -130,10 +139,18 @@ bg AS (SELECT w1, w2, count(*) c12
        FROM (SELECT l[i] AS w1, l[i+1] AS w2
              FROM toks, UNNEST(range(1, len(l))) AS u(i)
              WHERE len(l) >= 2) GROUP BY 1, 2),
-ca AS (SELECT w1 AS t, c1 FROM uni WHERE levenshtein(w1, '{a}') <= {me}
-       ORDER BY levenshtein(w1, '{a}'), c1 DESC, w1 LIMIT {mc}),
-cb AS (SELECT w1 AS t, c1 FROM uni WHERE levenshtein(w1, '{b}') <= {me}
-       ORDER BY levenshtein(w1, '{b}'), c1 DESC, w1 LIMIT {mc}),
+ca0 AS (SELECT w1 AS t, c1 FROM uni WHERE levenshtein(w1, '{a}') <= {me}
+        ORDER BY levenshtein(w1, '{a}'), c1 DESC, w1 LIMIT {mc}),
+cb0 AS (SELECT w1 AS t, c1 FROM uni WHERE levenshtein(w1, '{b}') <= {me}
+        ORDER BY levenshtein(w1, '{b}'), c1 DESC, w1 LIMIT {mc}),
+-- verbatim fallback, mirroring the engine: a token with no dictionary
+-- neighbors stays itself, scored through smoothing
+ca AS (SELECT * FROM ca0 UNION ALL
+       SELECT '{a}', COALESCE((SELECT c1 FROM uni WHERE w1 = '{a}'), 0)
+       WHERE NOT EXISTS (SELECT 1 FROM ca0)),
+cb AS (SELECT * FROM cb0 UNION ALL
+       SELECT '{b}', COALESCE((SELECT c1 FROM uni WHERE w1 = '{b}'), 0)
+       WHERE NOT EXISTS (SELECT 1 FROM cb0)),
 scored AS (
   SELECT ca.t || ' ' || cb.t AS suggestion,
          round(ln((ca.c1 + {kf!r}) / (v.tot + {kf!r} * v.nv))

@@ -743,10 +743,19 @@ def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     reader = ensure_index(spark, sf_dir)
     if sf_dir not in _LM_CACHE:
+        from pyspark.sql import functions as F
+
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        _LM_CACHE[sf_dir] = train_bigram_lm(docs)
-    bg, uni, v = _LM_CACHE[sf_dir]
-    rows = suggest_phrase(reader, "joinn hashh", bg, uni, v, top_n=3)
+        bg, uni, v = train_bigram_lm(docs)
+        # materialize the small count tables + the train-time total once:
+        # later suggest calls do two tiny filtered scans, no corpus pass
+        bg, uni = bg.cache(), uni.cache()
+        tot = int(uni.agg(F.sum("c1")).first()[0] or 0)
+        _LM_CACHE[sf_dir] = (bg, uni, v, tot)
+    bg, uni, v, tot = _LM_CACHE[sf_dir]
+    rows = suggest_phrase(
+        reader, "joinn hashh", bg, uni, v, top_n=3, total_tokens=tot
+    )
     return spark.createDataFrame(rows, "suggestion string, score double")
 
 

@@ -802,7 +802,7 @@ def suggest_spelling(
     neighborhood for 1 edit, banded dictionary scan beyond), so cost is a
     few statistics-pruned dictionary seeks at any vocabulary size.
     """
-    from miru_spark.index.reader import _lev_within
+    from miru_spark.index.reader import lev_dist_bounded
 
     cands = reader.expand_fuzzy(term, max_edits=max_edits)
     cands = [t for t in cands if t != term]
@@ -812,10 +812,7 @@ def suggest_spelling(
     floor = dfs.get(term, 0) if more_popular else -1
 
     def dist(t: str) -> int:
-        for d in range(1, max_edits + 1):
-            if _lev_within(term, t, d):
-                return d
-        return max_edits  # unreachable: cands are within max_edits
+        return lev_dist_bounded(term, t, max_edits)
 
     ranked = sorted(
         (

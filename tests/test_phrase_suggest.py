@@ -75,3 +75,29 @@ def test_phrase_suggest_three_token_reference(env):
     for a, b in zip(toks, toks[1:]):
         s += math.log((c12.get((a, b), 0) + k) / (c1.get(a, 0) + k * v))
     assert abs(got[1] - round(s, 6)) < 1e-9
+
+
+def test_phrase_suggest_beam_bounds_long_queries(env):
+    """A 12-token query with multiple candidates per token completes
+    instantly under the beam and returns a finite top suggestion (no
+    max_candidates^n blowup)."""
+    reader, bg, uni, v = env
+    q = " ".join(["tha", "dta"] * 6)
+    res = suggest_phrase(reader, q, bg, uni, v, top_n=1, beam=16)
+    assert res and len(res[0][0].split()) == 12 and math.isfinite(res[0][1])
+    with pytest.raises(ValueError):
+        suggest_phrase(reader, q, bg, uni, v, beam=0)
+
+
+def test_phrase_suggest_oracle_verbatim_fallback(env, duck):
+    """A token with no dictionary neighbors: engine keeps it verbatim and
+    the SQL twin now carries the same fallback row — both sides agree."""
+    reader, bg, uni, v = env
+    got = suggest_phrase(reader, "zzqqxx the", bg, uni, v, top_n=3)
+    want = [
+        (s, float(sc))
+        for s, sc in duck.execute(
+            phrase_suggest_oracle_sql("zzqqxx", "the", top_n=3)
+        ).fetchall()
+    ]
+    assert got == want and got
