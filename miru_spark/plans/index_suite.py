@@ -731,6 +731,34 @@ GROUP BY term ORDER BY df DESC, term LIMIT 5
 """.strip()
 
 
+_SORTED_IDX: dict[str, str] = {}
+
+
+def q_sorted_early(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A76 — index sorting + early termination: corpus doc_ids reassigned
+    in (doc_len, old id) rank order before the build, so the first k
+    matching ids ARE the k best docs by the sort field and the chunk scan
+    stops at the decode frontier."""
+    import tempfile
+
+    from miru_spark.functions.tokenize import doc_len_col
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.plans.search import search_sorted_topk
+    from miru_spark.schema import read_corpus, reassign_ids_sorted
+
+    if sf_dir not in _SORTED_IDX:
+        corpus = reassign_ids_sorted(
+            read_corpus(spark, sf_dir), doc_len_col("content")
+        )
+        path = tempfile.mkdtemp(prefix="miru_srt_") + "/idx"
+        build_index(spark, corpus, path, num_partitions=8, target_chunk=64)
+        _SORTED_IDX[sf_dir] = path
+    reader = IndexReader(spark, _SORTED_IDX[sf_dir])
+    rows = search_sorted_topk(reader, ["the", "a"], mode="conjunctive", k=10)
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 _LM_CACHE: dict[str, tuple] = {}
 
 
@@ -1486,6 +1514,7 @@ def register_all(register) -> None:
         bm25_regex_oracle_sql,
         bm25_term_range_oracle_sql,
         bm25_sloppy_phrase_oracle_sql,
+        bm25_sorted_early_oracle_sql,
         bm25_span_first_oracle_sql,
         lm_dirichlet_oracle_sql,
         collapse_oracle_sql,
@@ -1656,6 +1685,13 @@ def register_all(register) -> None:
          _mk_sorted(["the", "dup"], "disjunctive"),
          sorted_oracle_sql(["the", "dup"], "disjunctive"),
          ("doc_id", "doc_len")),
+        # A76 index sorting + early termination (Lucene setIndexSort):
+        # ids reassigned in doc_len order, first-k matches = k best by
+        # the sort field, chunk scan stops at the frontier
+        ("bm25_index_sorted_early",
+         q_sorted_early,
+         bm25_sorted_early_oracle_sql(["the", "a"], "conjunctive", k=10),
+         DS),
         # A40 histogram aggregation: doc_len bins over the candidate set
         ("bm25_index_histogram",
          _mk_histogram(["the", "a"], "conjunctive", 10),

@@ -546,6 +546,33 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
+SORTED_REMAP_TOK_SQL = """
+SELECT doc_id, unnest(string_split(text,' ')) AS term FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY doc_len, doc_id) - 1 AS doc_id, text
+  FROM (SELECT doc_id, text,
+               len(list_filter(string_split(text,' '), t -> t <> '')) AS doc_len
+        FROM documents))
+""".strip()
+
+
+def bm25_sorted_early_oracle_sql(
+    terms: list[str], mode: str = "conjunctive", k: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """Twin of plans.search.search_sorted_topk over an index sorted by
+    doc_len (A76): doc_ids remapped to the (doc_len, old id) rank exactly
+    as schema.reassign_ids_sorted does, candidates taken in ascending
+    remapped-id order (== the field sort), BM25 scores unchanged."""
+    inner = bm25_oracle_sql(
+        terms, mode, k=1 << 30, round_digits=round_digits,
+        tok_sql=SORTED_REMAP_TOK_SQL,
+    )
+    return f"""
+SELECT doc_id, score FROM ({inner})
+ORDER BY doc_id LIMIT {int(k)}
+""".strip()
+
+
 def bm25_sloppy_phrase_oracle_sql(
     phrase_terms: list[str], slop: int, k: int = 10, round_digits: int = 6
 ) -> str:

@@ -2373,6 +2373,104 @@ def search_span_first(
     return [(int(verified[i]), float(scores[i])) for i in order]
 
 
+def search_sorted_topk(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    k: int = 10,
+    round_digits: int | None = 6,
+    stats: dict | None = None,
+) -> list[tuple[int, float]]:
+    """A76 — early-terminated serving over an index-SORTED corpus (Lucene
+    index sorting + ``TopFieldCollector`` early termination): when doc_ids
+    were assigned in sort-field order (``schema.reassign_ids_sorted``),
+    "the k best docs by the sort field that match" is just "the FIRST k
+    matching doc_ids" — so posting chunks decode lazily in bucket (docid
+    range) order and the scan STOPS as soon as k candidates lie below the
+    decode frontier. On a selective query over a large index this touches
+    a prefix of each posting list instead of all of it — the classic
+    index-sorting win for feeds/listings sorted by date/popularity.
+
+    Returns the first k matches in doc_id (= sort) order with their BM25
+    scores. Pass ``stats`` to receive {'chunks_decoded', 'chunks_total'} —
+    the early-termination evidence. Tombstones honored; on an UNSORTED
+    index the result is just k matches in docid order (meaningless as a
+    field sort — build with reassign_ids_sorted first)."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    if mode not in ("conjunctive", "disjunctive"):
+        raise ValueError(f"unknown mode {mode!r}")
+    tps = reader.fetch_terms(terms)
+    if mode == "conjunctive" and len(tps) < len(terms):
+        return []
+    if not tps:
+        return []
+    tomb = _with_tombstones(reader, None)
+    chunk_lists = {t: list(tp.chunks) for t, tp in tps.items()}
+    total_chunks = sum(len(c) for c in chunk_lists.values())
+    decoded = {t: [] for t in tps}  # list of (ids, tfs, dls)
+    frontier = {t: -1 for t in tps}  # max doc_id fully decoded per term
+    pos = {t: 0 for t in tps}
+
+    def decode_next(t: str) -> None:
+        r = chunk_lists[t][pos[t]]
+        ids, tfs, dls = unpack_chunk_bm(r["blob"], r["bm"], int(r["codec"]))
+        decoded[t].append(
+            (ids.astype(np.int64), tfs.astype(np.int64), dls.astype(np.int64))
+        )
+        pos[t] += 1
+        frontier[t] = (
+            int(ids[-1]) if pos[t] < len(chunk_lists[t]) else np.iinfo(np.int64).max
+        )
+
+    n_decoded = 0
+    cand = np.array([], dtype=np.int64)
+    while True:
+        # decode one chunk from the term with the lowest frontier
+        t_min = min(frontier, key=lambda t: (frontier[t], t))
+        if pos[t_min] < len(chunk_lists[t_min]):
+            decode_next(t_min)
+            n_decoded += 1
+        horizon = min(frontier.values())
+        arrays = {
+            t: (np.concatenate([d[0] for d in decoded[t]]) if decoded[t]
+                else np.array([], dtype=np.int64))
+            for t in tps
+        }
+        keys = list(tps)
+        if mode == "conjunctive":
+            cand = arrays[keys[0]]
+            for t in keys[1:]:
+                cand = np.intersect1d(cand, arrays[t], assume_unique=True)
+        else:
+            cand = np.unique(np.concatenate([arrays[t] for t in keys]))
+        if tomb is not None and tomb.size:
+            cand = cand[~np.isin(cand, tomb, assume_unique=True)]
+        sure = cand[cand <= horizon]  # below the frontier nothing new can appear
+        exhausted = all(pos[t] >= len(chunk_lists[t]) for t in tps)
+        if sure.size >= k or exhausted:
+            cand = sure if sure.size >= k else cand
+            break
+    if stats is not None:
+        stats["chunks_decoded"] = n_decoded
+        stats["chunks_total"] = total_chunks
+    first = cand[:k]
+    if first.size == 0:
+        return []
+    scores = np.zeros(first.size)
+    for t in tps:
+        ids = np.concatenate([d[0] for d in decoded[t]])
+        tfs = np.concatenate([d[1] for d in decoded[t]])
+        dls = np.concatenate([d[2] for d in decoded[t]])
+        m = np.isin(first, ids, assume_unique=True)
+        idx = np.searchsorted(ids, first[m])
+        scores[m] += bm25.score_np(tfs[idx], tps[t].idf, dls[idx], reader.avgdl)
+    if round_digits is not None:
+        scores = np.round(scores, round_digits)
+    return [(int(d), float(s)) for d, s in zip(first.tolist(), scores.tolist())]
+
+
 def search_phrase_sloppy(
     reader: IndexReader,
     phrase: str,

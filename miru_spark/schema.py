@@ -107,6 +107,44 @@ def read_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_from_documents(read_documents(spark, sf_dir))
 
 
+def reassign_ids_sorted(corpus: DataFrame, sort_col) -> DataFrame:
+    """Index sorting (Lucene ``IndexWriterConfig.setIndexSort``): rewrite
+    doc_ids as the dense 0-based rank of ``(sort_key, old doc_id)``, so
+    ascending doc_id order IS the sort order — queries sorted by the index
+    sort field can then EARLY-TERMINATE after the first k matches
+    (plans.search.search_sorted_topk) instead of scoring every candidate.
+
+    Same distributed shape as :func:`assign_doc_ids`: range-partitioned
+    sort + per-partition counts + cumulative base offsets — deterministic
+    at any parallelism, no single-task global window."""
+    keyed = (
+        corpus.withColumn("_sk", sort_col)
+        .withColumnRenamed("doc_id", "_old")
+        .repartitionByRange(F.col("_sk"), F.col("_old"))
+        .sortWithinPartitions("_sk", "_old")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = Window.partitionBy("_pid").orderBy("_sk", "_old")
+    counts = keyed.groupBy("_pid").count()
+    base = counts.withColumn(
+        "_base",
+        F.coalesce(
+            F.sum("count").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_base")
+    return (
+        keyed.withColumn("_local", F.row_number().over(local).cast("long"))
+        .join(F.broadcast(base), "_pid")
+        .withColumn("doc_id", F.col("_base") + F.col("_local") - F.lit(1))
+        .drop("_pid", "_local", "_base", "_sk", "_old")
+    )
+
+
 def assign_doc_ids(corpus: DataFrame) -> DataFrame:
     """Assign deterministic, order-independent doc_ids where the input has none.
 
