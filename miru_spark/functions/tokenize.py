@@ -32,11 +32,13 @@ _PATTERNS = {
     "code": r"[^a-z0-9_]+",
     "code_split": r"[^a-z0-9]+",
     "english": r"\s+",
+    "ascii": r"\s+",
 }
 _TOKEN_PATTERNS = {
     "whitespace": r"\S+",
     "code": r"[a-z0-9_]+",
     "code_split": r"[a-z0-9]+",
+    "ascii": r"\S+",  # folding never changes the token count
 }
 
 # edge n-gram bounds (Lucene EdgeNGramTokenFilter / ES edge_ngram):
@@ -46,6 +48,20 @@ _TOKEN_PATTERNS = {
 # nothing (the ES default behavior)
 EDGE_MIN = 2
 EDGE_MAX = 8
+
+# ASCII folding (Lucene ASCIIFoldingFilter / ES asciifolding) — a PINNED
+# Latin-1/Latin-Extended diacritic map, applied as one translate() pass so
+# the fold is a single codegen built-in and the DuckDB twin uses the exact
+# same pair of strings (never a library's broader Unicode table, which
+# would silently diverge between engines)
+FOLD_SRC = "àáâãäåāăąçćčèéêëēĕėęěìíîïĩīĭįñńňòóôõöøōŏőùúûüũūŭůýÿžźżšśß"
+# grouped by target letter; ß maps 1:1 to 's' (translate cannot expand to
+# 'ss' — documented divergence from Lucene's multi-char fold)
+FOLD_DST = (
+    "a" * 9 + "c" * 3 + "e" * 9 + "i" * 8 + "n" * 3
+    + "o" * 9 + "u" * 8 + "y" * 2 + "z" * 3 + "s" * 2 + "s"
+)
+assert len(FOLD_SRC) == len(FOLD_DST)
 
 # Lucene EnglishAnalyzer's default stop set (33 words, public constant)
 ENGLISH_STOPWORDS = (
@@ -109,6 +125,11 @@ def tokens_col(content: Column | str, mode: str = "whitespace") -> Column:
     stage expressible 1:1 in the DuckDB oracle (lower/LIKE/substr), so the
     full analysis chain is value-oracled end-to-end."""
     col = F.col(content) if isinstance(content, str) else content
+    if mode == "ascii":
+        # A77 asciifolding: lowercase -> pinned diacritic fold ->
+        # whitespace split; one translate() keeps it in codegen
+        arr = F.split(F.translate(F.lower(col), FOLD_SRC, FOLD_DST), r"\s+")
+        return F.filter(arr, lambda t: t != F.lit(""))
     if mode == "edge":
         # index-time autocomplete (A70): prefix queries become EXACT term
         # lookups — no dictionary scan at serve time. All higher-order
@@ -152,6 +173,9 @@ def tokenize_py(text: str, mode: str = "whitespace") -> list[str]:
     term lists) with the same semantics the content was indexed under."""
     import re
 
+    if mode == "ascii":
+        folded = text.lower().translate(str.maketrans(FOLD_SRC, FOLD_DST))
+        return [t for t in re.split(r"\s+", folded) if t]
     if mode == "edge":
         out: list[str] = []
         for t in re.split(r"\s+", text.lower()):

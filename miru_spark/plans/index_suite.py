@@ -731,6 +731,55 @@ GROUP BY term ORDER BY df DESC, term LIMIT 5
 """.strip()
 
 
+_ASCII_IDX: dict[str, str] = {}
+
+
+def _ascii_tok_sql() -> str:
+    from miru_spark.functions.tokenize import FOLD_DST, FOLD_SRC
+
+    return (
+        "SELECT doc_id, unnest(string_split(translate(lower("
+        "text || CASE WHEN doc_id % 3 = 0 THEN ' Café Résumé' ELSE '' END), "
+        f"'{FOLD_SRC}', '{FOLD_DST}'), ' ')) AS term FROM documents"
+    )
+
+
+def q_ascii_folding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A77 — asciifolding analyzer (Lucene ASCIIFoldingFilter): every 3rd
+    doc gets ' Café Résumé' appended; the plain-ASCII query [cafe, resume]
+    only matches if the PINNED diacritic fold round-trips build+serve
+    identically to the SQL twin's translate()."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from miru_spark.functions.tokenize import tokenize_py
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.plans.search import search_topk
+    from miru_spark.schema import read_corpus
+
+    if sf_dir not in _ASCII_IDX:
+        corpus = read_corpus(spark, sf_dir).withColumn(
+            "content",
+            F.concat(
+                F.col("content"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(" Café Résumé"))
+                .otherwise(F.lit("")),
+            ),
+        )
+        path = tempfile.mkdtemp(prefix="miru_ascii_") + "/idx"
+        build_index(spark, corpus, path, num_partitions=8, tokenizer="ascii")
+        _ASCII_IDX[sf_dir] = path
+    reader = IndexReader(spark, _ASCII_IDX[sf_dir])
+    terms = tokenize_py("Café Résumé", "ascii")  # -> [cafe, resume]
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_topk(reader, terms, mode="conjunctive", k=10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 _SORTED_IDX: dict[str, str] = {}
 
 
@@ -1881,6 +1930,11 @@ def register_all(register) -> None:
         ("edge_ngram", q_edge_ngram,
          bm25_oracle_sql(["jo", "ha"], "conjunctive",
                          tok_sql=EDGE_TOK_SQL), DS),
+        # A77 asciifolding analyzer: pinned diacritic fold, build+serve
+        # round-trip ('Café Résumé' found by [cafe, resume])
+        ("ascii_folding", q_ascii_folding,
+         bm25_oracle_sql(["cafe", "resume"], "conjunctive",
+                         tok_sql=_ascii_tok_sql()), DS),
         # A74 cross_fields (BlendedTermQuery): term-centric AND across
         # fields, blended df — completes the multi_match trio
         ("cross_fields", q_cross_fields,
