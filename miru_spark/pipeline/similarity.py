@@ -683,3 +683,97 @@ def ann_ivfpq_topk(
         spark, path, query_vec, k, n_probe, rerank,
         embeddings=embeddings if rerank else None, round_digits=round_digits,
     )
+
+
+# ------------------------------------------------------- int8 quantization --
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Scalar int8 quantization (the Lucene 9.x ``int8_hnsw`` storage
+    trade): vectors L2-normalize, then quantize symmetrically per vector —
+    ``scale = max|v|/127, codes = round(v/scale)`` — 4x smaller than
+    float32 with ~1e-2 cosine error. Encode is one Arrow-batched
+    mapInPandas pass; output (vec_id, codes binary, scale) is the
+    compressed vector table a 100-TB embedding store would persist."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("codes", T.BinaryType()),
+        T.StructField("scale", T.DoubleType()),
+    ])
+
+    def encode(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            mat /= norms[:, None]
+            scale = np.abs(mat).max(axis=1) / 127.0
+            scale[scale == 0] = 1.0
+            codes = np.rint(mat / scale[:, None]).astype(np.int8)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "codes": [c.tobytes() for c in codes],
+                "scale": scale,
+            })
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(encode, schema)
+
+
+def ann_int8_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(vec_id, cos) top-k by cosine computed in the COMPRESSED domain:
+    approx_cos = scale_v * dot(q_normalized, codes_v) — one broadcast of
+    the float query + a streaming scan of the int8 table, no shuffle
+    before the TakeOrdered. ``rerank > 0`` re-scores that many compressed
+    candidates with exact float cosine (the standard two-phase shape
+    shared with IVF-PQ)."""
+    import pyspark.sql.types as T
+
+    spark = embeddings.sparkSession
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+    q = q / qn
+    bq = spark.sparkContext.broadcast(q)
+    qt = quantize_int8(embeddings)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(batches):
+        qv = bq.value
+        for pdf in batches:
+            codes = np.stack([
+                np.frombuffer(b, dtype=np.int8) for b in pdf["codes"]
+            ]).astype(np.float64)
+            approx = (codes @ qv) * pdf["scale"].to_numpy()
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"), "cos": approx
+            })
+
+    scored = qt.mapInPandas(score, schema)
+    if rerank:
+        cand = [
+            int(r["vec_id"])
+            for r in scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+            .limit(int(rerank)).collect()
+        ]
+        qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+        exact = F.round(cosine_col(F.col("embedding"), qcol), round_digits)
+        return (
+            embeddings.filter(F.col("vec_id").isin(cand))
+            .select("vec_id", exact.alias("cos"))
+            .orderBy(F.desc("cos"), F.asc("vec_id"))
+            .limit(k)
+        )
+    return (
+        scored.select("vec_id", F.round("cos", round_digits).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -122,6 +122,12 @@ def sql_ann_brute(spark, sf):
     return cosine_topk_oracle_sql(_query_vec(spark, sf), k=10)
 
 
+def q_ann_int8(spark, sf):
+    from miru_spark.pipeline.similarity import ann_int8_topk
+
+    return ann_int8_topk(_emb(spark, sf), _query_vec(spark, sf), k=10, rerank=50)
+
+
 def q_cosine_pairs(spark, sf):
     from miru_spark.pipeline.similarity import cosine_near_pairs
 
@@ -411,6 +417,11 @@ def register_all(register) -> None:
     ])
     register_composite(register, "pipe_similarity", [
         ("pipe_ann_cosine_brute", q_ann_brute, SQL_ANN_BRUTE, ("vec_id", "cos")),
+        # int8 scalar quantization (Lucene int8_hnsw storage trade):
+        # compressed-domain scan + exact rerank — the rerank window covers
+        # the top-k exactly, so this row is value-oracled against the same
+        # brute-force cosine SQL
+        ("pipe_ann_int8", q_ann_int8, SQL_ANN_BRUTE, ("vec_id", "cos")),
         ("pipe_cosine_near_pairs", q_cosine_pairs,
          cosine_near_pairs_oracle_sql(0.5), ("id_a", "id_b", "cos")),
         ("pipe_dedup_embedding", q_dedup_embedding,
