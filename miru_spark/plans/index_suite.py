@@ -577,6 +577,18 @@ def _mk_sloppy_phrase(phrase, slop):
     return run
 
 
+def _mk_pinned(terms, pins, mode):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_pinned
+
+        reader = ensure_index(spark, sf_dir)
+        rows = search_pinned(reader, terms, pins, mode=mode, k=10)
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
 def _mk_span_first(term, end):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -1560,6 +1572,7 @@ def register_all(register) -> None:
     from miru_spark.plans.relational import (
         bm25_delete_oracle_sql,
         bm25_near_oracle_sql,
+        bm25_pinned_oracle_sql,
         bm25_regex_oracle_sql,
         bm25_term_range_oracle_sql,
         bm25_sloppy_phrase_oracle_sql,
@@ -1585,6 +1598,12 @@ def register_all(register) -> None:
         (n, _mk_topk(t, m), bm25_oracle_sql(t, m), DS)
         for n, (t, m) in CASES.items()
     ] + [
+        # A78 pinned query (ES pinned / promoted results): curated ids
+        # first with the artificial 1e9-position score, organic after
+        ("bm25_index_pinned",
+         _mk_pinned(["join", "hash"], [400, 7], "conjunctive"),
+         bm25_pinned_oracle_sql(["join", "hash"], [400, 7], "conjunctive"),
+         DS),
         # metadata-filtered search (A34): docmap allowlist enforced at
         # heap-insert, scores stay corpus-wide (Lucene filtered query)
         ("bm25_index_filter_lang",

@@ -546,6 +546,38 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
+def bm25_pinned_oracle_sql(
+    terms: list[str],
+    pinned_ids: list[int],
+    mode: str = "conjunctive",
+    k: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """Twin of plans.search.search_pinned (A78 — ES pinned query): pinned
+    ids first with the artificial 1e9-position score, then the organic
+    BM25 ranking excluding them."""
+    pins = list(dict.fromkeys(int(p) for p in pinned_ids))
+    if not pins:
+        raise ValueError("pinned_ids must be non-empty")
+    pvals = ",".join(
+        f"({p}, {float(1e9 - i)!r}, {i})" for i, p in enumerate(pins)
+    )
+    inner = bm25_oracle_sql(terms, mode, k=1 << 30, round_digits=round_digits)
+    plist = ", ".join(str(p) for p in pins)
+    return f"""
+WITH organic AS ({inner}),
+pinned(doc_id, score, pos) AS (VALUES {pvals}),
+united AS (
+  SELECT doc_id, score, 0 AS grp, pos AS ord FROM pinned
+  UNION ALL
+  SELECT doc_id, score, 1 AS grp,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS ord
+  FROM organic WHERE doc_id NOT IN ({plist}))
+SELECT doc_id, score FROM united
+ORDER BY grp, ord LIMIT {int(k)}
+""".strip()
+
+
 SORTED_REMAP_TOK_SQL = """
 SELECT doc_id, unnest(string_split(text,' ')) AS term FROM (
   SELECT ROW_NUMBER() OVER (ORDER BY doc_len, doc_id) - 1 AS doc_id, text

@@ -2373,6 +2373,41 @@ def search_span_first(
     return [(int(verified[i]), float(scores[i])) for i in order]
 
 
+def search_pinned(
+    reader: IndexReader,
+    terms: list[str],
+    pinned_ids: list[int],
+    mode: str = "conjunctive",
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> list[tuple[int, float]]:
+    """A78 — pinned query (ES ``pinned`` query / promoted results): the
+    given doc_ids rank FIRST in the given order — each with the artificial
+    descending score ES assigns (1e9 - position) — followed by the organic
+    BM25 ranking with the pinned docs excluded. Pinned docs that are
+    deleted are skipped (never resurrect a tombstoned doc); docs pinned
+    but not matching the query still surface (the ES contract — pins are
+    curation, not filters)."""
+    pins = list(dict.fromkeys(int(p) for p in pinned_ids))
+    if not pins:
+        raise ValueError("pinned_ids must be non-empty (use search_topk)")
+    tomb = _with_tombstones(reader, None)
+    if tomb is not None and tomb.size:
+        dead = set(tomb.tolist())
+        pins = [p for p in pins if p not in dead]
+    out: list[tuple[int, float]] = [
+        (p, float(1e9 - i)) for i, p in enumerate(pins[:k])
+    ]
+    if len(out) < k:
+        organic = [
+            (d, round(s, round_digits) if round_digits is not None else s)
+            for d, s in search_topk(reader, terms, mode=mode, k=k + len(pins))
+        ]
+        pin_set = set(pins)
+        out += [(d, s) for d, s in organic if d not in pin_set][: k - len(out)]
+    return out
+
+
 def search_sorted_topk(
     reader: IndexReader,
     terms: list[str],

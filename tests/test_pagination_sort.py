@@ -469,3 +469,37 @@ def test_composite_validation(reader):
         search_facets_composite(
             reader, ["the"], sources=("lang", "repo"), after=("en",)
         )
+
+
+# ---- A78 pinned query (ES pinned / promoted results) -----------------------
+
+
+def test_pinned_matches_oracle(reader, duck):
+    from miru_spark.plans.relational import bm25_pinned_oracle_sql
+    from miru_spark.plans.search import search_pinned
+
+    for terms, pins, mode in [(["join", "hash"], [400, 7], "conjunctive"),
+                              (["the"], [3], "disjunctive"),
+                              (["zzz_missing"], [1, 2], "disjunctive")]:
+        got = search_pinned(reader, terms, pins, mode=mode, k=10)
+        exp = duck.execute(
+            bm25_pinned_oracle_sql(terms, pins, mode, k=10)
+        ).fetchall()
+        assert got == [(int(d), float(s)) for d, s in exp]
+
+
+def test_pinned_semantics(reader):
+    from miru_spark.plans.search import search_pinned, search_topk
+
+    pins = [42, 7]
+    res = search_pinned(reader, ["the", "a"], pins, mode="conjunctive", k=10)
+    # pins first, in the given order, above every organic score
+    assert [d for d, _ in res[:2]] == pins
+    assert res[0][1] > res[1][1] > res[2][1]
+    # organic tail == standard ranking minus the pinned ids
+    organic = [d for d, _ in search_topk(
+        reader, ["the", "a"], mode="conjunctive", k=12) if d not in set(pins)]
+    assert [d for d, _ in res[2:]] == organic[:8]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        search_pinned(reader, ["the"], [], k=5)
