@@ -691,7 +691,8 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
     """Scalar int8 quantization (the Lucene 9.x ``int8_hnsw`` storage
     trade): vectors L2-normalize, then quantize symmetrically per vector —
     ``scale = max|v|/127, codes = round(v/scale)`` — 4x smaller than
-    float32 with ~1e-2 cosine error. Encode is one Arrow-batched
+    float32 with ~1e-3 cosine error (pytest pins cos > 0.999 against the
+    originals). Encode is one Arrow-batched
     mapInPandas pass; output (vec_id, codes binary, scale) is the
     compressed vector table a 100-TB embedding store would persist."""
     import pyspark.sql.types as T
@@ -732,7 +733,9 @@ def ann_int8_topk(
     the float query + a streaming scan of the int8 table, no shuffle
     before the TakeOrdered. ``rerank > 0`` re-scores that many compressed
     candidates with exact float cosine (the standard two-phase shape
-    shared with IVF-PQ)."""
+    shared with IVF-PQ); the window must cover k."""
+    if rerank and rerank < k:
+        raise ValueError(f"rerank window ({rerank}) must be >= k ({k})")
     import pyspark.sql.types as T
 
     spark = embeddings.sparkSession

@@ -552,17 +552,31 @@ def bm25_pinned_oracle_sql(
     mode: str = "conjunctive",
     k: int = 10,
     round_digits: int = 6,
+    deleted_ids: list[int] | None = None,
 ) -> str:
     """Twin of plans.search.search_pinned (A78 — ES pinned query): pinned
     ids first with the artificial 1e9-position score, then the organic
-    BM25 ranking excluding them."""
-    pins = list(dict.fromkeys(int(p) for p in pinned_ids))
+    BM25 ranking excluding them. ``deleted_ids`` mirrors tombstones:
+    deleted pins are dropped BEFORE position numbering (exactly the
+    engine's renumber-after-filter) and deleted docs leave the organic
+    ranking too."""
+    dead = set(int(d) for d in (deleted_ids or []))
+    pins = [
+        p for p in dict.fromkeys(int(p) for p in pinned_ids) if p not in dead
+    ]
     if not pins:
         raise ValueError("pinned_ids must be non-empty")
     pvals = ",".join(
         f"({p}, {float(1e9 - i)!r}, {i})" for i, p in enumerate(pins)
     )
-    inner = bm25_oracle_sql(terms, mode, k=1 << 30, round_digits=round_digits)
+    raw_where = (
+        f"doc_id NOT IN ({', '.join(str(d) for d in sorted(dead))})"
+        if dead
+        else None
+    )
+    inner = bm25_oracle_sql(
+        terms, mode, k=1 << 30, round_digits=round_digits, raw_where=raw_where
+    )
     plist = ", ".join(str(p) for p in pins)
     return f"""
 WITH organic AS ({inner}),

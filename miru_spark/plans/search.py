@@ -2437,23 +2437,30 @@ def search_sorted_topk(
     if mode not in ("conjunctive", "disjunctive"):
         raise ValueError(f"unknown mode {mode!r}")
     tps = reader.fetch_terms(terms)
-    if mode == "conjunctive" and len(tps) < len(terms):
-        return []
-    if not tps:
+    if (mode == "conjunctive" and len(tps) < len(terms)) or not tps:
+        if stats is not None:
+            stats["chunks_decoded"] = 0
+            stats["chunks_total"] = sum(len(tp.chunks) for tp in tps.values())
         return []
     tomb = _with_tombstones(reader, None)
     chunk_lists = {t: list(tp.chunks) for t, tp in tps.items()}
     total_chunks = sum(len(c) for c in chunk_lists.values())
     decoded = {t: [] for t in tps}  # list of (ids, tfs, dls)
+    # incrementally merged id prefix per term — appended once per decode,
+    # never rebuilt from scratch (the per-iteration work is then the
+    # cross-term intersect over the decoded PREFIX, which the early exit
+    # keeps short; with no early exit it degrades gracefully toward the
+    # standard full scan's cost)
+    merged_ids = {t: np.array([], dtype=np.int64) for t in tps}
     frontier = {t: -1 for t in tps}  # max doc_id fully decoded per term
     pos = {t: 0 for t in tps}
 
     def decode_next(t: str) -> None:
         r = chunk_lists[t][pos[t]]
         ids, tfs, dls = unpack_chunk_bm(r["blob"], r["bm"], int(r["codec"]))
-        decoded[t].append(
-            (ids.astype(np.int64), tfs.astype(np.int64), dls.astype(np.int64))
-        )
+        ids64 = ids.astype(np.int64)
+        decoded[t].append((ids64, tfs.astype(np.int64), dls.astype(np.int64)))
+        merged_ids[t] = np.concatenate([merged_ids[t], ids64])
         pos[t] += 1
         frontier[t] = (
             int(ids[-1]) if pos[t] < len(chunk_lists[t]) else np.iinfo(np.int64).max
@@ -2468,18 +2475,13 @@ def search_sorted_topk(
             decode_next(t_min)
             n_decoded += 1
         horizon = min(frontier.values())
-        arrays = {
-            t: (np.concatenate([d[0] for d in decoded[t]]) if decoded[t]
-                else np.array([], dtype=np.int64))
-            for t in tps
-        }
         keys = list(tps)
         if mode == "conjunctive":
-            cand = arrays[keys[0]]
+            cand = merged_ids[keys[0]]
             for t in keys[1:]:
-                cand = np.intersect1d(cand, arrays[t], assume_unique=True)
+                cand = np.intersect1d(cand, merged_ids[t], assume_unique=True)
         else:
-            cand = np.unique(np.concatenate([arrays[t] for t in keys]))
+            cand = np.unique(np.concatenate([merged_ids[t] for t in keys]))
         if tomb is not None and tomb.size:
             cand = cand[~np.isin(cand, tomb, assume_unique=True)]
         sure = cand[cand <= horizon]  # below the frontier nothing new can appear

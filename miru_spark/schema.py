@@ -107,24 +107,18 @@ def read_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_from_documents(read_documents(spark, sf_dir))
 
 
-def reassign_ids_sorted(corpus: DataFrame, sort_col) -> DataFrame:
-    """Index sorting (Lucene ``IndexWriterConfig.setIndexSort``): rewrite
-    doc_ids as the dense 0-based rank of ``(sort_key, old doc_id)``, so
-    ascending doc_id order IS the sort order — queries sorted by the index
-    sort field can then EARLY-TERMINATE after the first k matches
-    (plans.search.search_sorted_topk) instead of scoring every candidate.
-
-    Same distributed shape as :func:`assign_doc_ids`: range-partitioned
-    sort + per-partition counts + cumulative base offsets — deterministic
-    at any parallelism, no single-task global window."""
+def _dense_rank_ids(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """THE distributed dense-rank: doc_id = 0-based rank of ``key_cols``.
+    Range-partitioned sort + per-partition counts + cumulative base
+    offsets joined back — deterministic at any parallelism, no
+    single-task global window. Shared by :func:`assign_doc_ids` (rank by
+    identity) and :func:`reassign_ids_sorted` (rank by sort field)."""
     keyed = (
-        corpus.withColumn("_sk", sort_col)
-        .withColumnRenamed("doc_id", "_old")
-        .repartitionByRange(F.col("_sk"), F.col("_old"))
-        .sortWithinPartitions("_sk", "_old")
+        df.repartitionByRange(*[F.col(c) for c in key_cols])
+        .sortWithinPartitions(*key_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
-    local = Window.partitionBy("_pid").orderBy("_sk", "_old")
+    local = Window.partitionBy("_pid").orderBy(*key_cols)
     counts = keyed.groupBy("_pid").count()
     base = counts.withColumn(
         "_base",
@@ -141,8 +135,20 @@ def reassign_ids_sorted(corpus: DataFrame, sort_col) -> DataFrame:
         keyed.withColumn("_local", F.row_number().over(local).cast("long"))
         .join(F.broadcast(base), "_pid")
         .withColumn("doc_id", F.col("_base") + F.col("_local") - F.lit(1))
-        .drop("_pid", "_local", "_base", "_sk", "_old")
+        .drop("_pid", "_local", "_base")
     )
+
+
+def reassign_ids_sorted(corpus: DataFrame, sort_col) -> DataFrame:
+    """Index sorting (Lucene ``IndexWriterConfig.setIndexSort``): rewrite
+    doc_ids as the dense 0-based rank of ``(sort_key, old doc_id)``, so
+    ascending doc_id order IS the sort order — queries sorted by the index
+    sort field can then EARLY-TERMINATE after the first k matches
+    (plans.search.search_sorted_topk) instead of scoring every candidate."""
+    keyed = corpus.withColumn("_sk", sort_col).withColumnRenamed(
+        "doc_id", "_old"
+    )
+    return _dense_rank_ids(keyed, ["_sk", "_old"]).drop("_sk", "_old")
 
 
 def assign_doc_ids(corpus: DataFrame) -> DataFrame:
@@ -161,29 +167,4 @@ def assign_doc_ids(corpus: DataFrame) -> DataFrame:
     """
     if "doc_id" in corpus.columns:
         return corpus
-    keyed = corpus.repartitionByRange(F.col("repo"), F.col("path"), F.col("commit"))
-    keyed = keyed.sortWithinPartitions("repo", "path", "commit").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    local = Window.partitionBy("_pid").orderBy("repo", "path", "commit")
-    counts = keyed.groupBy("_pid").count()
-    base = (
-        counts.withColumn(
-            "_base",
-            F.coalesce(
-                F.sum("count").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_pid", "_base")
-    )
-    return (
-        keyed.withColumn("_local", F.row_number().over(local).cast("long"))
-        .join(F.broadcast(base), "_pid")
-        .withColumn("doc_id", F.col("_base") + F.col("_local") - F.lit(1))
-        .drop("_pid", "_local", "_base")
-    )
+    return _dense_rank_ids(corpus, ["repo", "path", "commit"])

@@ -503,3 +503,29 @@ def test_pinned_semantics(reader):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         search_pinned(reader, ["the"], [], k=5)
+
+
+def test_pinned_tombstoned_pin_never_resurrects(spark, duck, tmp_path_factory):
+    """delete_docs on a pinned id: the engine skips it and renumbers pin
+    positions; the oracle twin carries the same deleted_ids semantics."""
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index, delete_docs
+    from miru_spark.plans.relational import bm25_pinned_oracle_sql
+    from miru_spark.plans.search import search_pinned
+    from miru_spark.schema import read_corpus
+    from tests.conftest import SF_DIR
+
+    p = str(tmp_path_factory.mktemp("pintomb") / "idx")
+    build_index(spark, read_corpus(spark, SF_DIR), p, num_partitions=4)
+    delete_docs(p, [400])
+    reader = IndexReader(spark, p)
+    got = search_pinned(reader, ["join", "hash"], [400, 7],
+                        mode="conjunctive", k=10)
+    exp = duck.execute(
+        bm25_pinned_oracle_sql(["join", "hash"], [400, 7], "conjunctive",
+                               k=10, deleted_ids=[400])
+    ).fetchall()
+    assert got == [(int(d), float(s)) for d, s in exp]
+    # 400 is gone, 7 was renumbered to position 0 (the full 1e9 score)
+    assert got[0] == (7, 1e9)
+    assert all(d != 400 for d, _ in got)
