@@ -316,6 +316,32 @@ class IndexReader:
         )
         return np.unique(ids.astype(np.int64))
 
+    def feature_values(self, field: str) -> np.ndarray:
+        """Dense float64 docmap column indexed by doc_id (NaN = id absent
+        from the docmap) — the driver-side static-score source for A79
+        rank_feature. One float per doc, the same driver-memory cost
+        class as ``filter_doc_ids``'s allowlist; the cluster path
+        (``search_rank_feature_distributed``) keeps the column as a
+        distributed join instead. Cached per (reader, field)."""
+        cache = getattr(self, "_feat_cache", None)
+        if cache is None:
+            cache = self._feat_cache = {}
+        if field not in cache:
+            if field not in self.docmap_columns():
+                raise ValueError(
+                    f"unknown docmap column {field!r}; "
+                    f"have {sorted(self.docmap_columns())}"
+                )
+            tbl = self._docmap_dset().to_table(columns=["doc_id", field])
+            ids = tbl.column("doc_id").to_numpy().astype(np.int64)
+            vals = tbl.column(field).to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            arr = np.full(int(ids.max()) + 1 if ids.size else 0, np.nan)
+            arr[ids] = vals
+            cache[field] = arr
+        return cache[field]
+
     def df_df(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_path}/df")
 

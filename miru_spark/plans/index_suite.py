@@ -1510,6 +1510,35 @@ def _fs_functions():
     ]
 
 
+_RF_FEATURE_ARGS = dict(field="doc_len", kind="saturation", pivot=40.0,
+                        boost=2.0)
+
+
+def _mk_rank_feature():
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.rankfeature import (
+            RankFeature,
+            search_rank_feature_distributed,
+        )
+
+        reader = ensure_index(spark, sf_dir)
+        return search_rank_feature_distributed(
+            reader, _FS_TERMS, RankFeature(**_RF_FEATURE_ARGS),
+            mode="disjunctive",
+        )
+
+    return run
+
+
+def _rank_feature_oracle() -> str:
+    from miru_spark.plans.rankfeature import RankFeature, rank_feature_oracle_sql
+
+    return rank_feature_oracle_sql(
+        _FS_TERMS, RankFeature(**_RF_FEATURE_ARGS), mode="disjunctive"
+    )
+
+
 def _mk_funcscore():
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -1665,6 +1694,11 @@ def register_all(register) -> None:
         # A52 function_score: gauss doc_len decay x log1p field-value
         # factor, summed, multiplied into BM25 (ES function_score)
         ("bm25_index_funcscore", _mk_funcscore(), _funcscore_oracle(), DS),
+        # A79 rank_feature (ES rank_feature / Lucene FeatureQuery):
+        # ADDITIVE bounded static score — the WAND-preserving counterpart
+        # to function_score's full-candidate reorder
+        ("bm25_index_rank_feature",
+         _mk_rank_feature(), _rank_feature_oracle(), DS),
         # A69 pluggable similarity (Lucene LMDirichletSimilarity): same
         # index + candidate plan, Dirichlet-smoothed LM scoring
         ("bm25_index_lm_dirichlet",

@@ -142,6 +142,15 @@ def _is_excluded(excl: np.ndarray | None, docid: int) -> bool:
     return j < excl.size and int(excl[j]) == docid
 
 
+def _bonus_at(bonus: np.ndarray | None, docid: int) -> float:
+    """Per-doc additive static score (A79 rank_feature); docs past the
+    dense array's end (never possible for a docmap-built array, but cheap
+    to guard) contribute 0 like a missing feature."""
+    if bonus is None or docid >= bonus.size:
+        return 0.0
+    return float(bonus[docid])
+
+
 def _cursor_ok(
     after: tuple[float, int] | None, score: float, docid: int
 ) -> bool:
@@ -180,6 +189,7 @@ def wand_topk(
     incl: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
     min_match: int = 1,
+    bonus: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND (Ding & Suel 2011) over per-term lazy iterators.
 
@@ -194,7 +204,19 @@ def wand_topk(
     theta stays a valid bound over qualifying docs and block-skipping stays
     safe; once fewer than min_match iterators remain alive no doc can
     qualify and the loop stops.
+
+    ``bonus`` (A79 rank_feature / distance_feature): a dense per-doc
+    additive static score. Every upper bound — pivot selection and the
+    block-max skip test — is inflated by ``bmax = max(bonus)``, so ``ub``
+    stays a true upper bound on the FINAL score (bm25 + bonus) and
+    block skipping stays exact; the actual per-doc bonus (<= bmax by
+    construction) is added at scoring time. This is precisely why
+    Lucene's FeatureQuery keeps top-k pruning where FunctionScoreQuery
+    cannot: additive-and-bounded preserves the monotone bound.
     """
+    bmax = (
+        float(bonus.max()) if bonus is not None and bonus.size else 0.0
+    )
     heap: list[tuple[float, int]] = []
     iters = [it for it in iters if not it.exhausted]
     while iters:
@@ -203,7 +225,7 @@ def wand_topk(
             break
         iters.sort(key=lambda it: it.cur_docid)
         theta = heap[0][0] if len(heap) >= k else -np.inf
-        acc = 0.0
+        acc = bmax
         pivot_idx = -1
         for i, it in enumerate(iters):
             acc += it.term_max
@@ -225,7 +247,7 @@ def wand_topk(
             pivot_idx += 1
         if iters[0].cur_docid == pivot:
             bounds = [it.block_bound(pivot) for it in iters[: pivot_idx + 1]]
-            ub = sum(b[0] for b in bounds)
+            ub = sum(b[0] for b in bounds) + bmax
             if len(heap) >= k and ub <= theta - _EPS:
                 nxt = min(b[1] for b in bounds) + 1
                 if pivot_idx + 1 < len(iters):
@@ -239,7 +261,7 @@ def wand_topk(
             # valid lower bound over eligible docs and block-skipping stays
             # safe
             if _is_eligible(incl, excl, pivot):
-                score = 0.0
+                score = _bonus_at(bonus, pivot)
                 n_matched = 0
                 for it in iters:
                     if it.cur_docid == pivot:
@@ -269,8 +291,11 @@ def conjunctive_topk(
     excl: np.ndarray | None = None,
     incl: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
+    bonus: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
-    """Galloping k-list intersection driven by the rarest term (A16)."""
+    """Galloping k-list intersection driven by the rarest term (A16).
+    ``bonus`` adds the A79 per-doc static score at scoring time (the
+    intersection scores every surviving doc, so no bound logic needed)."""
     if not iters or any(it.exhausted for it in iters):
         return []
     heap: list[tuple[float, int]] = []
@@ -290,7 +315,9 @@ def conjunctive_topk(
         if not matched:
             continue
         if _is_eligible(incl, excl, docid):
-            score = sum(it.score_current() for it in iters)
+            score = sum(it.score_current() for it in iters) + _bonus_at(
+                bonus, docid
+            )
             if _cursor_ok(after, score, docid):
                 entry = (score, -docid)
                 if len(heap) < k:
@@ -1663,6 +1690,7 @@ def search_topk(
     where: dict | None = None,
     after: tuple[float, int] | None = None,
     min_match: int | None = None,
+    feature=None,
 ) -> list[tuple[int, float]]:
     """Serve one query from the binary index (driver fast path).
 
@@ -1697,9 +1725,17 @@ def search_topk(
     incl = reader.filter_doc_ids(where) if where else None
     if incl is not None and incl.size == 0:
         return []
+    bonus = None
+    if feature is not None:
+        # A79 rank_feature / distance_feature: a dense per-doc additive
+        # static score; every serving strategy stays exact (WAND bounds
+        # are inflated by its corpus max inside wand_topk)
+        from miru_spark.plans.rankfeature import contrib_array
+
+        bonus = contrib_array(reader, feature)
     return _route_query(
         reader, tps, terms, mode, k, strategy, excl, incl=incl, after=after,
-        min_match=mm,
+        min_match=mm, bonus=bonus,
     )
 
 
@@ -1716,7 +1752,7 @@ def _with_tombstones(reader, excl: np.ndarray | None) -> np.ndarray | None:
 
 def _route_query(
     reader, tps, terms, mode, k, strategy, excl=None, decode_cache=None,
-    incl=None, after=None, min_match=1,
+    incl=None, after=None, min_match=1, bonus=None,
 ) -> list[tuple[int, float]]:
     """Pick the serving strategy for one query given already-fetched
     TermPostings (shared by search_topk and search_many)."""
@@ -1729,14 +1765,17 @@ def _route_query(
     ):
         return _exhaustive_from_tps(
             reader, tps, terms, mode, k, excl=excl, decode_cache=decode_cache,
-            incl=incl, after=after, min_match=min_match,
+            incl=incl, after=after, min_match=min_match, bonus=bonus,
         )
     iters = [PostingIterator(tps[t], reader.avgdl) for t in terms if t in tps]
     if mode == "conjunctive":
-        return conjunctive_topk(iters, k, excl=excl, incl=incl, after=after)
+        return conjunctive_topk(
+            iters, k, excl=excl, incl=incl, after=after, bonus=bonus
+        )
     if mode == "disjunctive":
         return wand_topk(
-            iters, k, excl=excl, incl=incl, after=after, min_match=min_match
+            iters, k, excl=excl, incl=incl, after=after, min_match=min_match,
+            bonus=bonus,
         )
     raise ValueError(f"unknown mode {mode!r}")
 
@@ -1905,6 +1944,7 @@ def _exhaustive_from_tps(
     reader, tps, terms, mode, k, excl: np.ndarray | None = None,
     decode_cache: dict | None = None, incl: np.ndarray | None = None,
     after: tuple[float, int] | None = None, min_match: int = 1,
+    bonus: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     per_term = []
     for t in terms:
@@ -1936,6 +1976,13 @@ def _exhaustive_from_tps(
         np.add.at(cnt, inv, 1)
         keep = cnt >= required
         uids, agg = uids[keep], agg[keep]
+    if bonus is not None and uids.size:
+        # A79 additive static score, applied before the cursor filter so
+        # search_after compares FINAL scores (same value the heap paths use)
+        b = np.zeros(uids.size)
+        m = uids < bonus.size
+        b[m] = bonus[uids[m]]
+        agg = agg + b
     if excl is not None and uids.size:
         keep = ~np.isin(uids, excl, assume_unique=True)
         uids, agg = uids[keep], agg[keep]
