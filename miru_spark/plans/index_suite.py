@@ -1510,6 +1510,47 @@ def _fs_functions():
     ]
 
 
+_HC_ARGS = dict(mode="disjunctive", score_mode="sum", min_children=2,
+                max_children=40, k=10)
+_HP_ARGS = dict(mode="conjunctive", score=True, score_mode="max", k=25)
+
+
+def _mk_has_child():
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.blockjoin import search_has_child
+        from miru_spark.plans.flagship import ensure_index
+
+        return search_has_child(
+            ensure_index(spark, sf_dir), ["join", "hash"], **_HC_ARGS
+        )
+
+    return run
+
+
+def _has_child_oracle() -> str:
+    from miru_spark.plans.blockjoin import has_child_oracle_sql
+
+    return has_child_oracle_sql(["join", "hash"], **_HC_ARGS)
+
+
+def _mk_has_parent():
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.blockjoin import search_has_parent
+        from miru_spark.plans.flagship import ensure_index
+
+        return search_has_parent(
+            ensure_index(spark, sf_dir), ["join", "hash"], **_HP_ARGS
+        )
+
+    return run
+
+
+def _has_parent_oracle() -> str:
+    from miru_spark.plans.blockjoin import has_parent_oracle_sql
+
+    return has_parent_oracle_sql(["join", "hash"], **_HP_ARGS)
+
+
 _RF_FEATURE_ARGS = dict(field="doc_len", kind="saturation", pivot=40.0,
                         boost=2.0)
 
@@ -1911,6 +1952,14 @@ def register_all(register) -> None:
         # matched against every incoming doc
         ("percolate", q_percolate, _percolate_oracle(),
          ("doc_id", "query_id")),
+        # A80 has_child (ES join field / Lucene ToParentBlockJoin): repos
+        # ranked by the SUM of their matching files' scores, 2..40 matching
+        # children required
+        ("has_child", _mk_has_child(), _has_child_oracle(),
+         ("repo", "score", "n_children")),
+        # A80 has_parent: every file of a repo with >= 1 match, inheriting
+        # the parent's max-child score
+        ("has_parent", _mk_has_parent(), _has_parent_oracle(), DS),
     ])
     register("bm25_index_stats", q_index_stats, SQL_INDEX_STATS)
     register_composite(register, "bm25_index_suggest", [
