@@ -42,6 +42,28 @@ def score_np(tf: np.ndarray, idf: float, doc_len: np.ndarray, avgdl: float) -> n
     return idf * tf * (K1 + 1.0) / norm
 
 
+def classic_np(
+    tf: np.ndarray, df: float, doc_len: np.ndarray, n_docs: float
+) -> np.ndarray:
+    """Per-posting contribution of one term under Lucene's pre-BM25 TF-IDF
+    (``ClassicSimilarity``, the Lucene <= 5 default):
+
+        tf_norm = sqrt(tf)
+        idf     = 1 + ln((n_docs + 1) / (df + 1))
+        norm    = 1 / sqrt(dl)
+        score   = tf_norm * idf^2 * norm
+
+    idf is squared because Lucene applies it once in the query weight and
+    once in the document score. We compute the UNQUANTIZED norm: Lucene
+    byte-encodes 1/sqrt(dl) into a lossy norms byte at index time; the
+    exact value is the spec here so the DuckDB oracle can reproduce it."""
+    return (
+        np.sqrt(tf.astype(np.float64))
+        * (1.0 + np.log((n_docs + 1.0) / (float(df) + 1.0))) ** 2
+        / np.sqrt(doc_len.astype(np.float64))
+    )
+
+
 def lm_dirichlet_np(
     tf: np.ndarray,
     cf: float,

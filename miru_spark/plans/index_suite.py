@@ -325,6 +325,40 @@ def _mk_sorted(terms, mode, ascending=False):
     return run
 
 
+def _mk_rare_terms(terms, mode, max_doc_count):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.sigterms import rare_terms
+        from miru_spark.schema import read_corpus
+
+        reader = ensure_index(spark, sf_dir)
+        return rare_terms(
+            reader, read_corpus(spark, sf_dir), terms, mode=mode,
+            max_doc_count=max_doc_count,
+        )
+
+    return run
+
+
+def _rare_terms_oracle(terms, mode, max_doc_count) -> str:
+    from miru_spark.plans.sigterms import rare_terms_oracle_sql
+
+    return rare_terms_oracle_sql(terms, mode, max_doc_count=max_doc_count)
+
+
+def _mk_ranges(terms, mode, ranges):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_facets_ranges
+
+        reader = ensure_index(spark, sf_dir)
+        return search_facets_ranges(
+            reader, terms, ranges, mode=mode, col="doc_len"
+        )
+
+    return run
+
+
 def _mk_histogram(terms, mode, width):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -528,6 +562,21 @@ def _mk_lm(terms, mode, mu):
         rows = [
             (int(d), round(float(s), 6))
             for d, s in search_lm(reader, terms, mode=mode, mu=mu, k=10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
+def _mk_classic(terms, mode):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_classic
+
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search_classic(reader, terms, mode=mode, k=10)
         ]
         return spark.createDataFrame(rows, "doc_id long, score double")
 
@@ -1649,6 +1698,7 @@ def register_all(register) -> None:
         bm25_sorted_early_oracle_sql,
         bm25_span_first_oracle_sql,
         lm_dirichlet_oracle_sql,
+        classic_oracle_sql,
         collapse_oracle_sql,
         count_oracle_sql,
         facet_rollup_oracle_sql,
@@ -1656,6 +1706,7 @@ def register_all(register) -> None:
         histogram_oracle_sql,
         matrix_stats_oracle_sql,
         mlt_oracle_sql,
+        range_agg_oracle_sql,
         snippet_oracle_sql,
         sorted_oracle_sql,
         synonym_oracle_sql,
@@ -1745,6 +1796,12 @@ def register_all(register) -> None:
         ("bm25_index_lm_dirichlet",
          _mk_lm(["the", "dup"], "disjunctive", 2000.0),
          lm_dirichlet_oracle_sql(["the", "dup"], "disjunctive", mu=2000.0),
+         DS),
+        # A81 pluggable similarity (Lucene ClassicSimilarity): the pre-BM25
+        # TF-IDF default — sqrt(tf) * idf^2 / sqrt(dl) over the same plan
+        ("bm25_index_classic",
+         _mk_classic(["the", "dup"], "disjunctive"),
+         classic_oracle_sql(["the", "dup"], "disjunctive"),
          DS),
         # A57 boosting query (ES boosting): negative tree demotes by
         # negative_boost instead of excluding — the soft NOT
@@ -1848,6 +1905,15 @@ def register_all(register) -> None:
          collapse_oracle_sql(["join", "hash", "dup"], "disjunctive",
                              k_groups=4, per_group=2),
          ("grp", "grk", "rk", "doc_id", "score")),
+        # A82 range aggregation (ES range): explicit [from, to) doc_len
+        # buckets incl. open bounds, an overlap, and an empty bucket
+        ("bm25_index_range_agg",
+         _mk_ranges(["the", "a"], "conjunctive",
+                    [(None, 20), (20, 60), (40, 80), (80, None), (500, None)]),
+         range_agg_oracle_sql(["the", "a"],
+                              [(None, 20), (20, 60), (40, 80), (80, None),
+                               (500, None)], "conjunctive"),
+         ("bucket", "n_docs")),
         # A66 composite aggregation (ES composite): page 2 of (lang, repo)
         # buckets via a REAL page-1 after-key cursor
         ("bm25_index_facets_composite",
@@ -1937,6 +2003,15 @@ def register_all(register) -> None:
          matrix_stats_oracle_sql(["the", "a"], "conjunctive"),
          ("n_docs", "mean_x", "mean_y", "var_x", "var_y",
           "covariance", "correlation")),
+        # A83 rare_terms (ES rare_terms): the long tail — terms in at most
+        # max_doc_count candidate docs, count-ascending. The synthetic
+        # 31-term vocab is dense (every term is in >=16 of 'dup's 25
+        # candidates), so the cutoff sits mid-distribution to stay
+        # non-vacuous: 15 of 31 terms qualify, 16 are excluded.
+        ("bm25_index_rare_terms",
+         _mk_rare_terms(["dup"], "conjunctive", 18),
+         _rare_terms_oracle(["dup"], "conjunctive", 18),
+         ("term", "n_docs")),
         # A67 adjacency_matrix (ES): per-filter + pairwise-intersection
         # doc counts over named conjunctive term filters
         ("bm25_index_adjacency",

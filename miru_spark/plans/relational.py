@@ -546,6 +546,42 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
+def classic_oracle_sql(
+    terms: list[str],
+    mode: str = "disjunctive",
+    k: int = 10,
+    round_digits: int = 6,
+    tok_sql: str | None = None,
+) -> str:
+    """Twin of plans.search.search_classic (Lucene ClassicSimilarity):
+    per matched term sqrt(tf) * (1 + ln((n_docs+1)/(df+1)))^2 / sqrt(dl),
+    df/n_docs recomputed from the corpus."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    values = ",".join("('" + t.replace("'", "''") + "')" for t in terms)
+    conj = (
+        "WHERE nmatch = (SELECT count(*) FROM q)"
+        if mode == "conjunctive"
+        else ""
+    )
+    return f"""
+WITH tok AS ({tok_sql or DEFAULT_TOK_SQL}),
+tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP BY 1,2),
+dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
+nd    AS (SELECT count(*)::DOUBLE n FROM dl),
+df    AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+q(term) AS (VALUES {values}),
+s AS (SELECT tf.doc_id,
+        sum(sqrt(tf.tf) * pow(1 + ln((nd.n+1)/(df.df+1)), 2) / sqrt(dl.dl)) raw,
+        count(*) nmatch
+      FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc_id), nd
+      GROUP BY 1)
+SELECT doc_id, round(raw, {round_digits}) AS score FROM s {conj}
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def bm25_pinned_oracle_sql(
     terms: list[str],
     pinned_ids: list[int],
@@ -1050,6 +1086,37 @@ def histogram_oracle_sql(
 SELECT CAST(floor(doc_len/{width})*{width} AS BIGINT) AS bin_lo,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM cand JOIN dl USING(doc_id) GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+def range_agg_oracle_sql(
+    terms: list[str],
+    ranges: list[tuple[int | None, int | None]],
+    mode: str = "conjunctive",
+    tok_sql: str = DEFAULT_TOK_SQL,
+) -> str:
+    """Twin of plans.search.search_facets_ranges (A82 — ES range agg):
+    each requested [from, to) bucket is an independent conditional count
+    over the candidate set; empty buckets emit n_docs=0."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    branches = []
+    for lo, hi in ranges:
+        conds = ["TRUE"]
+        if lo is not None:
+            conds.append(f"doc_len >= {int(lo)}")
+        if hi is not None:
+            conds.append(f"doc_len < {int(hi)}")
+        label = f"{'*' if lo is None else int(lo)}-{'*' if hi is None else int(hi)}"
+        branches.append(
+            f"SELECT '{label}' AS bucket, CAST(coalesce(sum(CASE WHEN "
+            f"{' AND '.join(conds)} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs "
+            "FROM cand JOIN dl USING(doc_id)"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+{_candidate_ctes(terms, mode, tok_sql)}
+{union}
 """.strip()
 
 

@@ -1213,6 +1213,58 @@ def search_facets_histogram(
     )
 
 
+def search_facets_ranges(
+    reader: IndexReader,
+    terms: list[str],
+    ranges: list[tuple[int | None, int | None]],
+    mode: str = "conjunctive",
+    col: str = "doc_len",
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A82 — range aggregation over the candidate set (ES ``range``):
+    explicit [from, to) buckets of a numeric docmap column — ``None``
+    bounds are open, buckets may overlap (each range is an independent
+    filter, exactly ES semantics) and EMPTY buckets still emit a row with
+    n_docs=0 (ES returns every requested bucket).
+
+    One candidate plan + one docmap projection join + ONE hash agg: every
+    bucket is a conditional sum inside the same aggregate (all codegen
+    built-ins), then the single result row unpivots driver-side to one row
+    per bucket — the agg shuffles |ranges| longs per partition regardless
+    of corpus size, and overlapping buckets cost nothing extra."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    for lo, hi in ranges:
+        if lo is not None and hi is not None and lo >= hi:
+            raise ValueError(f"empty range [{lo}, {hi})")
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
+    ).select("doc_id")
+    dm = reader.docmap_df().select("doc_id", col)
+    joined = cand.join(dm, "doc_id")
+
+    def label(lo, hi):
+        return f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+
+    aggs = []
+    for lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= lo)
+        if hi is not None:
+            cond = cond & (F.col(col) < hi)
+        aggs.append(
+            F.coalesce(F.sum(cond.cast("long")), F.lit(0))
+            .cast("long")
+            .alias(label(lo, hi))
+        )
+    row = joined.agg(*aggs).collect()[0]
+    rows = [(label(lo, hi), int(row[label(lo, hi)])) for lo, hi in ranges]
+    return reader.spark.createDataFrame(rows, "bucket string, n_docs long")
+
+
 def search_field_stats(
     reader: IndexReader,
     terms: list[str],
@@ -2748,6 +2800,76 @@ def search_lm(
         scores[m] += bm25.lm_dirichlet_np(
             tfs[idx], float(tfs.sum()), dls[idx], n_tokens, mu
         )
+    if round_digits is not None:
+        scores = np.round(scores, round_digits)
+    order = np.lexsort((universe, -scores))[:k]
+    return [(int(universe[i]), float(scores[i])) for i in order]
+
+
+def search_classic(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "disjunctive",
+    k: int = 10,
+    round_digits: int | None = 6,
+    where: dict | None = None,
+) -> list[tuple[int, float]]:
+    """Pluggable similarity (Lucene ``ClassicSimilarity``, the pre-BM25
+    TF-IDF default): the same index, postings, and candidate plan as BM25,
+    scored ``sqrt(tf) * idf^2 / sqrt(dl)`` with
+    ``idf = 1 + ln((n_docs+1)/(df+1))`` per matched term instead.
+    Everything the scorer needs is already decoded for the candidate plan —
+    df is the term's posting count, n_docs comes from corpus stats — so
+    swapping similarities costs nothing at build time (the same contract as
+    :func:`search_lm`). Exhaustive evaluation only: the block-max metadata
+    is BM25's, and ClassicSimilarity's unbounded idf^2 growth makes reusing
+    those bounds unsafe, so WAND is intentionally not offered here."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    if mode not in ("conjunctive", "disjunctive"):
+        raise ValueError(f"unknown mode {mode!r}")
+    tps = reader.fetch_terms(terms)
+    if not tps or (mode == "conjunctive" and len(tps) < len(terms)):
+        return []
+    n_docs = float(reader.stats["n_docs"])
+    per_term = []
+    for tp in tps.values():
+        ids_l, tf_l, dl_l = [], [], []
+        for r in tp.chunks:
+            ids, tfs, dls = unpack_chunk_bm(r["blob"], r["bm"], int(r["codec"]))
+            ids_l.append(ids.astype(np.int64))
+            tf_l.append(tfs.astype(np.int64))
+            dl_l.append(dls.astype(np.int64))
+        per_term.append(
+            (
+                np.concatenate(ids_l),
+                np.concatenate(tf_l),
+                np.concatenate(dl_l),
+            )
+        )
+    if mode == "conjunctive":
+        universe = per_term[0][0]
+        for ids, _, _ in per_term[1:]:
+            universe = np.intersect1d(universe, ids, assume_unique=True)
+    else:
+        universe = per_term[0][0]
+        for ids, _, _ in per_term[1:]:
+            universe = np.union1d(universe, ids)
+    if where:
+        universe = np.intersect1d(
+            universe, reader.filter_doc_ids(where), assume_unique=True
+        )
+    tomb = _with_tombstones(reader, None)
+    if tomb is not None:
+        universe = universe[~np.isin(universe, tomb, assume_unique=True)]
+    if universe.size == 0:
+        return []
+    scores = np.zeros(universe.size)
+    for ids, tfs, dls in per_term:
+        m = np.isin(universe, ids, assume_unique=True)
+        idx = np.searchsorted(ids, universe[m])
+        scores[m] += bm25.classic_np(tfs[idx], float(ids.size), dls[idx], n_docs)
     if round_digits is not None:
         scores = np.round(scores, round_digits)
     order = np.lexsort((universe, -scores))[:k]

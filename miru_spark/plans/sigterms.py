@@ -127,3 +127,75 @@ FROM fgc JOIN bgc USING (term), fg_size, nd
 WHERE fg_count >= {int(min_doc_count)} AND term NOT IN ({not_in})
 ORDER BY score DESC, term LIMIT {top_n}
 """.strip()
+
+
+def rare_terms(
+    reader: IndexReader,
+    corpus: DataFrame,
+    terms: list[str],
+    mode: str = "disjunctive",
+    max_doc_count: int = 1,
+    tokenizer: str = "whitespace",
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A83 — rare terms aggregation (Elasticsearch ``rare_terms``): the
+    LONG-TAIL bucketer — terms appearing in at most ``max_doc_count`` of
+    the candidate docs, ordered count-ascending then term (ES's rare-first
+    order). The dual of a size-N terms agg (which can never surface the
+    tail: doc-count-descending truncation drops exactly the rare buckets).
+
+    Plan shape is sigterms' foreground half verbatim: candidate scan ->
+    ONE distinct-(doc_id, term) corpus projection semi-joined to the
+    candidates -> term hash agg -> count filter; both shuffles map-side
+    combined, no second corpus pass. ES bounds memory with a CuckooFilter
+    and accepts false-negative drops; here the agg is exact — the filtered
+    output is at most max_doc_count * |candidates| rows and the agg state
+    is the (pruned) vocabulary, both bounded far below the corpus."""
+    from miru_spark.functions.tokenize import tokens_col
+    from miru_spark.plans.search import search_distributed
+
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None,
+        exclude=exclude, where=where,
+    ).select("doc_id")
+    doc_terms = (
+        corpus.select(
+            "doc_id", F.explode(tokens_col("content", tokenizer)).alias("term")
+        )
+        .distinct()
+        .join(cand, "doc_id", "left_semi")
+    )
+    return (
+        doc_terms.groupBy("term")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") <= int(max_doc_count))
+        .orderBy(F.asc("n_docs"), F.asc("term"))
+    )
+
+
+def rare_terms_oracle_sql(
+    terms: list[str],
+    mode: str = "disjunctive",
+    max_doc_count: int = 1,
+    exclude: list[str] | None = None,
+) -> str:
+    """DuckDB twin: candidate CTE, distinct (doc_id, term) tokenization,
+    count filter at max_doc_count."""
+    from miru_spark.plans.relational import bm25_oracle_sql
+
+    inner = bm25_oracle_sql(terms, mode, k=1 << 30, exclude=exclude)
+    return f"""
+WITH scored AS ({inner}),
+cand AS (SELECT doc_id FROM scored),
+tok2 AS (SELECT DISTINCT doc_id, term
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents)
+         WHERE term <> '')
+SELECT term, count(*)::BIGINT AS n_docs
+FROM tok2 JOIN cand USING (doc_id)
+GROUP BY 1 HAVING count(*) <= {int(max_doc_count)}
+ORDER BY n_docs, term
+""".strip()
