@@ -568,6 +568,47 @@ def _mk_lm(terms, mode, mu):
     return run
 
 
+def _iv_ord():
+    from miru_spark.plans.intervals import IAllOf, ITerm
+
+    return IAllOf((ITerm("the"), ITerm("a"), ITerm("data")), ordered=True,
+                  max_gaps=6)
+
+
+def _iv_nested():
+    from miru_spark.plans.intervals import IAllOf, IAnyOf, IPhrase, ITerm
+
+    return IAllOf(
+        (ITerm("join"), IAnyOf((ITerm("hash"), IPhrase(("tree", "node"))))),
+        ordered=False, max_gaps=3,
+    )
+
+
+def _mk_intervals(mk_spec):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.intervals import search_intervals
+
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search_intervals(reader, mk_spec(), k=10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
+def _intervals_oracle(mk_spec) -> str:
+    from miru_spark.plans.intervals import intervals_oracle_sql
+
+    return intervals_oracle_sql(mk_spec(), k=10)
+
+
+_IV_ORD = _iv_ord
+_IV_NESTED = _iv_nested
+
+
 def _mk_classic(terms, mode):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -1928,6 +1969,13 @@ def register_all(register) -> None:
         (n, _mk_near(a, b, s), bm25_near_oracle_sql(a, b, slop=s), DS)
         for n, (a, b, s) in NEAR_CASES.items()
     ] + [
+        # A84 interval queries (Lucene IntervalQuery / ES intervals):
+        # structured proximity trees — ordered 3-term with a gap budget,
+        # and a nested any_of under an unordered gap constraint
+        ("bm25_index_intervals_ord",
+         _mk_intervals(_IV_ORD), _intervals_oracle(_IV_ORD), DS),
+        ("bm25_index_intervals_nested",
+         _mk_intervals(_IV_NESTED), _intervals_oracle(_IV_NESTED), DS),
         # A53 rescore (ES rescore): BM25 top-100 window re-ranked by a
         # second-pass phrase query, final = 1*bm25 + 2*phrase_bm25
         ("bm25_index_rescore", _mk_rescore(), _rescore_oracle(), DS),

@@ -1,0 +1,377 @@
+"""A84 — interval queries (Lucene ``IntervalQuery`` / ES ``intervals``).
+
+Structured proximity: a tree of interval sources — terms, exact phrases,
+``any_of`` alternatives, ``all_of`` combinations with ``ordered`` and
+``max_gaps`` constraints — matched against the positional index. This is
+the query ES exposes as ``intervals`` (and Lucene as the
+``Intervals.term/phrase/or/ordered/unordered/maxgaps`` combinators): the
+structured way to say "``join`` followed within 2 gaps by either ``hash``
+or the phrase ``tree node``".
+
+Matching semantics (pinned): a doc matches a node iff there EXISTS an
+assignment of one interval per child satisfying the node's constraints —
+
+* term ``t``            -> intervals [p, p] at every occurrence
+* phrase ``t0 .. tn``   -> [p, p+n] at every consecutive occurrence
+* any_of(c1..cn)        -> any child interval
+* all_of(c1..cn, ordered, max_gaps) -> child intervals i1..in with
+  ``s(i_{j+1}) > e(i_j)`` when ordered (strict, non-overlapping, in query
+  order — Lucene's ORDERED), any arrangement (overlap allowed — Lucene's
+  UNORDERED) otherwise; writing ``S = min s, E = max e``, the gap count
+  ``(E - S + 1) - sum(widths)`` must be <= max_gaps (unbounded when None).
+
+Lucene iterates MINIMAL intervals lazily (Vigna 2011) and computes gaps
+from the specific assignment its iterators hold; the existential semantics
+above is deliberately simpler and is what BOTH the evaluator and the SQL
+oracle implement, so the two can never drift. The two semantics agree on
+every tree without ``max_gaps`` (existence of a satisfying assignment is
+containment-monotone) and on ``all_of`` trees whose children are terms and
+phrases (fixed-width leaf intervals form antichains — there is nothing for
+minimality to drop). They can diverge only for a ``max_gaps`` constraint
+over NESTED variable-width children: a wider same-source child interval
+can fill the span and pass a gap budget that every minimal interval
+misses — this engine matches there, minimal-interval Lucene does not. The
+divergence corner is pinned by a regression test rather than hidden.
+(Lucene's containing/not_containing filters, which observe minimality
+directly, are out of scope.)
+
+Ranking (pinned, the phrase/near house convention): matched docs rank by
+the disjunctive BM25 sum over the tree's DISTINCT leaf terms present in
+the doc, so scores are reproducible in ANSI SQL; Lucene's own
+IntervalQuery scoring (sloppy-freq over minimal interval widths) is not
+value-oracle-able and intentionally not replicated.
+
+Scale shape: one pruned positional fetch for the tree's distinct leaf
+terms (same fetch the phrase/near paths use), candidate docs =
+intersection/union sets mirroring the tree (numpy sorted-set algebra),
+then per-candidate interval assembly over tf-sized position lists. The
+driver-side path serves interactive queries; a corpus-scale filter would
+ride the distributed occurrence-join plan exactly as
+``search_phrase_distributed`` does.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from miru_spark.functions import bm25
+from miru_spark.index.format import unpack_chunk_bm, unpack_positions
+from miru_spark.index.reader import IndexReader
+
+
+@dataclass(frozen=True)
+class ITerm:
+    term: str
+
+
+@dataclass(frozen=True)
+class IPhrase:
+    terms: tuple[str, ...]
+
+    def __post_init__(self):
+        if len(self.terms) < 2:
+            raise ValueError("interval phrase needs >= 2 tokens")
+
+
+@dataclass(frozen=True)
+class IAnyOf:
+    children: tuple = ()
+
+    def __post_init__(self):
+        if not self.children:
+            raise ValueError("any_of needs >= 1 child")
+
+
+@dataclass(frozen=True)
+class IAllOf:
+    children: tuple = ()
+    ordered: bool = False
+    max_gaps: int | None = field(default=None)
+
+    def __post_init__(self):
+        if not self.children:
+            raise ValueError("all_of needs >= 1 child")
+        if self.max_gaps is not None and self.max_gaps < 0:
+            raise ValueError("max_gaps must be >= 0")
+
+
+def leaf_terms(spec) -> list[str]:
+    """Distinct leaf terms, first-appearance order."""
+    out: dict[str, None] = {}
+
+    def walk(n):
+        if isinstance(n, ITerm):
+            out.setdefault(n.term)
+        elif isinstance(n, IPhrase):
+            for t in n.terms:
+                out.setdefault(t)
+        elif isinstance(n, (IAnyOf, IAllOf)):
+            for c in n.children:
+                walk(c)
+        else:
+            raise TypeError(f"unknown interval node {type(n).__name__}")
+
+    walk(spec)
+    return list(out)
+
+
+def _eval_doc(spec, pos_of: dict[str, np.ndarray]) -> list[tuple[int, int]]:
+    """ALL satisfying intervals of ``spec`` in one doc (deduped, sorted),
+    given per-term sorted position arrays. Empty list = no match. No
+    dominance pruning between levels: a parent ``max_gaps`` can be
+    satisfiable only through a WIDER child interval (more covered span =
+    fewer gaps), so dropping contained-interval containers would change
+    match results — the enumeration must stay exhaustive, mirrored 1:1 by
+    the SQL oracle's un-minimized interval relations."""
+    if isinstance(spec, ITerm):
+        ps = pos_of.get(spec.term)
+        return [] if ps is None else [(int(p), int(p)) for p in ps]
+    if isinstance(spec, IPhrase):
+        ps = pos_of.get(spec.terms[0])
+        if ps is None:
+            return []
+        starts = set(int(p) for p in ps)
+        for j, t in enumerate(spec.terms[1:], start=1):
+            qs = pos_of.get(t)
+            if qs is None:
+                return []
+            nxt = set(int(q) - j for q in qs)
+            starts &= nxt
+            if not starts:
+                return []
+        n = len(spec.terms)
+        return sorted((s, s + n - 1) for s in starts)
+    if isinstance(spec, IAnyOf):
+        acc: list[tuple[int, int]] = []
+        for c in spec.children:
+            acc.extend(_eval_doc(c, pos_of))
+        return sorted(set(acc))
+    if isinstance(spec, IAllOf):
+        kids = [_eval_doc(c, pos_of) for c in spec.children]
+        if any(not kv for kv in kids):
+            return []
+        out: list[tuple[int, int]] = []
+        gaps = spec.max_gaps
+        if spec.ordered:
+            # DFS in query order; child j+1 must start strictly after child
+            # j ends. Prune on running gap count: appending an ordered child
+            # never decreases gaps (added width <= added span), so a branch
+            # over budget stays over budget.
+            def rec(j, s0, e_prev, width_sum):
+                if j == len(kids):
+                    out.append((s0, e_prev))
+                    return
+                for s, e in kids[j]:
+                    if j > 0 and s <= e_prev:
+                        continue
+                    ns0 = s if j == 0 else s0
+                    ne, nw = max(e_prev, e), width_sum + (e - s + 1)
+                    if gaps is not None and (ne - ns0 + 1) - nw > gaps:
+                        continue
+                    rec(j + 1, ns0, ne, nw)
+
+            rec(0, 0, -1, 0)
+        else:
+            # unordered (overlap allowed): DFS with an optimistic bound —
+            # remaining children can at best add width without growing the
+            # span, so prune when even that can't reach the budget.
+            rem_max_w = [0] * (len(kids) + 1)
+            for j in range(len(kids) - 1, -1, -1):
+                rem_max_w[j] = rem_max_w[j + 1] + max(
+                    e - s + 1 for s, e in kids[j]
+                )
+
+            def rec(j, mn, mx, width_sum):
+                if j == len(kids):
+                    out.append((mn, mx))
+                    return
+                for s, e in kids[j]:
+                    nmn = s if j == 0 else min(mn, s)
+                    nmx = e if j == 0 else max(mx, e)
+                    nw = width_sum + (e - s + 1)
+                    if gaps is not None and (nmx - nmn + 1) - (
+                        nw + rem_max_w[j + 1]
+                    ) > gaps:
+                        continue
+                    rec(j + 1, nmn, nmx, nw)
+
+            rec(0, 0, 0, 0)
+        return sorted(set(out))
+    raise TypeError(f"unknown interval node {type(spec).__name__}")
+
+
+def search_intervals(
+    reader: IndexReader,
+    spec,
+    k: int = 10,
+    round_digits: int | None = 6,
+    where: dict | None = None,
+) -> list[tuple[int, float]]:
+    """Top-k docs matching the interval tree, ranked by the disjunctive
+    BM25 sum over the tree's distinct leaf terms (score desc, doc_id asc).
+    """
+    from miru_spark.plans.search import _with_tombstones
+
+    terms = leaf_terms(spec)
+    if not reader.positions:
+        raise ValueError(
+            "interval queries need a positional index (positions=True)"
+        )
+    tps = reader.fetch_terms(terms, with_positions=True)
+    data = {}
+    for t, tp in tps.items():
+        ids_l, tf_l, dl_l, pos_l = [], [], [], []
+        for r in tp.chunks:
+            ids, tfs, dls = unpack_chunk_bm(r["blob"], r["bm"], int(r["codec"]))
+            ids_l.append(ids.astype(np.int64))
+            tf_l.append(tfs.astype(np.int64))
+            dl_l.append(dls.astype(np.int64))
+            pos_l.append(unpack_positions(r["pos_blob"], tfs).astype(np.int64))
+        ids = np.concatenate(ids_l)
+        tfs = np.concatenate(tf_l)
+        off = np.concatenate([[0], np.cumsum(tfs)])
+        data[t] = (ids, tfs, np.concatenate(dl_l), np.concatenate(pos_l), off)
+
+    def cand_ids(node) -> np.ndarray:
+        if isinstance(node, ITerm):
+            d = data.get(node.term)
+            return d[0] if d is not None else np.empty(0, dtype=np.int64)
+        if isinstance(node, IPhrase):
+            sets = [
+                data[t][0] if t in data else np.empty(0, dtype=np.int64)
+                for t in node.terms
+            ]
+            u = sets[0]
+            for s in sets[1:]:
+                u = np.intersect1d(u, s, assume_unique=True)
+            return u
+        if isinstance(node, IAnyOf):
+            u = np.empty(0, dtype=np.int64)
+            for c in node.children:
+                u = np.union1d(u, cand_ids(c))
+            return u
+        u = None
+        for c in node.children:
+            s = cand_ids(c)
+            u = s if u is None else np.intersect1d(u, s, assume_unique=True)
+        return u
+
+    cand = cand_ids(spec)
+    if where:
+        cand = np.intersect1d(
+            cand, reader.filter_doc_ids(where), assume_unique=True
+        )
+    tomb = _with_tombstones(reader, None)
+    if tomb is not None:
+        cand = cand[~np.isin(cand, tomb, assume_unique=True)]
+    if cand.size == 0:
+        return []
+
+    matched = []
+    for d in cand.tolist():
+        pos_of = {}
+        for t, (ids, tfs, _, pos, off) in data.items():
+            j = int(np.searchsorted(ids, d))
+            if j < ids.size and ids[j] == d:
+                pos_of[t] = np.sort(pos[off[j]: off[j + 1]])
+        if _eval_doc(spec, pos_of):
+            matched.append(d)
+    if not matched:
+        return []
+    v = np.array(matched, dtype=np.int64)
+    scores = np.zeros(v.size)
+    for t, (ids, tfs, dls, _, _) in data.items():
+        m = np.isin(v, ids, assume_unique=True)
+        idx = np.searchsorted(ids, v[m])
+        scores[m] += bm25.score_np(tfs[idx], tps[t].idf, dls[idx], reader.avgdl)
+    if round_digits is not None:
+        scores = np.round(scores, round_digits)
+    order = np.lexsort((v, -scores))[:k]
+    return [(int(v[i]), float(scores[i])) for i in order]
+
+
+def _sql_quote(t: str) -> str:
+    return t.replace("'", "''")
+
+
+def _rel_sql(spec, ctr: list[int]) -> str:
+    """SELECT doc_id, s, e producing every satisfying interval of the node
+    (the EXISTS enumeration — a superset of Lucene's minimal intervals,
+    match-equivalent per the module docstring)."""
+    if isinstance(spec, ITerm):
+        return (
+            f"SELECT doc_id, i AS s, i AS e FROM pos "
+            f"WHERE term = '{_sql_quote(spec.term)}'"
+        )
+    if isinstance(spec, IPhrase):
+        n = len(spec.terms)
+        joins = []
+        for j in range(1, n):
+            joins.append(
+                f"JOIN pos p{j} ON p{j}.doc_id = p0.doc_id AND "
+                f"p{j}.i = p0.i + {j} AND "
+                f"p{j}.term = '{_sql_quote(spec.terms[j])}'"
+            )
+        return (
+            f"SELECT p0.doc_id, p0.i AS s, p0.i + {n - 1} AS e FROM pos p0 "
+            + " ".join(joins)
+            + f" WHERE p0.term = '{_sql_quote(spec.terms[0])}'"
+        )
+    if isinstance(spec, IAnyOf):
+        return " UNION ALL ".join(
+            f"SELECT * FROM ({_rel_sql(c, ctr)})" for c in spec.children
+        )
+    if isinstance(spec, IAllOf):
+        names = []
+        srcs = []
+        for c in spec.children:
+            ctr[0] += 1
+            nm = f"c{ctr[0]}"
+            names.append(nm)
+            srcs.append(f"({_rel_sql(c, ctr)}) {nm}")
+        conds = [f"{n}.doc_id = {names[0]}.doc_id" for n in names[1:]]
+        if spec.ordered:
+            for a, b in zip(names, names[1:]):
+                conds.append(f"{b}.s > {a}.e")
+            s_expr, e_expr = f"{names[0]}.s", f"{names[-1]}.e"
+        else:
+            s_expr = "least(" + ", ".join(f"{n}.s" for n in names) + ")"
+            e_expr = "greatest(" + ", ".join(f"{n}.e" for n in names) + ")"
+            if len(names) == 1:
+                s_expr, e_expr = f"{names[0]}.s", f"{names[0]}.e"
+        if spec.max_gaps is not None:
+            widths = " + ".join(f"({n}.e - {n}.s + 1)" for n in names)
+            conds.append(
+                f"({e_expr}) - ({s_expr}) + 1 - ({widths}) <= {spec.max_gaps}"
+            )
+        where = (" WHERE " + " AND ".join(conds)) if conds else ""
+        return (
+            f"SELECT {names[0]}.doc_id, {s_expr} AS s, {e_expr} AS e FROM "
+            + ", ".join(srcs)
+            + where
+        )
+    raise TypeError(f"unknown interval node {type(spec).__name__}")
+
+
+def intervals_oracle_sql(spec, k: int = 10, round_digits: int = 6) -> str:
+    """DuckDB twin of :func:`search_intervals`: the interval relation is
+    GENERATED from the same spec tree, matched docs join the standard
+    disjunctive BM25 ranking over the tree's distinct leaf terms."""
+    from miru_spark.plans.relational import bm25_oracle_sql
+
+    inner = bm25_oracle_sql(
+        leaf_terms(spec), "disjunctive", k=1 << 30, round_digits=round_digits
+    )
+    rel = _rel_sql(spec, [0])
+    return f"""
+WITH ranked AS ({inner}),
+toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         FROM documents),
+pos AS (SELECT doc_id, i, l[i] AS term
+        FROM toks, UNNEST(range(1, len(l)+1)) AS u(i)),
+hits AS (SELECT DISTINCT doc_id FROM ({rel}))
+SELECT doc_id, score FROM ranked JOIN hits USING(doc_id)
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
