@@ -568,6 +568,17 @@ def _mk_lm(terms, mode, mu):
     return run
 
 
+def _mk_terms_set(terms, divisor):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_terms_set
+
+        reader = ensure_index(spark, sf_dir)
+        return search_terms_set(reader, terms, divisor=divisor, k=10)
+
+    return run
+
+
 def _iv_ord():
     from miru_spark.plans.intervals import IAllOf, ITerm
 
@@ -1752,6 +1763,7 @@ def register_all(register) -> None:
         sorted_oracle_sql,
         synonym_oracle_sql,
         term_vector_oracle_sql,
+        terms_set_oracle_sql,
     )
 
     DS = ("doc_id", "score")
@@ -1783,6 +1795,13 @@ def register_all(register) -> None:
                          # double space must not drift across the boundary
                          meta_where="len(list_filter(string_split(text, ' '),"
                                     " t -> t <> '')) BETWEEN 40 AND 60"),
+         DS),
+        # A85 terms_set (ES terms_set / Lucene CoveringQuery): PER-DOC
+        # minimum-should-match floor derived from a stored numeric column
+        ("bm25_index_terms_set",
+         _mk_terms_set(["join", "hash", "dup", "tree", "node"], 30),
+         terms_set_oracle_sql(["join", "hash", "dup", "tree", "node"],
+                              divisor=30),
          DS),
         # A49 minimum_should_match: >=3 of 5 should-terms must hit; scores
         # still sum over every matched term (ES minimum_should_match)

@@ -546,6 +546,42 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
+def terms_set_oracle_sql(
+    terms: list[str],
+    divisor: int = 30,
+    k: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """Twin of plans.search.search_terms_set (A85 — ES terms_set): the
+    disjunctive BM25 ranking filtered by the per-doc floor
+    nmatch >= least(n_terms, greatest(1, 1 + floor(doc_len/divisor)))."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    if divisor <= 0:
+        raise ValueError("divisor must be positive")
+    values = ",".join("('" + _sql_quote(t) + "')" for t in terms)
+    n = len(terms)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP BY 1,2),
+dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
+df    AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+q(term) AS (VALUES {values}),
+s AS (SELECT tf.doc_id,
+        sum( ln(1+(stats.n-df.df+0.5)/(df.df+0.5))
+             * tf.tf*(1.2+1)/(tf.tf+1.2*(1-0.75+0.75*dl.dl/stats.avgdl)) ) raw,
+        count(DISTINCT tf.term) nmatch
+      FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc_id), stats
+      GROUP BY 1)
+SELECT doc_id, round(raw, {round_digits}) AS score
+FROM s JOIN dl USING(doc_id)
+WHERE nmatch >= least({n}, greatest(1, 1 + CAST(floor(dl.dl/{int(divisor)}) AS BIGINT)))
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def classic_oracle_sql(
     terms: list[str],
     mode: str = "disjunctive",

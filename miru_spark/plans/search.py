@@ -3018,6 +3018,7 @@ def search_distributed(
     exclude: list[str] | None = None,
     boosts: dict[str, float] | None = None,
     where: dict | None = None,
+    with_nmatch: bool = False,
 ) -> DataFrame:
     """Pure-DataFrame scoring over chunk rows (scatter-gather top-k).
 
@@ -3127,7 +3128,67 @@ def search_distributed(
         if round_digits is not None
         else F.col("score")
     )
+    if with_nmatch:
+        if k is not None:
+            raise ValueError("with_nmatch is for k=None internal callers")
+        # distinct-term match count for per-doc floors (terms_set): terms
+        # are distinct and each contributes one row per matching doc, so
+        # the existing count(*) IS the distinct-match count
+        return agg.select("doc_id", score.alias("score"), "nmatch")
     out = agg.select("doc_id", score.alias("score"))
     if k is None:  # unsorted candidate set (internal callers rank later)
         return out
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_terms_set(
+    reader: IndexReader,
+    terms: list[str],
+    mm_col: str = "doc_len",
+    divisor: int = 30,
+    k: int = 10,
+    round_digits: int | None = 6,
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A85 — terms_set query (ES ``terms_set`` / Lucene
+    ``CoveringQuery``): disjunctive match with a PER-DOC
+    minimum-should-match floor. ES reads the floor from a stored per-doc
+    field (``minimum_should_match_field``); the docmap carries no curated
+    floor column, so the pinned stand-in derives it from a stored numeric
+    column: ``M(doc) = least(n_terms, greatest(1, 1 + floor(mm_col /
+    divisor)))`` — longer docs must match more of the term set. The
+    engine mechanics are exactly the per-doc-floor enforcement ES does;
+    only the floor's provenance differs (derived expression vs stored
+    field), and both sides of the oracle derive it identically.
+
+    Plan: the standard distributed scorer keeps its per-doc distinct-term
+    match count (one extra long through the existing hash agg — no new
+    shuffle), joins the docmap's two-column projection, and filters
+    ``nmatch >= M(doc)`` as a codegen expression before the
+    TakeOrderedAndProject. Scores are the plain disjunctive BM25 sum over
+    matched terms (ES sums matching should-clauses), so a qualifying
+    doc's score is unchanged by the floor."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    if divisor <= 0:
+        raise ValueError("divisor must be positive")
+    cand = search_distributed(
+        reader, terms, mode="disjunctive", k=None, round_digits=round_digits,
+        exclude=exclude, where=where, with_nmatch=True,
+    )
+    dm = reader.docmap_df().select("doc_id", mm_col)
+    floor_m = F.least(
+        F.lit(len(terms)),
+        F.greatest(
+            F.lit(1), (F.floor(F.col(mm_col) / divisor) + 1).cast("long")
+        ),
+    )
+    return (
+        cand.join(dm, "doc_id")
+        .filter(F.col("nmatch") >= floor_m)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
