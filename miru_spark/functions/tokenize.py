@@ -110,7 +110,7 @@ def doc_len_col(content: Column | str, mode: str = "whitespace") -> Column:
     the length is needed (docmap pass). The ``english`` mode drops stopwords,
     so its length needs the filtered array (stemming preserves count)."""
     col = F.col(content) if isinstance(content, str) else content
-    if mode in ("english", "edge"):
+    if mode in ("english", "edge", "shingle"):
         return F.size(tokens_col(col, mode)).cast("long")
     col = _prep_col(col, mode)
     return F.regexp_count(col, F.lit(_TOKEN_PATTERNS[mode])).cast("long")
@@ -130,6 +130,30 @@ def tokens_col(content: Column | str, mode: str = "whitespace") -> Column:
         # whitespace split; one translate() keeps it in codegen
         arr = F.split(F.translate(F.lower(col), FOLD_SRC, FOLD_DST), r"\s+")
         return F.filter(arr, lambda t: t != F.lit(""))
+    if mode == "shingle":
+        # A86 shingle filter (Lucene ShingleFilter / ES shingle, defaults
+        # min=max=2, output_unigrams=true, separator ' '): lowercase ->
+        # whitespace split -> unigrams + adjacent space-joined bigrams.
+        # Bigrams via zip_with against the 1-shifted array (zip_with pads
+        # the short side with NULL, which the filter drops) — higher-order
+        # built-ins only, stays in codegen.
+        toks = F.filter(
+            F.split(F.lower(col), r"\s+"), lambda t: t != F.lit("")
+        )
+        shifted = F.slice(
+            toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))
+        )
+        bigrams = F.filter(
+            F.zip_with(
+                toks,
+                shifted,
+                lambda a, b: F.when(
+                    b.isNotNull(), F.concat(a, F.lit(" "), b)
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return F.concat(toks, bigrams)
     if mode == "edge":
         # index-time autocomplete (A70): prefix queries become EXACT term
         # lookups — no dictionary scan at serve time. All higher-order
@@ -176,6 +200,11 @@ def tokenize_py(text: str, mode: str = "whitespace") -> list[str]:
     if mode == "ascii":
         folded = text.lower().translate(str.maketrans(FOLD_SRC, FOLD_DST))
         return [t for t in re.split(r"\s+", folded) if t]
+    if mode == "shingle":
+        toks = [t for t in re.split(r"\s+", text.lower()) if t]
+        return toks + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
     if mode == "edge":
         out: list[str] = []
         for t in re.split(r"\s+", text.lower()):

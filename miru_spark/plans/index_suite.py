@@ -1341,6 +1341,39 @@ def q_edge_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+_SHINGLE_IDX: dict[str, str] = {}
+
+
+def q_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A86 — shingle filter (Lucene ShingleFilter / ES shingle): the corpus
+    indexed with tokenizer='shingle' stores unigrams AND adjacent bigrams
+    as terms, so a quoted two-word phrase is ONE exact term lookup — the
+    positionless phrase-search trade (bigger vocabulary, no position
+    stream, no per-doc position verify at serve time). The query is the
+    bigram term 'join hash' plus the unigram 'dup', conjunctive: the doc
+    must contain the exact adjacency AND the third word."""
+    import tempfile
+
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.plans.search import search_topk
+    from miru_spark.schema import read_corpus
+
+    if sf_dir not in _SHINGLE_IDX:
+        path = tempfile.mkdtemp(prefix="miru_shingle_") + "/idx"
+        build_index(spark, read_corpus(spark, sf_dir), path,
+                    num_partitions=8, tokenizer="shingle")
+        _SHINGLE_IDX[sf_dir] = path
+    reader = IndexReader(spark, _SHINGLE_IDX[sf_dir])
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_topk(
+            reader, ["join hash", "dup"], mode="conjunctive", k=10
+        )
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 def q_english_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A62 — the english analysis chain (Lucene EnglishAnalyzer shape:
     lowercase -> default stop set -> EnglishMinimalStemFilter) end-to-end
@@ -2144,6 +2177,7 @@ def register_all(register) -> None:
     from miru_spark.plans.relational import (
         DEFAULT_TOK_SQL,
         EDGE_TOK_SQL,
+        SHINGLE_TOK_SQL,
         bm25_cross_fields_oracle_sql,
         bm25_dismax_oracle_sql,
         bm25_multifield_oracle_sql,
@@ -2174,6 +2208,11 @@ def register_all(register) -> None:
         ("edge_ngram", q_edge_ngram,
          bm25_oracle_sql(["jo", "ha"], "conjunctive",
                          tok_sql=EDGE_TOK_SQL), DS),
+        # A86 shingle filter: bigram 'join hash' indexed as ONE term —
+        # positionless phrase lookup — conjunctive with unigram 'dup'
+        ("shingle", q_shingle,
+         bm25_oracle_sql(["join hash", "dup"], "conjunctive",
+                         tok_sql=SHINGLE_TOK_SQL), DS),
         # A77 asciifolding analyzer: pinned diacritic fold, build+serve
         # round-trip ('Café Résumé' found by [cafe, resume])
         ("ascii_folding", q_ascii_folding,

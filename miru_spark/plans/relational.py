@@ -1051,6 +1051,19 @@ DEFAULT_TOK_SQL = (
     "SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents"
 )
 
+# twin of tokenize.tokens_col(..., 'shingle') — A86 shingle filter (Lucene
+# ShingleFilter / ES shingle, defaults min=max=2, output_unigrams=true,
+# separator ' '): lowercase -> whitespace split -> unigrams + adjacent
+# space-joined bigrams
+SHINGLE_TOK_SQL = """
+SELECT doc_id,
+       unnest(list_concat(l, list_transform(range(1, len(l)),
+                                            i -> l[i] || ' ' || l[i+1]))) AS term
+FROM (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS l
+      FROM documents) s
+""".strip()
+
 # twin of tokenize.tokens_col(..., 'edge') — A70 edge n-gram autocomplete:
 # prefixes of length EDGE_MIN..min(len, EDGE_MAX) per token, plus the full
 # token past EDGE_MAX (preserveOriginal); sub-EDGE_MIN tokens emit nothing
