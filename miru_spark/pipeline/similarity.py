@@ -80,6 +80,53 @@ FROM embeddings ORDER BY cos DESC, vec_id ASC LIMIT {k}
 """.strip()
 
 
+def cosine_topk_filtered(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    label_in: list[int],
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """A87 — filtered kNN (ES ``knn`` with ``filter`` / Lucene
+    ``KnnFloatVectorQuery`` with a pre-filter): the metadata predicate is
+    applied BEFORE top-k selection, so the result always holds k survivors
+    FROM THE FILTERED SET. The contrast that makes pre-filtering the
+    correct semantics: post-filtering a global top-k returns however many
+    of those k happen to satisfy the predicate — with a 10%-selective
+    filter, usually ~k/10 rows and arbitrarily poor recall. Exact
+    brute-force: codegen filter (pushes to the parquet scan) -> cosine ->
+    TakeOrderedAndProject; the int8 variant below is the compressed-domain
+    scale path with the same pre-filter placement."""
+    if not label_in:
+        raise ValueError("label_in must be non-empty")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = F.round(cosine_col(F.col("embedding"), q), round_digits)
+    return (
+        embeddings.filter(F.col("label").isin([int(x) for x in label_in]))
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def filtered_knn_oracle_sql(
+    label_in: list[int], k: int = 10, round_digits: int = 6
+) -> str:
+    """Twin of :func:`cosine_topk_filtered` (query vector = vec_id 0's
+    embedding, resolved inside the SQL)."""
+    if not label_in:
+        raise ValueError("label_in must be non-empty")
+    labels = ", ".join(str(int(x)) for x in label_in)
+    return f"""
+SELECT vec_id,
+       ROUND(list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),
+             {round_digits}) AS cos
+FROM embeddings WHERE label IN ({labels})
+ORDER BY cos DESC, vec_id ASC LIMIT {k}
+""".strip()
+
+
 def cosine_near_pairs(
     embeddings: DataFrame,
     threshold: float = 0.5,
@@ -687,21 +734,29 @@ def ann_ivfpq_topk(
 
 # ------------------------------------------------------- int8 quantization --
 
-def quantize_int8(embeddings: DataFrame) -> DataFrame:
+def quantize_int8(embeddings: DataFrame, keep_cols: tuple = ()) -> DataFrame:
     """Scalar int8 quantization (the Lucene 9.x ``int8_hnsw`` storage
     trade): vectors L2-normalize, then quantize symmetrically per vector —
     ``scale = max|v|/127, codes = round(v/scale)`` — 4x smaller than
     float32 with ~1e-3 cosine error (pytest pins cos > 0.999 against the
     originals). Encode is one Arrow-batched
     mapInPandas pass; output (vec_id, codes binary, scale) is the
-    compressed vector table a 100-TB embedding store would persist."""
+    compressed vector table a 100-TB embedding store would persist.
+    ``keep_cols`` passes metadata columns (e.g. ``label``) through beside
+    the codes so filtered kNN can pre-filter the compressed scan without
+    joining back to the float table."""
     import pyspark.sql.types as T
 
-    schema = T.StructType([
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("codes", T.BinaryType()),
-        T.StructField("scale", T.DoubleType()),
-    ])
+    keep_cols = tuple(keep_cols)
+    in_schema = {f.name: f.dataType for f in embeddings.schema.fields}
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.BinaryType()),
+            T.StructField("scale", T.DoubleType()),
+        ]
+        + [T.StructField(c, in_schema[c]) for c in keep_cols]
+    )
 
     def encode(batches):
         for pdf in batches:
@@ -712,13 +767,18 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
             scale = np.abs(mat).max(axis=1) / 127.0
             scale[scale == 0] = 1.0
             codes = np.rint(mat / scale[:, None]).astype(np.int8)
-            yield pd.DataFrame({
+            out = {
                 "vec_id": pdf["vec_id"].astype("int64"),
                 "codes": [c.tobytes() for c in codes],
                 "scale": scale,
-            })
+            }
+            for c in keep_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(encode, schema)
+    return embeddings.select("vec_id", "embedding", *keep_cols).mapInPandas(
+        encode, schema
+    )
 
 
 def ann_int8_topk(
@@ -727,13 +787,18 @@ def ann_int8_topk(
     k: int = 10,
     rerank: int = 0,
     round_digits: int = 6,
+    label_in: list[int] | None = None,
 ) -> DataFrame:
     """(vec_id, cos) top-k by cosine computed in the COMPRESSED domain:
     approx_cos = scale_v * dot(q_normalized, codes_v) — one broadcast of
     the float query + a streaming scan of the int8 table, no shuffle
     before the TakeOrdered. ``rerank > 0`` re-scores that many compressed
     candidates with exact float cosine (the standard two-phase shape
-    shared with IVF-PQ); the window must cover k."""
+    shared with IVF-PQ); the window must cover k. ``label_in`` is the
+    PRE-FILTER (A87 — ES knn filter): the predicate lands on the quantized
+    table's metadata column BEFORE scoring, so k survivors always come
+    from the filtered set and the scan stays compressed-domain — no join
+    back to the float table on the hot path."""
     if rerank and rerank < k:
         raise ValueError(f"rerank window ({rerank}) must be >= k ({k})")
     import pyspark.sql.types as T
@@ -743,7 +808,11 @@ def ann_int8_topk(
     qn = float(np.linalg.norm(q)) or 1.0
     q = q / qn
     bq = spark.sparkContext.broadcast(q)
-    qt = quantize_int8(embeddings)
+    qt = quantize_int8(embeddings, keep_cols=("label",) if label_in else ())
+    if label_in:
+        qt = qt.filter(
+            F.col("label").isin([int(x) for x in label_in])
+        ).select("vec_id", "codes", "scale")
     schema = T.StructType([
         T.StructField("vec_id", T.LongType()),
         T.StructField("cos", T.DoubleType()),

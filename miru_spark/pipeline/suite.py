@@ -128,6 +128,14 @@ def q_ann_int8(spark, sf):
     return ann_int8_topk(_emb(spark, sf), _query_vec(spark, sf), k=10, rerank=50)
 
 
+def q_knn_filtered(spark, sf):
+    from miru_spark.pipeline.similarity import cosine_topk_filtered
+
+    return cosine_topk_filtered(
+        _emb(spark, sf), _query_vec(spark, sf), label_in=[3, 7], k=10
+    )
+
+
 def q_cosine_pairs(spark, sf):
     from miru_spark.pipeline.similarity import cosine_near_pairs
 
@@ -381,6 +389,7 @@ def register_all(register) -> None:
     from miru_spark.pipeline.similarity import (
         cosine_near_pairs_oracle_sql,
         embedding_dedup_oracle_sql,
+        filtered_knn_oracle_sql,
     )
     from miru_spark.pipeline.textqual import (
         TOKEN_STATS_SQL,
@@ -422,6 +431,10 @@ def register_all(register) -> None:
         # the top-k exactly, so this row is value-oracled against the same
         # brute-force cosine SQL
         ("pipe_ann_int8", q_ann_int8, SQL_ANN_BRUTE, ("vec_id", "cos")),
+        # A87 filtered kNN (ES knn filter): label predicate PRE-filters
+        # the candidate set, so k survivors come from the filtered set
+        ("pipe_knn_filtered", q_knn_filtered,
+         filtered_knn_oracle_sql([3, 7]), ("vec_id", "cos")),
         ("pipe_cosine_near_pairs", q_cosine_pairs,
          cosine_near_pairs_oracle_sql(0.5), ("id_a", "id_b", "cos")),
         ("pipe_dedup_embedding", q_dedup_embedding,
