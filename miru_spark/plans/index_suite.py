@@ -610,6 +610,17 @@ def _mk_intervals(mk_spec):
     return run
 
 
+def _mk_intervals_dist(mk_spec):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.intervals import search_intervals_distributed
+
+        reader = ensure_index(spark, sf_dir)
+        return search_intervals_distributed(reader, mk_spec(), k=10)
+
+    return run
+
+
 def _intervals_oracle(mk_spec) -> str:
     from miru_spark.plans.intervals import intervals_oracle_sql
 
@@ -2028,6 +2039,10 @@ def register_all(register) -> None:
          _mk_intervals(_IV_ORD), _intervals_oracle(_IV_ORD), DS),
         ("bm25_index_intervals_nested",
          _mk_intervals(_IV_NESTED), _intervals_oracle(_IV_NESTED), DS),
+        # ... and the same nested tree through the cluster-scale
+        # occurrence-join plan (the distributed twin)
+        ("bm25_index_intervals_dist",
+         _mk_intervals_dist(_IV_NESTED), _intervals_oracle(_IV_NESTED), DS),
         # A53 rescore (ES rescore): BM25 top-100 window re-ranked by a
         # second-pass phrase query, final = 1*bm25 + 2*phrase_bm25
         ("bm25_index_rescore", _mk_rescore(), _rescore_oracle(), DS),

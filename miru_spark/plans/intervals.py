@@ -375,3 +375,150 @@ hits AS (SELECT DISTINCT doc_id FROM ({rel}))
 SELECT doc_id, score FROM ranked JOIN hits USING(doc_id)
 ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
+
+
+def search_intervals_distributed(
+    reader: IndexReader,
+    spec,
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> "DataFrame":
+    """Cluster-scale interval matching as a pure DataFrame plan — the
+    relational shape of :func:`intervals_oracle_sql`, executed by Spark:
+
+    * each leaf term's positional chunks decode to an occurrence frame
+      (doc_id, pos) via mapInArrow over the pruned postings scan,
+    * term -> (doc_id, s=pos, e=pos); phrase -> the per-offset
+      (doc_id, adj) equi-join chain (the search_phrase_distributed plan)
+      collapsed to (doc_id, s, e),
+    * any_of -> unionByName; all_of -> a chain of doc_id equi-joins whose
+      ordering / gap constraints ride as join conditions (Catalyst plans
+      the equality part as a hash join and evaluates the inequalities as
+      codegen filters on it),
+    * matched docs semi-join the standard distributed disjunctive BM25
+      scorer over the tree's distinct leaf terms -> TakeOrderedAndProject.
+
+    Same pinned EXISTS semantics and identical results to the driver-side
+    :func:`search_intervals`; use this plan when the leaf terms' postings
+    exceed one node. The interval joins only carry docs that contain the
+    joined leaves, and every join keys on doc_id, so the chain reuses one
+    hash partitioning end-to-end."""
+    from pyspark.sql import DataFrame  # noqa: F401 (doc type)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    import pyarrow as pa
+
+    from miru_spark.plans.search import search_distributed
+
+    if not reader.positions:
+        raise ValueError(
+            "interval queries need a positional index (positions=True)"
+        )
+    terms = leaf_terms(spec)
+    spark = reader.spark
+    chunks = reader.postings_df(terms)
+
+    occ_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("pos", T.LongType())]
+    )
+
+    def occ(term: str):
+        def emit(batches):
+            from miru_spark.index.format import unpack_chunk, unpack_positions
+
+            for batch in batches:
+                for row in batch.to_pylist():
+                    ids, tfs, _ = unpack_chunk(
+                        row["blob"], row["blocks"], int(row["codec"])
+                    )
+                    pos = unpack_positions(row["pos_blob"], tfs).astype(np.int64)
+                    doc_rep = np.repeat(
+                        ids.astype(np.int64), tfs.astype(np.int64)
+                    )
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(doc_rep), pa.array(pos)],
+                        names=["doc_id", "pos"],
+                    )
+
+        return chunks.filter(F.col("term") == term).mapInArrow(emit, occ_schema)
+
+    ctr = [0]
+
+    def rel(node):
+        """(doc_id, s, e) frame of the node's satisfying intervals."""
+        if isinstance(node, ITerm):
+            return occ(node.term).select(
+                "doc_id", F.col("pos").alias("s"), F.col("pos").alias("e")
+            )
+        if isinstance(node, IPhrase):
+            n = len(node.terms)
+            cand = occ(node.terms[0]).select(
+                "doc_id", F.col("pos").alias("adj")
+            )
+            for off in range(1, n):
+                nxt = occ(node.terms[off]).select(
+                    "doc_id", (F.col("pos") - off).alias("adj")
+                )
+                cand = cand.join(nxt, ["doc_id", "adj"], "inner")
+            return cand.select(
+                "doc_id",
+                F.col("adj").alias("s"),
+                (F.col("adj") + (n - 1)).alias("e"),
+            )
+        if isinstance(node, IAnyOf):
+            out = rel(node.children[0])
+            for c in node.children[1:]:
+                out = out.unionByName(rel(c))
+            return out
+        if isinstance(node, IAllOf):
+            parts = []
+            for c in node.children:
+                ctr[0] += 1
+                i = ctr[0]
+                parts.append(
+                    (i, rel(c).select(
+                        "doc_id",
+                        F.col("s").alias(f"s{i}"),
+                        F.col("e").alias(f"e{i}"),
+                    ))
+                )
+            (i0, acc), rest = parts[0], parts[1:]
+            idx = [i0]
+            for i, cur in rest:
+                cond = acc["doc_id"] == cur["doc_id"]
+                if node.ordered:
+                    cond = cond & (cur[f"s{i}"] > acc[f"e{idx[-1]}"])
+                acc = acc.join(cur, cond, "inner").drop(cur["doc_id"])
+                idx.append(i)
+            s_cols = [F.col(f"s{i}") for i in idx]
+            e_cols = [F.col(f"e{i}") for i in idx]
+            if node.ordered:
+                s_expr, e_expr = s_cols[0], e_cols[-1]
+            else:
+                s_expr = F.least(*s_cols) if len(idx) > 1 else s_cols[0]
+                e_expr = F.greatest(*e_cols) if len(idx) > 1 else e_cols[0]
+            out = acc.select(
+                "doc_id", s_expr.alias("s"), e_expr.alias("e"),
+                sum(
+                    [F.col(f"e{i}") - F.col(f"s{i}") + 1 for i in idx],
+                    F.lit(0),
+                ).alias("_w"),
+            )
+            if node.max_gaps is not None:
+                out = out.filter(
+                    F.col("e") - F.col("s") + 1 - F.col("_w")
+                    <= node.max_gaps
+                )
+            return out.drop("_w")
+        raise TypeError(f"unknown interval node {type(node).__name__}")
+
+    matched = rel(spec).select("doc_id").distinct()
+    scored = search_distributed(
+        reader, terms, mode="disjunctive", k=None, round_digits=round_digits
+    )
+    return (
+        scored.join(matched, "doc_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -164,6 +164,30 @@ def test_pinned_divergence_corner():
     assert _eval_doc(outer, pm) != []
 
 
+@pytest.mark.parametrize("spec", SPECS[2:], ids=lambda s: type(s).__name__)
+def test_distributed_matches_driver(pos_reader, spec):
+    """The cluster-scale occurrence-join plan returns exactly the
+    driver-side evaluator's results (same pinned semantics, same rank)."""
+    from miru_spark.plans.intervals import search_intervals_distributed
+
+    drv = search_intervals(pos_reader, spec, k=10)
+    dist = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in search_intervals_distributed(pos_reader, spec, k=10).collect()
+    ]
+    assert dist == drv
+
+
+def test_distributed_plan_is_jvm_side(pos_reader):
+    """Everything after the Arrow position decode stays in Catalyst: the
+    interval joins and gap filters are codegen expressions, not Python."""
+    from miru_spark.plans.intervals import search_intervals_distributed
+
+    df = search_intervals_distributed(pos_reader, SPECS[3], k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "mapInPandas" not in plan.lower()
+
+
 def test_intervals_validation(pos_reader, reader):
     with pytest.raises(ValueError):
         IAllOf((), ordered=True)
