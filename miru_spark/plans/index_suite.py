@@ -568,6 +568,27 @@ def _mk_lm(terms, mode, mu):
     return run
 
 
+def _mk_simpleq(query):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.simpleq import search_simple
+
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search_simple(reader, query, k=10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
+def _simpleq_oracle(query) -> str:
+    from miru_spark.plans.simpleq import simple_oracle_sql
+
+    return simple_oracle_sql(query, k=10)
+
+
 def _mk_terms_set(terms, divisor):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -1839,6 +1860,13 @@ def register_all(register) -> None:
                          # double space must not drift across the boundary
                          meta_where="len(list_filter(string_split(text, ' '),"
                                     " t -> t <> '')) BETWEEN 40 AND 60"),
+         DS),
+        # A88 simple_query_string (ES simple_query_string): the lenient
+        # user-facing syntax — +/|/- operators, group-level must_not —
+        # translated to the A56 tree, oracle generated from the same AST
+        ("bm25_index_simpleq",
+         _mk_simpleq("the + a | -dup data"),
+         _simpleq_oracle("the + a | -dup data"),
          DS),
         # A85 terms_set (ES terms_set / Lucene CoveringQuery): PER-DOC
         # minimum-should-match floor derived from a stored numeric column
