@@ -346,6 +346,20 @@ def _rare_terms_oracle(terms, mode, max_doc_count) -> str:
     return rare_terms_oracle_sql(terms, mode, max_doc_count=max_doc_count)
 
 
+def _mk_sampled_facets(terms, mode, probability):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_facets_sampled
+
+        reader = ensure_index(spark, sf_dir)
+        return search_facets_sampled(
+            reader, terms, mode=mode, facet_col="lang",
+            probability=probability,
+        ).withColumnRenamed("lang", "facet")
+
+    return run
+
+
 def _mk_ranges(terms, mode, ranges):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -1824,6 +1838,7 @@ def register_all(register) -> None:
         matrix_stats_oracle_sql,
         mlt_oracle_sql,
         range_agg_oracle_sql,
+        sampled_facets_oracle_sql,
         snippet_oracle_sql,
         sorted_oracle_sql,
         synonym_oracle_sql,
@@ -2037,6 +2052,13 @@ def register_all(register) -> None:
          collapse_oracle_sql(["join", "hash", "dup"], "disjunctive",
                              k_groups=4, per_group=2),
          ("grp", "grk", "rk", "doc_id", "score")),
+        # A89 random_sampler agg (deterministic variant): facet counts over
+        # a reproducible md5-keyed Bernoulli(0.5) sample of the candidates
+        ("bm25_index_sampled_facets",
+         _mk_sampled_facets(["the", "a"], "conjunctive", 0.5),
+         sampled_facets_oracle_sql(["the", "a"], "conjunctive",
+                                   probability=0.5),
+         ("facet", "n_docs")),
         # A82 range aggregation (ES range): explicit [from, to) doc_len
         # buckets incl. open bounds, an overlap, and an empty bucket
         ("bm25_index_range_agg",

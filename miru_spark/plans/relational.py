@@ -1169,6 +1169,30 @@ def range_agg_oracle_sql(
 """.strip()
 
 
+def sampled_facets_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    facet_col_sql: str = "lang",
+    probability: float = 0.5,
+    seed: str = "s0",
+    tok_sql: str = DEFAULT_TOK_SQL,
+) -> str:
+    """Twin of plans.search.search_facets_sampled (A89 — ES random_sampler,
+    deterministic variant): the same md5(seed:doc_id) threshold draw as
+    hash_sample_oracle_sql, then the facet count over the sampled
+    candidates."""
+    from miru_spark.pipeline.sampling import _NIBBLES, _threshold_hex
+
+    thr = _threshold_hex(probability)
+    return f"""
+{_candidate_ctes(terms, mode, tok_sql)}
+SELECT {facet_col_sql} AS facet, CAST(count(*) AS BIGINT) AS n_docs
+FROM cand JOIN documents USING(doc_id)
+WHERE substring(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, {_NIBBLES}) < '{thr}'
+GROUP BY 1 ORDER BY n_docs DESC, facet
+""".strip()
+
+
 def field_stats_oracle_sql(
     terms: list[str],
     mode: str = "conjunctive",

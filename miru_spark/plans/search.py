@@ -1265,6 +1265,48 @@ def search_facets_ranges(
     return reader.spark.createDataFrame(rows, "bucket string, n_docs long")
 
 
+def search_facets_sampled(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    facet_col: str = "lang",
+    probability: float = 0.5,
+    seed: str = "s0",
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A89 — random_sampler aggregation (ES ``random_sampler``): compute a
+    downstream aggregation over a Bernoulli(p) sample of the candidate set
+    instead of all of it — the knob that makes exploratory aggs affordable
+    when the candidate set is billions of docs (scan cost scales with p,
+    counts scale back up by 1/p on the client if an estimate of the full
+    corpus is wanted; raw sampled counts are returned here, as ES does).
+
+    ES draws a per-shard random stream; this engine keys the draw on
+    md5(seed:doc_id) exactly like the pipeline's :func:`hash_sample` —
+    membership is a pure function of the doc, so the sampled agg is
+    REPRODUCIBLE across partitionings, re-runs, and engines (and therefore
+    value-oracle-able, which ES's sampler is not). The sample filter is a
+    codegen projection on the candidate ids — no shuffle added; the facet
+    agg downstream is unchanged."""
+    from miru_spark.pipeline.sampling import hash_sample
+
+    if not 0.0 < probability <= 1.0:
+        raise ValueError(f"probability must be in (0,1], got {probability}")
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
+    ).select("doc_id")
+    sampled = hash_sample(cand, probability, seed=seed)
+    dm = reader.docmap_df().select("doc_id", facet_col)
+    return (
+        sampled.join(dm, "doc_id")
+        .groupBy(facet_col)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc(facet_col))
+    )
+
+
 def search_field_stats(
     reader: IndexReader,
     terms: list[str],

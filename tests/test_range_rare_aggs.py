@@ -96,3 +96,51 @@ def test_rare_terms_is_the_tail(reader, corpus):
 def test_rare_terms_validation(reader, corpus):
     with pytest.raises(ValueError):
         rare_terms(reader, corpus, ["dup"], max_doc_count=0)
+
+
+def test_sampled_facets_matches_oracle(reader, duck):
+    from miru_spark.plans.relational import sampled_facets_oracle_sql
+    from miru_spark.plans.search import search_facets_sampled
+
+    got = sorted(
+        tuple(r)
+        for r in search_facets_sampled(
+            reader, ["the", "a"], mode="conjunctive", facet_col="lang",
+            probability=0.5,
+        ).collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in duck.execute(
+            sampled_facets_oracle_sql(["the", "a"], "conjunctive",
+                                      probability=0.5)
+        ).fetchall()
+    )
+    assert got == exp and got
+
+
+def test_sampled_facets_contract(reader):
+    """Determinism (layout-free draw), sample ⊂ full facet counts, p=1
+    degenerates to the unsampled facet counts, validation."""
+    import pytest
+
+    from miru_spark.plans.search import search_facets, search_facets_sampled
+
+    a = search_facets_sampled(reader, ["the"], facet_col="lang",
+                              probability=0.5).collect()
+    b = search_facets_sampled(reader, ["the"], facet_col="lang",
+                              probability=0.5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    full = {
+        r["lang"]: r["n_docs"]
+        for r in search_facets(reader, ["the"], facet_col="lang").collect()
+    }
+    for r in a:
+        assert 0 < r["n_docs"] <= full[r["lang"]]
+    total_sampled = sum(r["n_docs"] for r in a)
+    assert total_sampled < sum(full.values())  # genuinely sampled
+    whole = search_facets_sampled(reader, ["the"], facet_col="lang",
+                                  probability=1.0).collect()
+    assert {(r["lang"], r["n_docs"]) for r in whole} == set(full.items())
+    with pytest.raises(ValueError):
+        search_facets_sampled(reader, ["the"], probability=0.0)
