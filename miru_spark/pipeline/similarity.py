@@ -808,8 +808,15 @@ def ann_int8_topk(
     qn = float(np.linalg.norm(q)) or 1.0
     q = q / qn
     bq = spark.sparkContext.broadcast(q)
-    qt = quantize_int8(embeddings, keep_cols=("label",) if label_in else ())
-    if label_in:
+    # None = no filter; [] is a caller bug (matching cosine_topk_filtered's
+    # contract) — an accidental empty list must not silently return
+    # UNfiltered results.
+    if label_in is not None and not label_in:
+        raise ValueError("label_in must be non-empty")
+    qt = quantize_int8(
+        embeddings, keep_cols=("label",) if label_in is not None else ()
+    )
+    if label_in is not None:
         qt = qt.filter(
             F.col("label").isin([int(x) for x in label_in])
         ).select("vec_id", "codes", "scale")

@@ -1249,7 +1249,7 @@ def search_facets_ranges(
         return f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
 
     aggs = []
-    for lo, hi in ranges:
+    for i, (lo, hi) in enumerate(ranges):
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (F.col(col) >= lo)
@@ -1258,11 +1258,16 @@ def search_facets_ranges(
         aggs.append(
             F.coalesce(F.sum(cond.cast("long")), F.lit(0))
             .cast("long")
-            .alias(label(lo, hi))
+            .alias(f"_b{i}")  # labels carry *, keep agg names identifier-safe
         )
-    row = joined.agg(*aggs).collect()[0]
-    rows = [(label(lo, hi), int(row[label(lo, hi)])) for lo, hi in ranges]
-    return reader.spark.createDataFrame(rows, "bucket string, n_docs long")
+    # Stays a lazy plan like every sibling search_facets_*: the single agg
+    # row unpivots via stack() (a generator projection), not a collect().
+    stack_args: list = [F.lit(len(ranges))]
+    for i, (lo, hi) in enumerate(ranges):
+        stack_args += [F.lit(label(lo, hi)), F.col(f"_b{i}")]
+    return joined.agg(*aggs).select(
+        F.stack(*stack_args).alias("bucket", "n_docs")
+    )
 
 
 def search_facets_sampled(

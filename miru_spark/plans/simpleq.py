@@ -118,7 +118,13 @@ def _expand_word(word: str, reader: IndexReader | None, max_expansions: int):
     if fuzzy_edits is not None:
         if reader is None:
             return BTerm(IMPOSSIBLE)
-        terms = reader.expand_fuzzy(word, max_edits=fuzzy_edits)
+        # max_terms must out-size any realistic vocabulary neighborhood:
+        # the default (1024) raises on short terms over a big vocab, which
+        # would break this module's never-raises contract. Expand wide,
+        # then truncate to max_expansions like the prefix path.
+        terms = reader.expand_fuzzy(
+            word, max_edits=fuzzy_edits, max_terms=1 << 20
+        )
         terms = terms[:max_expansions]
         if not terms:
             return BTerm(IMPOSSIBLE)
@@ -253,4 +259,20 @@ def simple_oracle_sql(
     node = parse_simple(query, None, default_operator=default_operator)
     if node is None:
         raise ValueError("query translates to no clauses; no oracle")
+
+    def has_impossible(n):
+        # With reader=None, an IMPOSSIBLE leaf can ONLY come from an
+        # unresolved * / ~ expansion clause — refusing here beats silently
+        # emitting an oracle where that clause matches nothing.
+        if isinstance(n, BTerm):
+            return n.term == IMPOSSIBLE
+        if isinstance(n, BPhrase):
+            return False
+        kids = n.children if isinstance(n, (BOr, BAnd)) else (n.child,)
+        return any(has_impossible(c) for c in kids)
+
+    if has_impossible(node):
+        raise ValueError(
+            "expansion queries (* / ~ clauses) have no static oracle"
+        )
     return bool_oracle_sql(node, k=k, round_digits=round_digits)

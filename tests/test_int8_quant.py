@@ -56,3 +56,10 @@ def test_quantization_deterministic(emb):
     a = {r["vec_id"]: r["codes"] for r in quantize_int8(emb).collect()}
     b = {r["vec_id"]: r["codes"] for r in quantize_int8(emb.repartition(7)).collect()}
     assert a == b
+
+
+def test_empty_label_filter_raises(emb, qvec):
+    # [] must not silently mean "no filter" (ADVICE r03): the exact path
+    # (cosine_topk_filtered) raises, so the compressed path must too.
+    with pytest.raises(ValueError, match="non-empty"):
+        ann_int8_topk(emb, qvec, k=3, label_in=[])

@@ -144,3 +144,15 @@ def test_sampled_facets_contract(reader):
     assert {(r["lang"], r["n_docs"]) for r in whole} == set(full.items())
     with pytest.raises(ValueError):
         search_facets_sampled(reader, ["the"], probability=0.0)
+
+
+def test_facets_ranges_returns_lazy_plan(reader):
+    # The builder must not execute a Spark job at construction time
+    # (ADVICE r03): the unpivot is a stack() projection, not a collect().
+    df = search_facets_ranges(reader, ["the"], RANGES)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "LocalRelation" not in plan.split("\n")[0]
+    # executing it still yields one row per requested bucket, in order
+    assert [r["bucket"] for r in df.collect()] == [
+        "*-20", "20-60", "40-80", "80-*", "500-*"
+    ]

@@ -143,3 +143,14 @@ def test_no_match_paths_return_empty(pos_reader):
         simple_oracle_sql("")
     with pytest.raises(ValueError):
         parse_simple("a", max_expansions=0)
+
+
+def test_oracle_refuses_expansion_queries():
+    # * / ~ clauses resolve through the index at query time, so no static
+    # SQL oracle exists; silently mapping them to the IMPOSSIBLE sentinel
+    # would produce a wrong-but-valid oracle (ADVICE r03).
+    for q in ("pre* other", "term~ other", "a | (b + pre*)", "-x term~2 y"):
+        with pytest.raises(ValueError, match="expansion"):
+            simple_oracle_sql(q)
+    # expansion-free queries still produce an oracle
+    assert "SELECT" in simple_oracle_sql("a + b | -c").upper()
