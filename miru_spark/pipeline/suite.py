@@ -70,9 +70,13 @@ def q_dedup_minhash(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    from miru_spark.pipeline.dedup import simhash_near_pairs
+    """SimHash candidates + exact-Jaccard verify (the production recipe
+    shape): at radius 10 the chunk buckets recall every exact pair on this
+    corpus (pinned by test_dedup_clusters), so the exact-pairs SQL is a
+    value oracle. Pure hamming-distance pairs stay pytest-covered."""
+    from miru_spark.pipeline.dedup import simhash_jaccard_pairs
 
-    return simhash_near_pairs(_docs(spark, sf), max_hamming=10)
+    return simhash_jaccard_pairs(_docs(spark, sf), max_hamming=10, threshold=0.12)
 
 
 def q_dedup_minhash_clusters(spark, sf):
@@ -83,9 +87,11 @@ def q_dedup_minhash_clusters(spark, sf):
 
 
 def q_dedup_simhash_clusters(spark, sf):
-    from miru_spark.pipeline.dedup import simhash_dedup_clusters
+    from miru_spark.pipeline.dedup import simhash_jaccard_clusters
 
-    return simhash_dedup_clusters(_docs(spark, sf), max_hamming=10)
+    return simhash_jaccard_clusters(
+        _docs(spark, sf), max_hamming=10, threshold=0.12
+    )
 
 
 # ---- similarity -----------------------------------------------------------
@@ -149,9 +155,16 @@ def q_dedup_embedding(spark, sf):
 
 
 def q_ann_lsh(spark, sf):
+    """LSH probe at max_hamming = n_bits: every bucket is a candidate, so
+    the exact-cosine rerank returns the true top-k and the brute-force SQL
+    is a valid value oracle. Pruned-radius recall is pytest's job
+    (test_similarity LSH recall block)."""
     from miru_spark.pipeline.similarity import ann_lsh_topk
 
-    return ann_lsh_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
+    return ann_lsh_topk(
+        _emb(spark, sf), _query_vec(spark, sf), k=10, n_bits=16,
+        max_hamming=16,
+    )
 
 
 def q_dedup_spans(spark, sf):
@@ -170,20 +183,29 @@ def dedup_spans_sql():
 def q_ann_ivfpq(spark, sf):
     """IVF-PQ (product quantization): 16-byte codes instead of raw floats,
     ADC scoring, exact-cosine rerank — the compressed-domain ANN scale
-    path. Full probe + rerank here so the row is deterministic."""
+    path. Full probe + a rerank window covering the whole sf0.01 table
+    (500 vectors) means the exact rerank IS brute force, so the
+    brute-force SQL oracles the row; windowed-rerank recall is pytest's
+    job (test_ivfpq)."""
     from miru_spark.pipeline.similarity import ann_ivfpq_topk
 
     emb = _emb(spark, sf)
     return ann_ivfpq_topk(
         emb, _query_vec(spark, sf), k=10, n_clusters=8, m=16, n_codes=32,
-        n_probe=8, rerank=100,
+        n_probe=8, rerank=512,
     )
 
 
 def q_ann_ivf(spark, sf):
+    """IVF probe at n_probe = n_clusters: every cluster directory is read,
+    so the exact-cosine rerank equals brute force and the brute-force SQL
+    oracles the row. Pruned-probe recall is pytest's job."""
     from miru_spark.pipeline.similarity import ann_ivf_topk
 
-    return ann_ivf_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
+    return ann_ivf_topk(
+        _emb(spark, sf), _query_vec(spark, sf), k=10, n_clusters=16,
+        n_probe=16,
+    )
 
 
 # ---- text analysis --------------------------------------------------------
@@ -413,16 +435,28 @@ def register_all(register) -> None:
          ("doc_id", "n_tokens", "n_removed")),
     ])
     register("pipe_dedup_ngram_jaccard", q_dedup_ngram_jaccard, sql_dedup_ngram_jaccard())
-    # rows-only (seeded-random signatures; recall/identity covered in pytest)
+    # value-oracled since r4: every member verifies its banded candidates
+    # with EXACT n-gram Jaccard, and both banding schemes give full recall
+    # at these params on this corpus (pinned by pytest), so the exact-pairs
+    # SQL — and its recursive-CTE components twin — are real value oracles.
+    # Pure hamming-distance SimHash pairs stay pytest-covered (their values
+    # are hash-geometry-specific, like winnow fingerprints).
+    from miru_spark.pipeline.dedup import (
+        components_oracle_sql,
+        ngram_jaccard_oracle_sql,
+    )
+
+    exact_pairs_sql = ngram_jaccard_oracle_sql(0.12)
+    clusters_sql = components_oracle_sql(exact_pairs_sql)
     register_composite(register, "pipe_dedup_fingerprint", [
-        ("pipe_dedup_minhash_lsh", q_dedup_minhash, None,
+        ("pipe_dedup_minhash_lsh", q_dedup_minhash, exact_pairs_sql,
          ("doc_a", "doc_b", "jaccard")),
-        ("pipe_dedup_simhash", q_dedup_simhash, None,
-         ("doc_a", "doc_b", "hamming")),
-        ("pipe_dedup_minhash_clusters", q_dedup_minhash_clusters, None,
-         ("doc_id", "cluster_rep")),
-        ("pipe_dedup_simhash_clusters", q_dedup_simhash_clusters, None,
-         ("doc_id", "cluster_rep")),
+        ("pipe_dedup_simhash", q_dedup_simhash, exact_pairs_sql,
+         ("doc_a", "doc_b", "jaccard")),
+        ("pipe_dedup_minhash_clusters", q_dedup_minhash_clusters,
+         clusters_sql, ("doc_id", "cluster_rep")),
+        ("pipe_dedup_simhash_clusters", q_dedup_simhash_clusters,
+         clusters_sql, ("doc_id", "cluster_rep")),
     ])
     register_composite(register, "pipe_similarity", [
         ("pipe_ann_cosine_brute", q_ann_brute, SQL_ANN_BRUTE, ("vec_id", "cos")),
@@ -440,11 +474,14 @@ def register_all(register) -> None:
         ("pipe_dedup_embedding", q_dedup_embedding,
          embedding_dedup_oracle_sql(0.4), ("vec_id",)),
     ])
+    # Each member runs at full probe (every bucket / cluster scanned) with
+    # an exact-cosine rerank, so its value provably equals brute force and
+    # the brute-force SQL is a real oracle; pruned-probe recall stays in
+    # pytest (test_similarity, test_ivfpq).
     register_composite(register, "pipe_ann", [
-        ("pipe_ann_lsh", q_ann_lsh, None, ("vec_id", "cos")),
-        ("pipe_ann_ivf", q_ann_ivf, None, ("vec_id", "cos")),
-        # IVF-PQ: compressed-domain ADC + exact rerank (recall pytests)
-        ("pipe_ann_ivfpq", q_ann_ivfpq, None, ("vec_id", "cos")),
+        ("pipe_ann_lsh", q_ann_lsh, SQL_ANN_BRUTE, ("vec_id", "cos")),
+        ("pipe_ann_ivf", q_ann_ivf, SQL_ANN_BRUTE, ("vec_id", "cos")),
+        ("pipe_ann_ivfpq", q_ann_ivfpq, SQL_ANN_BRUTE, ("vec_id", "cos")),
     ])
     register_composite(register, "pipe_text_quality", [
         ("pipe_text_quality", q_text_quality, text_quality_oracle_sql(),

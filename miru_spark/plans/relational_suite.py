@@ -605,28 +605,44 @@ SELECT doc_id, LENGTH(text) AS text_len FROM documents ORDER BY doc_id LIMIT 400
 
 # B26 grouped-agg pandas UDAF
 def q_b26_grouped_agg_udaf(spark, sf):
-    # annotation-free lambda: `from __future__ import annotations` stringifies
-    # hints, which pandas_udf's signature inference can't resolve
-    weighted_avg = F.pandas_udf(
-        lambda v, w: float(round((v * w).sum() / w.sum(), 6)),
-        "double",
-        F.PandasUDFType.GROUPED_AGG,
-    )
+    import numpy as np
+
+    def _wavg(v, w):
+        # B27's integer-cents discipline makes the UDAF hash-stable:
+        # prices go to int64 cents and quantities to int64 BEFORE the sum,
+        # so accumulation order (pandas partition order, numpy pairwise
+        # summation) cannot wobble the last float digit; the single final
+        # division of exact integers is bit-identical on both engines.
+        cents = np.floor(v.to_numpy() * 100.0 + 0.5).astype("int64")
+        qty = np.floor(w.to_numpy() + 0.5).astype("int64")
+        return float(
+            round(int((cents * qty).sum()) / (100.0 * int(qty.sum())), 6)
+        )
+
+    # annotation-free callable: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf's signature inference can't resolve
+    weighted_avg = F.pandas_udf(_wavg, "double", F.PandasUDFType.GROUPED_AGG)
 
     li = _t(spark, sf, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             weighted_avg(
-                F.round(F.col("l_extendedprice"), 4), F.col("l_quantity")
+                F.col("l_extendedprice"), F.col("l_quantity")
             ).alias("wavg_price")
         )
         .orderBy("l_returnflag")
     )
 
 
-# rows-only: pandas UDAF accumulates in float64 with pandas' own summation
-# order; checked for row count + schema, plus a tolerance test in pytest.
+SQL_B26 = """
+SELECT l_returnflag,
+       ROUND(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+             / (100.0 * SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))), 6)
+           AS wavg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
 
 
 # B27 co-grouped applyInPandas (the cogroup half of SURVEY B24)
@@ -726,7 +742,7 @@ QUERIES = {
     "rel_b23_pandas_udf": (q_b23_pandas_udf, SQL_B23),
     "rel_b24_apply_in_pandas": (q_b24_apply_in_pandas, SQL_B24),
     "rel_b25_map_in_arrow": (q_b25_map_in_arrow, SQL_B25),
-    "rel_b26_grouped_agg_udaf": (q_b26_grouped_agg_udaf, None),
+    "rel_b26_grouped_agg_udaf": (q_b26_grouped_agg_udaf, SQL_B26),
     "rel_b27_cogroup": (q_b27_cogroup, SQL_B27),
 }
 
@@ -789,6 +805,8 @@ def register_all(register) -> None:
         register_composite(register, group, [
             (n, QUERIES[n][0], QUERIES[n][1], COLUMNS[n]) for n in names
         ])
-    # rows-only by design (approx / float-order nondeterminism): standalone
+    # rows-only by design (approximate sketch): standalone
     register("rel_b10_approx_distinct", q_b10_approx_distinct, None)
-    register("rel_b26_grouped_agg_udaf", q_b26_grouped_agg_udaf, None)
+    # value-oracled since r4: integer-cents accumulation (B27's discipline)
+    # removed the float-order nondeterminism that kept this rows-only
+    register("rel_b26_grouped_agg_udaf", q_b26_grouped_agg_udaf, SQL_B26)

@@ -172,3 +172,52 @@ def test_bucket_cap_skips_mega_buckets(spark):
     assert len(capped) == 3  # the 3-doc cluster's pairs survive
     sim = simhash_near_pairs(docs, max_hamming=2, max_bucket_size=10).collect()
     assert all(p.doc_a >= 5000 for p in sim)
+
+
+def test_simhash_jaccard_variants_match_exact_twins(spark, duck):
+    """r4 oracle upgrade pin: at (max_hamming=10, threshold=0.12) the SimHash
+    chunk buckets recall EVERY exact 3-gram-Jaccard pair of the sf0.01
+    corpus, so the exact-verified pairs equal the exact all-pairs SQL and
+    the clusters equal its recursive-CTE components — the property that
+    makes pipe_dedup_fingerprint value-oracled."""
+    from tests.conftest import SF_DIR
+    from miru_spark.pipeline.dedup import (
+        components_oracle_sql,
+        ngram_jaccard_oracle_sql,
+        simhash_jaccard_clusters,
+        simhash_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs_sql = ngram_jaccard_oracle_sql(0.12)
+    got_pairs = sorted(
+        tuple(r)
+        for r in simhash_jaccard_pairs(
+            docs, max_hamming=10, threshold=0.12
+        ).collect()
+    )
+    assert got_pairs == sorted(tuple(r) for r in duck.execute(pairs_sql).fetchall())
+    got_cl = sorted(
+        tuple(r)
+        for r in simhash_jaccard_clusters(
+            docs, max_hamming=10, threshold=0.12
+        ).collect()
+    )
+    want_cl = sorted(
+        tuple(r)
+        for r in duck.execute(components_oracle_sql(pairs_sql)).fetchall()
+    )
+    assert got_cl == want_cl
+
+
+def test_components_oracle_sql_chain(duck):
+    """The recursive-CTE components twin labels a 3-link chain with its min
+    doc_id even though no direct pair spans the chain ends."""
+    from miru_spark.pipeline.dedup import components_oracle_sql
+
+    sql = components_oracle_sql(
+        "SELECT * FROM (VALUES (1, 2), (2, 3), (3, 4), (10, 11)) "
+        "AS t(doc_a, doc_b) ORDER BY doc_a"
+    )
+    got = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)]
