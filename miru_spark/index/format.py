@@ -363,6 +363,34 @@ def unpack_chunk_bm(blob, bm: dict, codec: int):
     return np.concatenate(ids_l), np.concatenate(tf_l), np.concatenate(dl_l)
 
 
+def unpack_chunk_np(blob, ns, off_g, off_t, off_d, lasts, codec: int):
+    """:func:`unpack_chunk` taking the block metadata as FLAT numpy arrays
+    instead of a list of dicts — the zero-copy form the distributed scorer
+    feeds straight from Arrow nested-column buffers (no ``to_pylist``
+    materialization of the metadata structs; search.py ``score_chunks``)."""
+    if ns.size == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e.copy(), e.copy()
+    total = int(ns.sum())
+    if codec == CODEC_VARINT:
+        gaps, _ = varint_decode(blob, int(off_g[0]), count=total)
+        tfs, _ = varint_decode(blob, int(off_t[0]), count=total)
+        dls, _ = varint_decode(blob, int(off_d[0]), count=total)
+        return delta_decode(gaps), tfs, dls
+    ids_l, tf_l, dl_l = [], [], []
+    prev = 0
+    for j in range(ns.size):
+        n = int(ns[j])
+        gaps, _ = _dec(blob, int(off_g[j]), n, codec)
+        tfs, _ = _dec(blob, int(off_t[j]), n, codec)
+        dls, _ = _dec(blob, int(off_d[j]), n, codec)
+        ids_l.append(delta_decode(gaps, base=prev))
+        tf_l.append(tfs)
+        dl_l.append(dls)
+        prev = int(lasts[j])
+    return np.concatenate(ids_l), np.concatenate(tf_l), np.concatenate(dl_l)
+
+
 def unpack_chunk(blob, metas: list[dict], codec: int):
     """Decode a whole chunk -> (docids, tfs, dls); for varint this is one
     vectorized decode per stream."""

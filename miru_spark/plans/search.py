@@ -2923,39 +2923,28 @@ def search_classic(
     return [(int(universe[i]), float(scores[i])) for i in order]
 
 
-def search_phrase_distributed(
-    reader: IndexReader,
-    phrase: str,
-    k: int = 10,
-    tokenizer: str = "whitespace",
-    round_digits: int | None = 6,
-) -> DataFrame:
-    """Cluster-scale exact phrase search as a pure DataFrame plan.
+def phrase_verified_docs_df(
+    reader: IndexReader, seq: list[str] | tuple[str, ...]
+) -> DataFrame | None:
+    """Distinct doc_ids containing the exact consecutive token sequence,
+    as a pure DataFrame plan — the distributed positional phrase verify.
 
     For each phrase offset j the positional chunks of term_j emit
     (doc_id, pos - j) occurrence keys (mapInArrow decode, pruned scan);
     chained inner joins on (doc_id, adj) leave exactly the docs where some
-    start position aligns every term — the classic distributed positional
-    phrase join. Verified docs then semi-join the standard distributed BM25
-    scorer over the phrase's distinct terms. Use :func:`search_phrase` when
-    one node can hold the phrase terms' chunks; this plan when it can't.
-    """
-    from miru_spark.functions.tokenize import tokenize_py
-
-    seq = tokenize_py(phrase, tokenizer)
-    if not seq:
-        raise ValueError("empty phrase")
+    start position aligns every term. Returns None when a phrase term is
+    absent from the index (no doc can match). Shared by
+    :func:`search_phrase_distributed` and the boolean-tree distributed
+    plan's phrase leaves (booltree.py)."""
     if not reader.positions:
         raise ValueError(
             "phrase search needs a positional index (build_index(positions=True))"
         )
     uterms = list(dict.fromkeys(seq))
-    spark = reader.spark
-    empty = spark.createDataFrame([], "doc_id long, score double")
     chunks = reader.postings_df(uterms)
     present = {r["term"] for r in chunks.select("term").distinct().collect()}
     if len(present) < len(uterms):
-        return empty
+        return None
 
     occ_schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("adj", T.LongType())]
@@ -2984,7 +2973,31 @@ def search_phrase_distributed(
     cand = occurrences(seq[0], 0)
     for off in range(1, len(seq)):
         cand = cand.join(occurrences(seq[off], off), ["doc_id", "adj"], "inner")
-    verified = cand.select("doc_id").distinct()
+    return cand.select("doc_id").distinct()
+
+
+def search_phrase_distributed(
+    reader: IndexReader,
+    phrase: str,
+    k: int = 10,
+    tokenizer: str = "whitespace",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Cluster-scale exact phrase search as a pure DataFrame plan:
+    :func:`phrase_verified_docs_df` for the positional verify, then the
+    verified docs semi-join the standard distributed BM25 scorer over the
+    phrase's distinct terms. Use :func:`search_phrase` when one node can
+    hold the phrase terms' chunks; this plan when it can't."""
+    from miru_spark.functions.tokenize import tokenize_py
+
+    seq = tokenize_py(phrase, tokenizer)
+    if not seq:
+        raise ValueError("empty phrase")
+    uterms = list(dict.fromkeys(seq))
+    spark = reader.spark
+    verified = phrase_verified_docs_df(reader, seq)
+    if verified is None:
+        return spark.createDataFrame([], "doc_id long, score double")
     scored = search_distributed(
         reader, uterms, mode="conjunctive", k=None, round_digits=None
     )
@@ -3004,21 +3017,48 @@ def search_phrase_distributed(
 _DOCID_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType())])
 
 
+def _chunk_batch_views(batch: pa.RecordBatch):
+    """Zero-copy numpy views over a chunk-row Arrow batch's decode columns.
+
+    Returns (blob_col, codec_np, offs, ns, og, ot, od, lasts): the block
+    metadata structs are read straight out of the nested ListArray buffers
+    (one ``.to_numpy()`` per scalar field for the WHOLE batch) instead of
+    ``to_pylist()``-materializing a dict per block — this sits under the
+    distributed hot loops, where per-chunk Python object churn was the one
+    non-Arrow-idiomatic crossing left (VERDICT r3)."""
+    names = batch.schema.names
+    blob_col = batch.column(names.index("blob"))
+    codec_np = batch.column(names.index("codec")).to_numpy(zero_copy_only=False)
+    blocks_col = batch.column(names.index("blocks"))
+    offs = blocks_col.offsets.to_numpy(zero_copy_only=False)
+    flat = blocks_col.values
+    ns = flat.field("n").to_numpy(zero_copy_only=False)
+    og = flat.field("off_g").to_numpy(zero_copy_only=False)
+    ot = flat.field("off_t").to_numpy(zero_copy_only=False)
+    od = flat.field("off_d").to_numpy(zero_copy_only=False)
+    lasts = flat.field("last_docid").to_numpy(zero_copy_only=False)
+    return blob_col, codec_np, offs, ns, og, ot, od, lasts
+
+
 def _ids_only_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """Decode ONLY the doc_ids of chunk rows (skip tf/dl streams + scoring)."""
     from miru_spark.functions.codecs import varint_decode
-    from miru_spark.index.format import delta_decode, unpack_chunk
+    from miru_spark.index.format import delta_decode, unpack_chunk_np
 
     for batch in batches:
-        for row in batch.to_pylist():
-            if int(row["codec"]) == 1:  # varint: gaps stream only
-                total = sum(int(m["n"]) for m in row["blocks"])
-                off = int(row["blocks"][0]["off_g"]) if row["blocks"] else 0
-                gaps, _ = varint_decode(row["blob"], off, count=total)
+        blob_col, codec_np, offs, ns, og, ot, od, lasts = _chunk_batch_views(batch)
+        for i in range(batch.num_rows):
+            s, e = int(offs[i]), int(offs[i + 1])
+            blob = blob_col[i].as_buffer()
+            if int(codec_np[i]) == 1:  # varint: gaps stream only
+                total = int(ns[s:e].sum())
+                off = int(og[s]) if e > s else 0
+                gaps, _ = varint_decode(blob, off, count=total)
                 ids = delta_decode(gaps)
             else:
-                ids, _, _ = unpack_chunk(
-                    row["blob"], row["blocks"], int(row["codec"])
+                ids, _, _ = unpack_chunk_np(
+                    blob, ns[s:e], og[s:e], ot[s:e], od[s:e], lasts[s:e],
+                    int(codec_np[i]),
                 )
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids.astype(np.int64))], names=["doc_id"]
@@ -3034,26 +3074,211 @@ def _ids_term_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
     """Like :func:`_ids_only_arrow` but keeps the chunk's term tag (for
     plans that need per-(doc, term) presence, e.g. adjacency_matrix)."""
     from miru_spark.functions.codecs import varint_decode
-    from miru_spark.index.format import delta_decode, unpack_chunk
+    from miru_spark.index.format import delta_decode, unpack_chunk_np
 
     for batch in batches:
-        for row in batch.to_pylist():
-            if int(row["codec"]) == 1:  # varint: gaps stream only
-                total = sum(int(m["n"]) for m in row["blocks"])
-                off = int(row["blocks"][0]["off_g"]) if row["blocks"] else 0
-                gaps, _ = varint_decode(row["blob"], off, count=total)
+        blob_col, codec_np, offs, ns, og, ot, od, lasts = _chunk_batch_views(batch)
+        terms = batch.column(batch.schema.names.index("term")).to_pylist()
+        for i in range(batch.num_rows):
+            s, e = int(offs[i]), int(offs[i + 1])
+            blob = blob_col[i].as_buffer()
+            if int(codec_np[i]) == 1:  # varint: gaps stream only
+                total = int(ns[s:e].sum())
+                off = int(og[s]) if e > s else 0
+                gaps, _ = varint_decode(blob, off, count=total)
                 ids = delta_decode(gaps)
             else:
-                ids, _, _ = unpack_chunk(
-                    row["blob"], row["blocks"], int(row["codec"])
+                ids, _, _ = unpack_chunk_np(
+                    blob, ns[s:e], og[s:e], ot[s:e], od[s:e], lasts[s:e],
+                    int(codec_np[i]),
                 )
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids.astype(np.int64)),
-                    pa.array([row["term"]] * len(ids), type=pa.string()),
+                    pa.array([terms[i]] * len(ids), type=pa.string()),
                 ],
                 names=["doc_id", "term"],
             )
+
+
+# ----------------------------------------------------- chunk skipping (A19
+# on the cluster path) — block-max pruning BEFORE the mapInArrow decode.
+#
+# The driver fast path already skips blocks via WAND; the distributed
+# scatter-gather path used to decode EVERY chunk of every query term. The
+# chunk rows carry the block-max metadata (per-block and per-chunk (tf, dl)
+# impact frontiers, format.py), so a theta lower bound on the k-th best
+# final score can be established from metadata alone and whole chunk rows
+# filtered out of the scan before a single blob byte is decoded — the
+# Ding & Suel BMW idea recast as a declarative pre-filter.
+#
+# Soundness (disjunctive, non-negative idf — Lucene BM25+ form):
+# * UB(chunk) = idf*boost * max over the CHUNK-level frontier pairs. The
+#   chunk frontier dominates every real posting (capping only introduces
+#   dominating synthetic points), so UB >= every contribution in the chunk.
+# * LB(chunk) = idf*boost * max over BLOCK frontiers of an ACHIEVABLE
+#   score: an uncapped block frontier (size < IMPACT_CAP) holds only real
+#   (tf, dl) postings, so its max pair score is achieved; a possibly-capped
+#   one (size == IMPACT_CAP) stores run-merged synthetic points, but the
+#   shifted pair (tf[j], dl[j+1]) is dominated by a real posting — the
+#   run-j-closing real point has exactly tf[j] and dl <= dl[j+1] (dl
+#   ascending) — so max_j score(tf[j], dl[j+1]) is a sound lower bound.
+#   (The chunk-level frontier canNOT be used for LB: it re-frontiers the
+#   union of possibly-capped block frontiers, so even a below-cap chunk
+#   frontier may hold synthetic points.)
+# * theta: within ONE term, chunk rows cover disjoint doc ranges, so the
+#   k-th largest chunk LB of a term is achieved by k DISTINCT docs, each
+#   of whose final (summed, all-contributions-nonnegative) score is >= it.
+#   theta = max over terms of that per-term k-th LB ⇒ at least k docs
+#   score >= theta. (Cross-term LB pooling is NOT sound — two terms' LBs
+#   can be achieved by the same doc.)
+# * filter: drop chunk c of term t iff UB(c) + sum_{t'≠t} UBmax(t') <
+#   theta - margin. Any doc in a dropped chunk has total score < theta
+#   (its other terms' chunks are bounded by their UBmax), so it cannot
+#   reach the top-k; conversely any doc with total >= theta - margin keeps
+#   ALL of its chunks (the same bound, reversed), so every surviving
+#   top-k doc is scored EXACTLY. Dropped docs may survive with partial
+#   (underestimated) scores — all strictly below theta - margin, and the
+#   margin (2 ulps of the round_digits grid) keeps them from rounding
+#   into a tie with the exact top-k.
+_PRUNE_MIN_POSTINGS = 1_000_000  # below this, decode is cheaper than the
+#                                  extra metadata job the theta bound costs
+_RANGE_PRUNE_MAX_RARE_DF = 50_000_000  # conjunctive chunk-range prune gate:
+#                                  keeps the broadcast interval list tiny
+
+
+def _frontier_pair_scores(tf_arr, dl_arr, avgdl: float):
+    """Unscaled BM25 tf-component per zipped (tf, dl) frontier pair."""
+
+    def s(tf, dl):
+        tfd = tf.cast("double")
+        return (
+            tfd
+            * F.lit(bm25.K1 + 1.0)
+            / (
+                tfd
+                + F.lit(bm25.K1)
+                * (F.lit(1.0 - bm25.B) + F.lit(bm25.B) * dl.cast("double") / F.lit(avgdl))
+            )
+        )
+
+    return F.zip_with(tf_arr, dl_arr, s)
+
+
+def chunk_upper_col(avgdl: float):
+    """Sound per-chunk upper bound (unscaled) from the chunk-level frontier."""
+    return F.array_max(_frontier_pair_scores(F.col("i_tf"), F.col("i_dl"), avgdl))
+
+
+def chunk_lower_col(avgdl: float):
+    """Sound ACHIEVABLE per-chunk lower bound (unscaled) from block frontiers."""
+    from miru_spark.index.format import IMPACT_CAP
+
+    def per_block(b):
+        n = F.size(b["i_tf"])
+        exact = F.array_max(_frontier_pair_scores(b["i_tf"], b["i_dl"], avgdl))
+        shifted = F.array_max(
+            _frontier_pair_scores(
+                F.slice(b["i_tf"], 1, IMPACT_CAP - 1),
+                F.slice(b["i_dl"], 2, IMPACT_CAP - 1),
+                avgdl,
+            )
+        )
+        return F.when(n >= F.lit(IMPACT_CAP), shifted).otherwise(exact)
+
+    return F.array_max(F.transform(F.col("blocks"), per_block))
+
+
+def _blockmax_prune(
+    chunks: DataFrame,
+    k: int,
+    n_docs: float,
+    avgdl: float,
+    boost_map: dict[str, float],
+    round_digits: int | None,
+) -> tuple[DataFrame, dict]:
+    """Filter chunk rows that provably cannot contribute to the disjunctive
+    top-k (see the soundness note above). Returns (kept_chunks, stats);
+    ``chunks`` must already carry ``df_global``. One tiny metadata-only
+    Spark job (term + frontier columns — the parquet scan never touches
+    the blob pages) establishes theta and the per-term UB maxima."""
+    from pyspark.sql import Window
+
+    idf = bm25.idf_col(F.col("df_global").cast("double"), F.lit(float(n_docs)))
+    if boost_map:
+        pairs = []
+        for t, b in boost_map.items():
+            pairs.extend([F.lit(t), F.lit(float(b))])
+        boost = F.coalesce(F.create_map(*pairs)[F.col("term")], F.lit(1.0))
+    else:
+        boost = F.lit(1.0)
+    ub_expr = idf * boost * chunk_upper_col(avgdl)
+    lb_expr = idf * boost * chunk_lower_col(avgdl)
+    meta = chunks.select(F.col("term"), ub_expr.alias("__ub"), lb_expr.alias("__lb"))
+    # one NARROW job (metadata-column scan + project + collect, no
+    # exchange): per-chunk (term, ub, lb) triplets are tiny, so the theta
+    # math runs driver-side. The limit guards the pathological case (an
+    # ultra-hot many-term query with >1M chunk rows) by falling back to a
+    # per-term Spark aggregation — two tiny metadata shuffles instead of
+    # an unbounded collect.
+    cap = 1 << 20
+    rows = meta.limit(cap + 1).collect()
+    if len(rows) <= cap:
+        ubmax: dict[str, float] = {}
+        lbs: dict[str, list[float]] = {}
+        for r in rows:
+            t = r["term"]
+            u, lo = float(r["__ub"]), float(r["__lb"])
+            if u > ubmax.get(t, 0.0):
+                ubmax[t] = u
+            lbs.setdefault(t, []).append(lo)
+        theta = 0.0
+        for t, ls in lbs.items():
+            if len(ls) >= k:
+                kth_lb = heapq.nlargest(k, ls)[-1]
+                if kth_lb > theta:
+                    theta = kth_lb
+    else:
+        w = Window.partitionBy("term").orderBy(F.desc("__lb"))
+        kth = (
+            meta.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == k)
+            .select("term", F.col("__lb").alias("__lbk"))
+        )
+        arows = (
+            meta.groupBy("term")
+            .agg(F.max("__ub").alias("__ubmax"))
+            .join(kth, "term", "left")
+            .collect()
+        )
+        ubmax = {r["term"]: float(r["__ubmax"]) for r in arows}
+        theta = max(
+            (float(r["__lbk"]) for r in arows if r["__lbk"] is not None),
+            default=0.0,
+        )
+    stats = {"theta": theta, "ubmax": ubmax, "pruned": False, "thresholds": {}}
+    if theta <= 0.0:
+        return chunks, stats
+    margin = (
+        2.0 * 10.0 ** (-round_digits)
+        if round_digits is not None
+        else 1e-9 * (1.0 + theta)
+    )
+    s_max = sum(ubmax.values())
+    thresholds = {t: theta - margin - (s_max - u) for t, u in ubmax.items()}
+    if all(thr <= 0.0 for thr in thresholds.values()):
+        return chunks, stats  # bounds too loose to cut anything: skip filter
+    stats["pruned"] = True
+    stats["thresholds"] = thresholds
+    tpairs = []
+    for t, thr in thresholds.items():
+        tpairs.extend([F.lit(t), F.lit(thr)])
+    thr_col = F.create_map(*tpairs)[F.col("term")]
+    return chunks.filter(ub_expr >= thr_col), stats
+
+
+#: last _blockmax_prune stats from search_distributed (observability/tests)
+LAST_PRUNE_STATS: dict = {}
 
 
 def search_distributed(
@@ -3102,17 +3327,77 @@ def search_distributed(
     if any(not (b > 0) for b in boost_map.values()):  # <= 0 or NaN
         raise ValueError("boosts must be positive")
 
+    global LAST_PRUNE_STATS
+    LAST_PRUNE_STATS = {}
+    tomb = reader.tombstones
+    if (
+        mode == "disjunctive"
+        and k is not None
+        and not exclude
+        and where is None
+        and not with_nmatch
+        and (tomb is None or tomb.size == 0)
+    ):
+        # theta-based chunk skipping (soundness + gates documented above);
+        # exclude/where/tombstones remove docs post-agg, which would break
+        # the "k docs reach theta" guarantee, so those paths stay unpruned.
+        # The gate uses the driver-side term dictionary (a pyarrow seek,
+        # no Spark job) to skip the metadata job on cheap queries.
+        total_df = sum(reader.term_dfs(terms).values())
+        if total_df >= _PRUNE_MIN_POSTINGS:
+            chunks, LAST_PRUNE_STATS = _blockmax_prune(
+                chunks, k, n_docs, avgdl, boost_map, round_digits
+            )
+
+    rare = None
+    dfs: dict[str, int] = {}
+    if mode == "conjunctive" and len(terms) > 1:
+        dfs = {r["term"]: r["df_global"] for r in term_df.collect()}
+        if not dfs:  # no query term exists in the index
+            return reader.spark.createDataFrame([], "doc_id long, score double")
+        rare = min(dfs, key=dfs.get)
+        if dfs[rare] <= _RANGE_PRUNE_MAX_RARE_DF:
+            # chunk-range prune: a conjunctive match must appear in the
+            # rarest term's postings, hence inside one of its chunks'
+            # [first_docid, last_docid] ranges — chunks of OTHER terms
+            # wholly outside every such range cannot contain a match and
+            # skip the decode entirely. Docs losing a chunk here are docs
+            # absent from the rare term (they fail the conjunction anyway),
+            # so nmatch/scores of every surviving match stay exact. The
+            # interval list is one row per rare chunk (tiny under the df
+            # gate), broadcast into a nested-loop semi-join.
+            ranges = chunks.filter(F.col("term") == rare).select(
+                F.col("first_docid").alias("__rf"),
+                F.col("last_docid").alias("__rl"),
+            )
+            chunks = chunks.join(
+                F.broadcast(ranges),
+                (F.col("first_docid") <= F.col("__rl"))
+                & (F.col("last_docid") >= F.col("__rf")),
+                "left_semi",
+            )
+
     def score_chunks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from miru_spark.index.format import unpack_chunk
+        from miru_spark.index.format import unpack_chunk_np
 
         for batch in batches:
-            tbl = batch.to_pylist()
-            for row in tbl:
-                ids, tfs, dls = unpack_chunk(
-                    row["blob"], row["blocks"], int(row["codec"])
+            blob_col, codec_np, offs, ns, og, ot, od, lasts = _chunk_batch_views(
+                batch
+            )
+            names = batch.schema.names
+            dfg_np = batch.column(names.index("df_global")).to_numpy(
+                zero_copy_only=False
+            )
+            terms_l = batch.column(names.index("term")).to_pylist()
+            for i in range(batch.num_rows):
+                s, e = int(offs[i]), int(offs[i + 1])
+                ids, tfs, dls = unpack_chunk_np(
+                    blob_col[i].as_buffer(),
+                    ns[s:e], og[s:e], ot[s:e], od[s:e], lasts[s:e],
+                    int(codec_np[i]),
                 )
-                idf = float(bm25.idf_np(float(row["df_global"]), n_docs))
-                idf *= boost_map.get(row["term"], 1.0)
+                idf = float(bm25.idf_np(float(dfg_np[i]), n_docs))
+                idf *= boost_map.get(terms_l[i], 1.0)
                 contrib = bm25.score_np(tfs, idf, dls, avgdl)
                 yield pa.RecordBatch.from_arrays(
                     [
@@ -3139,10 +3424,6 @@ def search_distributed(
         # shuffle then carries only potential matches instead of the full
         # union of hot terms' postings (the selective-query scale path;
         # broadcast when the rare side is small).
-        dfs = {r["term"]: r["df_global"] for r in term_df.collect()}
-        if not dfs:  # no query term exists in the index
-            return reader.spark.createDataFrame([], "doc_id long, score double")
-        rare = min(dfs, key=dfs.get)
         cand = chunks.filter(F.col("term") == rare).mapInArrow(
             _ids_only_arrow, _DOCID_SCHEMA
         )
