@@ -3,16 +3,18 @@ REVERSE search. Queries are registered as data; each incoming document is
 matched against every registered query — the saved-search / alerting
 primitive ("tell me when a doc matching my query arrives").
 
-Spark-first shape: one distinct (doc_id, term) projection of the incoming
-batch joined to the exploded query-term table, then a hash aggregation per
-(doc_id, query_id) counting matched distinct terms — conjunctive queries
-need all of theirs, disjunctive at least one, and NOT clauses anti-join.
-Both shuffles are map-side combined; the query table is tiny next to the
-corpus, so AQE broadcasts it and the document side never reshuffles. At
-alerting scale (millions of registered queries) the production refinement
-is the same one ES uses: index the QUERIES' rarest terms and prune the
-join to candidate queries per doc — the join below is that plan's exact
-semantics, stated in one DataFrame expression.
+Spark-first shape, with the candidate pruning ES itself uses at alerting
+scale: conjunctive queries are INDEXED BY THEIR RAREST TERM (df measured
+against the incoming batch's vocabulary-restricted term table — the
+percolation analogue of reading df from the term dictionary). A doc can
+only match a conjunctive query if it contains that anchor term, so
+doc -> candidate-query pairs are generated off the anchor join alone and
+only candidates pay the full verification join — with rare anchors the
+candidate set is a sliver of the all-terms join the naive plan pays.
+Disjunctive queries match on ANY term, so their term join IS the match
+set (no verification needed, just a distinct); NOT clauses anti-join.
+All shuffles are map-side combined; the query table is tiny next to the
+corpus, so AQE broadcasts it and the document side never reshuffles.
 """
 
 from __future__ import annotations
@@ -36,6 +38,8 @@ def percolate(
     nullable). A doc matches a query iff it contains every/any query term
     (by mode) and none of the excluded terms.
     """
+    from pyspark.sql import Window
+
     q = queries.select(
         "query_id",
         "mode",
@@ -62,19 +66,45 @@ def percolate(
         .join(F.broadcast(vocab), "term", "left_semi")
         .distinct()
     )
-    matched = (
-        doc_terms.join(q, "term")
-        .groupBy("doc_id", "query_id", "mode", "n_terms")
+
+    # --- disjunctive: ANY term hit IS a match — the term join needs no
+    # verification, just a (doc, query) distinct.
+    qd = q.filter(F.col("mode") == "disjunctive")
+    matched_dis = (
+        doc_terms.join(qd, "term").select("doc_id", "query_id").distinct()
+    )
+
+    # --- conjunctive: anchor-term candidate pruning (the ES refinement).
+    # Each query is indexed by its RAREST term — df measured against the
+    # batch's own vocabulary-restricted term table (one tiny map-side-
+    # combined agg; the percolation analogue of a dictionary df lookup).
+    # Terms absent from the batch get df 0 and win the anchor pick, so a
+    # conjunctive query naming an absent term generates zero candidates
+    # and pays nothing — the common alerting case. Only candidate pairs
+    # (docs containing the anchor) pay the full-verification join.
+    qc = q.filter(F.col("mode") == "conjunctive")
+    term_df = doc_terms.groupBy("term").agg(F.count("*").alias("__df"))
+    aw = Window.partitionBy("query_id").orderBy(
+        F.asc("__df"), F.asc("term")
+    )
+    anchors = (
+        qc.join(F.broadcast(term_df), "term", "left")
+        .withColumn("__df", F.coalesce(F.col("__df"), F.lit(0)))
+        .withColumn("__rn", F.row_number().over(aw))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", "term")
+    )
+    cands = doc_terms.join(anchors, "term").select("doc_id", "query_id")
+    matched_con = (
+        cands.join(qc.select("query_id", "n_terms", "term"), "query_id")
+        .join(doc_terms, ["doc_id", "term"])
+        .groupBy("doc_id", "query_id", "n_terms")
         .agg(F.count_distinct("term").alias("n_matched"))
-        .filter(
-            (
-                (F.col("mode") == "conjunctive")
-                & (F.col("n_matched") == F.col("n_terms"))
-            )
-            | ((F.col("mode") == "disjunctive") & (F.col("n_matched") >= 1))
-        )
+        .filter(F.col("n_matched") == F.col("n_terms"))
         .select("doc_id", "query_id")
     )
+
+    matched = matched_dis.unionByName(matched_con)
     if "exclude" in queries.columns:
         xq = queries.select(
             "query_id", F.explode_outer("exclude").alias("term")
