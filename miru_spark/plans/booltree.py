@@ -460,43 +460,57 @@ _SCORED_SCHEMA = T.StructType(
 )
 
 
-def _match_col(node: Node, col: dict[str, str]) -> Column:
+def _match_col(
+    node: Node, col: dict[str, str], pcol: dict[tuple, str] | None = None
+) -> Column:
     if isinstance(node, BTerm):
         return F.col(col[node.term]).isNotNull()
+    if isinstance(node, BPhrase):
+        return F.col(pcol[node.tokens]).isNotNull()
     if isinstance(node, BAnd):
         out = None
         for c in node.children:
             m = (
-                ~_match_col(c.child, col)
+                ~_match_col(c.child, col, pcol)
                 if isinstance(c, BNot)
-                else _match_col(c, col)
+                else _match_col(c, col, pcol)
             )
             out = m if out is None else (out & m)
         return out
     if isinstance(node, BOr):
         out = None
         for c in node.children:
-            m = _match_col(c, col)
+            m = _match_col(c, col, pcol)
             out = m if out is None else (out | m)
         return out
     raise TypeError(f"unexpected node in distributed plan: {node!r}")
 
 
-def _score_col(node: Node, col: dict[str, str]) -> Column:
+def _score_col(
+    node: Node, col: dict[str, str], pcol: dict[tuple, str] | None = None
+) -> Column:
     if isinstance(node, BTerm):
         c = F.coalesce(F.col(col[node.term]), F.lit(0.0))
         return c * F.lit(node.boost) if node.boost != 1.0 else c
+    if isinstance(node, BPhrase):
+        # matched phrase scores the sum of its member-term contributions
+        # (driver twin: _Env.phrase_docs); unmatched contributes zero
+        total = None
+        for t in dict.fromkeys(node.tokens):
+            c = F.coalesce(F.col(col[t]), F.lit(0.0))
+            total = c if total is None else (total + c)
+        return F.when(_match_col(node, col, pcol), total).otherwise(F.lit(0.0))
     if isinstance(node, BAnd):
         pos = [c for c in node.children if not isinstance(c, BNot)]
         total = None
         for c in pos:
-            s = _score_col(c, col)
+            s = _score_col(c, col, pcol)
             total = s if total is None else (total + s)
-        return F.when(_match_col(node, col), total).otherwise(F.lit(0.0))
+        return F.when(_match_col(node, col, pcol), total).otherwise(F.lit(0.0))
     if isinstance(node, BOr):
         total = None
         for c in node.children:
-            s = _score_col(c, col)
+            s = _score_col(c, col, pcol)
             total = s if total is None else (total + s)
         return total  # each child already zeroes itself when unmatched
     raise TypeError(f"unexpected node in distributed plan: {node!r}")
@@ -509,7 +523,7 @@ def search_bool_distributed(
     round_digits: int | None = 6,
     where: dict | None = None,
 ) -> DataFrame:
-    """The cluster-scale twin of :func:`search_bool` (term leaves only).
+    """The cluster-scale twin of :func:`search_bool`.
 
     Plan: ONE pruned postings scan covering every leaf term (positive and
     negative) -> mapInArrow decode+score to (doc_id, term, contrib) -> one
@@ -522,18 +536,15 @@ def search_bool_distributed(
     rows whose match expression is false and are filtered before the
     top-k; they never shuffle twice.
 
-    Phrase leaves are driver-path-only (:func:`search_bool`): distributed
-    phrase verification lives in ``search_phrase_distributed`` and is not
-    composed into trees yet.
+    Phrase leaves compose via :func:`search.phrase_verified_docs_df`: each
+    unique phrase's per-offset occurrence join yields its verified doc set,
+    left-joined onto the pivot as a boolean column the tree expressions
+    read like any term column (match = verified, score = member-term
+    contribution sum — the driver twin's semantics exactly). Needs a
+    positional index when phrases are present.
     """
     node = _as_node(query)
     terms, phrases = _leaf_terms(node)
-    if phrases:
-        raise NotImplementedError(
-            "phrase clauses inside distributed boolean trees are not "
-            "supported; use search_bool (driver path) or "
-            "search_phrase_distributed for flat phrases"
-        )
     n_docs = float(reader.n_docs)
     avgdl = float(reader.avgdl)
     chunks = reader.postings_df(terms)
@@ -567,7 +578,18 @@ def search_bool_distributed(
             for t in terms
         ]
     )
-    out = pivoted.filter(_match_col(node, col))
+    pcol: dict[tuple, str] = {p: f"pv{i}" for i, p in enumerate(phrases)}
+    for p in phrases:
+        from miru_spark.plans.search import phrase_verified_docs_df
+
+        verified = phrase_verified_docs_df(reader, p)
+        if verified is None:  # a phrase term is absent: no doc matches it
+            pivoted = pivoted.withColumn(pcol[p], F.lit(None).cast("boolean"))
+        else:
+            pivoted = pivoted.join(
+                verified.withColumn(pcol[p], F.lit(True)), "doc_id", "left"
+            )
+    out = pivoted.filter(_match_col(node, col, pcol))
     if where:
         from miru_spark.filters import spark_predicate
 
@@ -582,7 +604,7 @@ def search_bool_distributed(
         if reader.tombstones.size <= 5_000_000:
             tomb_df = F.broadcast(tomb_df)
         out = out.join(tomb_df, "doc_id", "left_anti")
-    score = _score_col(node, col)
+    score = _score_col(node, col, pcol)
     if round_digits is not None:
         score = F.round(score, round_digits)
     out = out.select("doc_id", score.alias("score"))
@@ -599,33 +621,54 @@ def _sql_quote(t: str) -> str:
     return "'" + t.replace("'", "''") + "'"
 
 
-def _match_sql(node: Node, col: dict[str, str]) -> str:
+def _match_sql(
+    node: Node, col: dict[str, str], pcol: dict[tuple, str] | None = None
+) -> str:
     if isinstance(node, BTerm):
         return f"{col[node.term]} IS NOT NULL"
+    if isinstance(node, BPhrase):
+        return f"{pcol[node.tokens]} IS NOT NULL"
     if isinstance(node, BAnd):
         parts = []
         for c in node.children:
             if isinstance(c, BNot):
-                parts.append(f"NOT ({_match_sql(c.child, col)})")
+                parts.append(f"NOT ({_match_sql(c.child, col, pcol)})")
             else:
-                parts.append(_match_sql(c, col))
+                parts.append(_match_sql(c, col, pcol))
         return "(" + " AND ".join(parts) + ")"
     if isinstance(node, BOr):
-        return "(" + " OR ".join(_match_sql(c, col) for c in node.children) + ")"
-    raise TypeError(f"phrase leaves have no SQL oracle yet: {node!r}")
+        return (
+            "("
+            + " OR ".join(_match_sql(c, col, pcol) for c in node.children)
+            + ")"
+        )
+    raise TypeError(f"unexpected node in SQL oracle: {node!r}")
 
 
-def _score_sql(node: Node, col: dict[str, str]) -> str:
+def _score_sql(
+    node: Node, col: dict[str, str], pcol: dict[tuple, str] | None = None
+) -> str:
     if isinstance(node, BTerm):
         base = f"COALESCE({col[node.term]}, 0)"
         return f"{node.boost!r} * {base}" if node.boost != 1.0 else base
+    if isinstance(node, BPhrase):
+        total = " + ".join(
+            f"COALESCE({col[t]}, 0)" for t in dict.fromkeys(node.tokens)
+        )
+        return (
+            f"CASE WHEN {_match_sql(node, col, pcol)} THEN ({total}) ELSE 0 END"
+        )
     if isinstance(node, BAnd):
         pos = [c for c in node.children if not isinstance(c, BNot)]
-        total = " + ".join(_score_sql(c, col) for c in pos)
-        return f"CASE WHEN {_match_sql(node, col)} THEN ({total}) ELSE 0 END"
+        total = " + ".join(_score_sql(c, col, pcol) for c in pos)
+        return f"CASE WHEN {_match_sql(node, col, pcol)} THEN ({total}) ELSE 0 END"
     if isinstance(node, BOr):
-        return "(" + " + ".join(_score_sql(c, col) for c in node.children) + ")"
-    raise TypeError(f"phrase leaves have no SQL oracle yet: {node!r}")
+        return (
+            "("
+            + " + ".join(_score_sql(c, col, pcol) for c in node.children)
+            + ")"
+        )
+    raise TypeError(f"unexpected node in SQL oracle: {node!r}")
 
 
 def bool_oracle_sql(
@@ -636,33 +679,54 @@ def bool_oracle_sql(
     meta_where: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`search_bool` / :func:`search_bool_distributed`,
-    generated from the same AST (term leaves only): per-term BM25
-    contributions pivot into one column per leaf term, then the tree
-    renders as boolean/CASE SQL — structurally identical to the Catalyst
-    expressions the distributed path compiles."""
+    generated from the same AST: per-term BM25 contributions pivot into
+    one column per leaf term (phrase leaves add a verified-docs flag
+    column each), then the tree renders as boolean/CASE SQL —
+    structurally identical to the Catalyst expressions the distributed
+    path compiles."""
     from miru_spark.plans.relational import DEFAULT_TOK_SQL
 
     node = _as_node(query)
     terms, phrases = _leaf_terms(node)
-    if phrases:
-        raise NotImplementedError("phrase leaves have no SQL oracle yet")
     col = {t: f"c{i}" for i, t in enumerate(terms)}
-    wheres = [_match_sql(node, col)]
+    pcol = {p: f"pv{i}" for i, p in enumerate(phrases)}
+    wheres = [_match_sql(node, col, pcol)]
     if meta_where:
         wheres.append(
             f"doc_id IN (SELECT doc_id FROM documents WHERE {meta_where})"
         )
     return f"""
-{_pivot_ctes(terms, col, tok_sql or DEFAULT_TOK_SQL)}
-SELECT doc_id, round({_score_sql(node, col)}, {round_digits}) AS score
+{_pivot_ctes(terms, col, tok_sql or DEFAULT_TOK_SQL, phrases, pcol)}
+SELECT doc_id, round({_score_sql(node, col, pcol)}, {round_digits}) AS score
 FROM p WHERE {" AND ".join(wheres)}
 ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
-def _pivot_ctes(terms: list[str], col: dict[str, str], tok_sql: str) -> str:
+def _phrase_flag_cte(tokens: tuple[str, ...], name: str, flag: str) -> str:
+    """One phrase's verified-doc CTE: substring probe over the space-
+    normalized text (the same convention as bm25_phrase_oracle_sql —
+    whitespace tokenization only, which is what the registered driver
+    entries use)."""
+    needle = _sql_quote(" " + " ".join(tokens) + " ")
+    return (
+        f"{name} AS (SELECT doc_id, TRUE AS {flag} FROM documents\n"
+        f"  WHERE contains(' ' || array_to_string(list_filter("
+        f"string_split(text, ' '), t -> t <> ''), ' ') || ' ', {needle}))"
+    )
+
+
+def _pivot_ctes(
+    terms: list[str],
+    col: dict[str, str],
+    tok_sql: str,
+    phrases: list[tuple[str, ...]] | None = None,
+    pcol: dict[tuple, str] | None = None,
+) -> str:
     """Shared CTE block for the tree-family oracles: the repo-wide BM25
-    base CTEs + per-term contributions pivoted into one column per leaf."""
+    base CTEs + per-term contributions pivoted into one column per leaf;
+    phrase leaves add one verified-docs CTE each, left-joined onto the
+    pivot (the SQL mirror of the distributed plan's phrase joins)."""
     from miru_spark.plans.relational import BM25_CONTRIB_EXPR, bm25_base_ctes
 
     values = ",".join(f"({_sql_quote(t)})" for t in terms)
@@ -670,14 +734,29 @@ def _pivot_ctes(terms: list[str], col: dict[str, str], tok_sql: str) -> str:
         f"MAX(CASE WHEN term={_sql_quote(t)} THEN contrib END) AS {col[t]}"
         for t in terms
     )
-    return f"""WITH {bm25_base_ctes(tok_sql)},
+    base = f"""WITH {bm25_base_ctes(tok_sql)},
 q(term) AS (VALUES {values}),
 c AS (SELECT tf.doc_id, tf.term,
         {BM25_CONTRIB_EXPR} AS contrib
-      FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc_id), stats),
+      FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc_id), stats)"""
+    if not phrases:
+        return base + f""",
 p AS (SELECT doc_id,
         {pivots}
       FROM c GROUP BY doc_id)"""
+    ph_ctes = ",\n".join(
+        _phrase_flag_cte(p, f"ph{i}", pcol[p]) for i, p in enumerate(phrases)
+    )
+    ph_cols = ", ".join(pcol[p] for p in phrases)
+    ph_joins = " ".join(
+        f"LEFT JOIN ph{i} USING(doc_id)" for i in range(len(phrases))
+    )
+    return base + f""",
+p0 AS (SELECT doc_id,
+        {pivots}
+      FROM c GROUP BY doc_id),
+{ph_ctes},
+p AS (SELECT p0.*, {ph_cols} FROM p0 {ph_joins})"""
 
 
 # ---------------------------------------------------------------------------
@@ -772,18 +851,19 @@ def boosting_oracle_sql(
     neg = _as_node(negative)
     pterms, pph = _leaf_terms(pos)
     nterms, nph = _leaf_terms(neg)
-    if pph or nph:
-        raise NotImplementedError("phrase leaves have no SQL oracle yet")
     terms = list(dict.fromkeys(pterms + nterms))
+    phrases = list(dict.fromkeys(pph + nph))
     col = {t: f"c{i}" for i, t in enumerate(terms)}
+    pcol = {p: f"pv{i}" for i, p in enumerate(phrases)}
     score = (
-        f"({_score_sql(pos, col)}) * (CASE WHEN {_match_sql(neg, col)} "
+        f"({_score_sql(pos, col, pcol)}) * "
+        f"(CASE WHEN {_match_sql(neg, col, pcol)} "
         f"THEN {negative_boost!r} ELSE 1 END)"
     )
     return f"""
-{_pivot_ctes(terms, col, tok_sql or DEFAULT_TOK_SQL)}
+{_pivot_ctes(terms, col, tok_sql or DEFAULT_TOK_SQL, phrases, pcol)}
 SELECT doc_id, round({score}, {round_digits}) AS score
-FROM p WHERE {_match_sql(pos, col)}
+FROM p WHERE {_match_sql(pos, col, pcol)}
 ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
@@ -800,22 +880,37 @@ def constant_score_oracle_sql(
 
     node = _as_node(query)
     terms, phrases = _leaf_terms(node)
-    if phrases:
-        raise NotImplementedError("phrase leaves have no SQL oracle yet")
     tok_sql = tok_sql or DEFAULT_TOK_SQL
     col = {t: f"c{i}" for i, t in enumerate(terms)}
+    pcol = {p: f"pv{i}" for i, p in enumerate(phrases)}
     values = ",".join(f"({_sql_quote(t)})" for t in terms)
     pivots = ",\n        ".join(
         f"MAX(CASE WHEN term={_sql_quote(t)} THEN 1 END) AS {col[t]}"
         for t in terms
     )
+    if phrases:
+        ph_ctes = ",\n".join(
+            _phrase_flag_cte(p, f"ph{i}", pcol[p])
+            for i, p in enumerate(phrases)
+        )
+        ph_cols = ", ".join(pcol[p] for p in phrases)
+        ph_joins = " ".join(
+            f"LEFT JOIN ph{i} USING(doc_id)" for i in range(len(phrases))
+        )
+        pivot_block = f"""p0 AS (SELECT doc_id,
+        {pivots}
+      FROM tok JOIN q USING(term) GROUP BY doc_id),
+{ph_ctes},
+p AS (SELECT p0.*, {ph_cols} FROM p0 {ph_joins})"""
+    else:
+        pivot_block = f"""p AS (SELECT doc_id,
+        {pivots}
+      FROM tok JOIN q USING(term) GROUP BY doc_id)"""
     return f"""
 WITH tok AS ({tok_sql}),
 q(term) AS (VALUES {values}),
-p AS (SELECT doc_id,
-        {pivots}
-      FROM tok JOIN q USING(term) GROUP BY doc_id)
+{pivot_block}
 SELECT doc_id, {float(boost)!r} AS score
-FROM p WHERE {_match_sql(node, col)}
+FROM p WHERE {_match_sql(node, col, pcol)}
 ORDER BY doc_id LIMIT {k}
 """.strip()

@@ -272,9 +272,34 @@ def test_tree_matches_duck_oracle(reader, duck, q):
     assert search_bool(reader, q, k=10) == [(int(d), float(s)) for d, s in exp]
 
 
-def test_distributed_rejects_phrase_leaves(reader):
-    with pytest.raises(NotImplementedError):
-        search_bool_distributed(reader, '(a OR b) AND "c d"')
+def test_distributed_phrase_needs_positions(reader):
+    with pytest.raises(ValueError, match="positional"):
+        search_bool_distributed(reader, '(a OR b) AND "c d"').collect()
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        '(join OR hash) AND "the a"',
+        'the NOT "the a"',
+        '"the a" OR sort',
+        'filter AND "zzz yyy"',  # absent phrase terms: phrase matches nothing
+    ],
+)
+def test_distributed_phrase_leaf_matches_driver(pos_reader, q):
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in search_bool_distributed(pos_reader, q, k=10).collect()
+    ]
+    assert got == search_bool(pos_reader, q, k=10), q
+
+
+@pytest.mark.parametrize("q", ['(join OR hash) AND "the a"', '"the a" OR sort'])
+def test_phrase_tree_matches_duck_oracle(pos_reader, duck, q):
+    exp = duck.execute(bool_oracle_sql(q, k=10)).fetchall()
+    assert search_bool(pos_reader, q, k=10) == [
+        (int(d), float(s)) for d, s in exp
+    ], q
 
 
 def test_tree_respects_tombstones(spark, tmp_path):
