@@ -182,12 +182,14 @@ def purge_deleted(spark: SparkSession, index_path: str) -> dict:
     from miru_spark.index.reader import IndexReader
 
     complete_purge_swap(index_path)  # finish any crashed prior purge first
-    if os.path.exists(f"{index_path}/_merged.json"):
-        raise NotImplementedError(
-            "purge_deleted does not support incrementally-finalized indexes "
-            "(their delta-merge re-reads the segment checkpoint); filter at "
-            "the stream source and re-finalize instead"
-        )
+    # incrementally-finalized indexes (streaming finalize) delta-merge from
+    # the segments/batch=N checkpoint on the NEXT finalize — purging only
+    # the chunk rows would let that re-merge resurrect dead postings. The
+    # segment rows get the same decode-filter-reencode pass (below) through
+    # the same crash-safe sentinel swap.
+    incremental = os.path.exists(f"{index_path}/_merged.json") and os.path.isdir(
+        f"{index_path}/segments"
+    )
     reader = IndexReader(spark, index_path)
     dead = reader.tombstones
     if dead is None or dead.size == 0:
@@ -255,8 +257,82 @@ def purge_deleted(spark: SparkSession, index_path: str) -> dict:
             if out:
                 yield pa.RecordBatch.from_pylist(out, schema=batch.schema)
 
+    if incremental:
+        # rewrite the segment checkpoint: same filter, segment row form
+        # (seg_pack varint triple + optional position stream). Idempotent —
+        # re-running on already-purged segments is a pass-through.
+        seg_df = spark.read.parquet(f"{index_path}/segments")
+        seg_schema = seg_df.schema
+
+        def rewrite_segments(batches):
+            import numpy as np
+
+            from miru_spark.functions.codecs import varint_encode
+            from miru_spark.index.format import (
+                pos_gaps_encode,
+                seg_pack,
+                seg_unpack,
+                unpack_positions,
+            )
+
+            dead_np = np.array(dead_list, dtype=np.uint64)
+            for batch in batches:
+                out = []
+                for row in batch.to_pylist():
+                    n = int(row["df_local"])
+                    ids, tfs, dls = seg_unpack(row["blob"], n)
+                    keep = ~np.isin(ids, dead_np, assume_unique=True)
+                    if keep.all():
+                        out.append(row)
+                        continue
+                    if not keep.any():
+                        continue
+                    new_pos = row.get("pos")
+                    if new_pos is not None:
+                        flat = unpack_positions(new_pos, tfs)
+                        kept_flat = flat[np.repeat(keep, tfs.astype(np.int64))]
+                        new_pos = bytes(
+                            varint_encode(
+                                pos_gaps_encode(
+                                    kept_flat.astype(np.uint64),
+                                    tfs[keep].astype(np.int64),
+                                )
+                            )
+                        )
+                    out.append(
+                        dict(
+                            row,
+                            df_local=int(keep.sum()),
+                            n_tokens=int(tfs[keep].sum()),
+                            blob=seg_pack(ids[keep], tfs[keep], dls[keep]),
+                            pos=new_pos,
+                        )
+                    )
+                if out:
+                    yield pa.RecordBatch.from_pylist(out, schema=batch.schema)
+
+        # preserve the stream writer's segments/batch=N/partition_id=M
+        # directory layout exactly — a later micro-batch appends new
+        # batch=M dirs next to these, and mixed layouts break the read
+        part_cols = [c for c in ("batch", "partition_id") if c in seg_df.columns]
+        w = seg_df.mapInArrow(rewrite_segments, seg_schema).write.mode(
+            "overwrite"
+        )
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(f"{index_path}/segments_purged")
+
     if snap is not None:
         # ---- snapshot protocol: never rewrite committed files ----
+        if incremental:
+            # segments swap via its own sentinel (postings/docmap go
+            # through the snapshot commit, not the swap protocol). A crash
+            # between this swap and the snapshot commit is safe: the
+            # tombstones are only cleared at the very end, so a re-run
+            # re-filters (a no-op on already-purged rows) and completes.
+            with open(f"{index_path}/{_PURGE_SENTINEL}", "w") as f:
+                json.dump({"dirs": ["segments"]}, f)
+            complete_purge_swap(index_path)
         before = snapmod._walk_postings(index_path)
         post.mapInArrow(rewrite, out_schema).write.mode("append").partitionBy(
             "term_pref"
@@ -276,13 +352,20 @@ def purge_deleted(spark: SparkSession, index_path: str) -> dict:
         post.mapInArrow(rewrite, out_schema).write.mode("overwrite").partitionBy(
             "term_pref"
         ).parquet(f"{index_path}/postings_purged")
-        spark.read.parquet(f"{index_path}/docmap").filter(
+        dm = spark.read.parquet(f"{index_path}/docmap").filter(
             ~F.col("doc_id").isin(dead_list)
-        ).write.mode("overwrite").parquet(f"{index_path}/docmap_purged")
-        # both _purged dirs are durable -> sentinel -> swap (re-entrant on
+        )
+        dmw = dm.write.mode("overwrite")
+        if "batch" in dm.columns:
+            # incremental docmaps live in docmap/batch=N dirs; the stream
+            # appends new batch dirs after purge, so the layout must survive
+            dmw = dmw.partitionBy("batch")
+        dmw.parquet(f"{index_path}/docmap_purged")
+        # all _purged dirs are durable -> sentinel -> swap (re-entrant on
         # crash: the next reader/purge rolls the same sequence forward)
+        swap_dirs = ["postings", "docmap"] + (["segments"] if incremental else [])
         with open(f"{index_path}/{_PURGE_SENTINEL}", "w") as f:
-            json.dump({"dirs": ["postings", "docmap"]}, f)
+            json.dump({"dirs": swap_dirs}, f)
         complete_purge_swap(index_path)
         docmap = spark.read.parquet(f"{index_path}/docmap")
 
@@ -312,10 +395,13 @@ def purge_deleted(spark: SparkSession, index_path: str) -> dict:
     with open(f"{index_path}/stats.json", "w") as f:
         json.dump(stats, f, indent=1, sort_keys=True)
     shutil.rmtree(f"{index_path}/tombstones", ignore_errors=True)
-    # the segment checkpoint still contains the dead postings: any later
-    # resume/re-merge from it would RESURRECT them. Invalidate it — a
-    # resumed build regenerates segments from the (corrected) corpus.
-    shutil.rmtree(f"{index_path}/segments", ignore_errors=True)
+    if not incremental:
+        # a BATCH build's segment checkpoint still contains the dead
+        # postings: any later resume from it would RESURRECT them.
+        # Invalidate it — a resumed build regenerates segments from the
+        # (corrected) corpus. Incremental indexes instead had their
+        # segments rewritten above (the delta-merge needs them).
+        shutil.rmtree(f"{index_path}/segments", ignore_errors=True)
     man = read_manifest(index_path)
     if man is not None:
         man["partitions"] = {}

@@ -132,12 +132,13 @@ def test_purge_guards_and_idempotence(spark, tmp_path):
     assert man["partitions"] == {} and man["purged"] == [1, 2, 3]
     # second purge: clean no-op with the updated stats
     assert purge_deleted(spark, p)["n_docs"] == 497
-    # incremental (delta-merge) indexes are refused
+    # round-4: incremental (delta-merge) indexes purge too (full coverage
+    # in test_incremental_purge.py); a stray _merged.json with no segments
+    # checkpoint — this fabricated state — must not break the batch path
     with open(f"{p}/_merged.json", "w") as f:
         json.dump({"merged_batches": []}, f)
     delete_docs(p, [10])
-    with pytest.raises(NotImplementedError):
-        purge_deleted(spark, p)
+    assert purge_deleted(spark, p)["n_docs"] == 496
 
 
 def test_snapshot_time_travel_ignores_later_tombstones(spark, tmp_path):
