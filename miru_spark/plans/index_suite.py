@@ -1918,6 +1918,13 @@ def register_all(register) -> None:
          _mk_tree_dist("(the AND data) OR dup"),
          _tree_oracle("(the AND data) OR dup"),
          DS),
+        # round-4: phrase leaf inside a DISTRIBUTED tree — the occurrence
+        # join feeds the pivoted agg as a boolean column; oracle generated
+        # from the same AST (verified-docs CTE via substring probe)
+        ("bm25_index_tree_phrase_dist",
+         _mk_tree_dist('(join OR hash) AND "the a"'),
+         _tree_oracle('(join OR hash) AND "the a"'),
+         DS),
     ])
     register_composite(register, "bm25_index_boost", [
         (n, _mk_boost(t, m, b, distributed=d), bm25_oracle_sql(t, m, boosts=b), DS)
