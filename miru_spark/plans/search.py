@@ -3341,10 +3341,15 @@ def search_distributed(
         # theta-based chunk skipping (soundness + gates documented above);
         # exclude/where/tombstones remove docs post-agg, which would break
         # the "k docs reach theta" guarantee, so those paths stay unpruned.
-        # The gate uses the driver-side term dictionary (a pyarrow seek,
-        # no Spark job) to skip the metadata job on cheap queries.
-        total_df = sum(reader.term_dfs(terms).values())
-        if total_df >= _PRUNE_MIN_POSTINGS:
+        # Gate on the MINIMUM df across present terms (driver-side term
+        # dictionary — a pyarrow seek, no Spark job): idf is decreasing in
+        # df, so the rarest term is the score-dominant one, and only the
+        # dominant term's chunks can clear the sum-UB slack
+        # (threshold_t = theta - (S_max - ubmax_t) > 0 needs ubmax_t near
+        # the max). If that term is small, the prunable decode volume
+        # cannot repay the metadata job — skip it.
+        dfs_dict = reader.term_dfs(terms)
+        if dfs_dict and min(dfs_dict.values()) >= _PRUNE_MIN_POSTINGS:
             chunks, LAST_PRUNE_STATS = _blockmax_prune(
                 chunks, k, n_docs, avgdl, boost_map, round_digits
             )
