@@ -552,19 +552,31 @@ def search_bool_distributed(
     chunks = chunks.join(F.broadcast(term_df), "term")
 
     def score_chunks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from miru_spark.index.format import unpack_chunk
+        from miru_spark.index.format import unpack_chunk_np
+        from miru_spark.plans.search import _chunk_batch_views
 
         for batch in batches:
-            for row in batch.to_pylist():
-                ids, tfs, dls = unpack_chunk(
-                    row["blob"], row["blocks"], int(row["codec"])
+            blob_col, codec_np, offs, ns, og, ot, od, lasts = _chunk_batch_views(
+                batch
+            )
+            names = batch.schema.names
+            dfg_np = batch.column(names.index("df_global")).to_numpy(
+                zero_copy_only=False
+            )
+            terms_l = batch.column(names.index("term")).to_pylist()
+            for i in range(batch.num_rows):
+                s, e = int(offs[i]), int(offs[i + 1])
+                ids, tfs, dls = unpack_chunk_np(
+                    blob_col[i].as_buffer(),
+                    ns[s:e], og[s:e], ot[s:e], od[s:e], lasts[s:e],
+                    int(codec_np[i]),
                 )
-                idf = float(bm25.idf_np(float(row["df_global"]), n_docs))
+                idf = float(bm25.idf_np(float(dfg_np[i]), n_docs))
                 contrib = bm25.score_np(tfs, idf, dls, avgdl)
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(ids.astype(np.int64)),
-                        pa.array([row["term"]] * len(ids), type=pa.string()),
+                        pa.array([terms_l[i]] * len(ids), type=pa.string()),
                         pa.array(contrib),
                     ],
                     names=["doc_id", "term", "contrib"],

@@ -425,14 +425,24 @@ def search_intervals_distributed(
 
     def occ(term: str):
         def emit(batches):
-            from miru_spark.index.format import unpack_chunk, unpack_positions
+            from miru_spark.index.format import unpack_chunk_np, unpack_positions
+            from miru_spark.plans.search import _chunk_batch_views
 
             for batch in batches:
-                for row in batch.to_pylist():
-                    ids, tfs, _ = unpack_chunk(
-                        row["blob"], row["blocks"], int(row["codec"])
+                blob_col, codec_np, offs, ns, og, ot, od, lasts = (
+                    _chunk_batch_views(batch)
+                )
+                pos_col = batch.column(batch.schema.names.index("pos_blob"))
+                for i in range(batch.num_rows):
+                    s, e = int(offs[i]), int(offs[i + 1])
+                    ids, tfs, _ = unpack_chunk_np(
+                        blob_col[i].as_buffer(),
+                        ns[s:e], og[s:e], ot[s:e], od[s:e], lasts[s:e],
+                        int(codec_np[i]),
                     )
-                    pos = unpack_positions(row["pos_blob"], tfs).astype(np.int64)
+                    pos = unpack_positions(
+                        pos_col[i].as_buffer(), tfs
+                    ).astype(np.int64)
                     doc_rep = np.repeat(
                         ids.astype(np.int64), tfs.astype(np.int64)
                     )
