@@ -110,6 +110,24 @@ def main() -> None:
 
     results["distributed_2q"] = round(min(_timed(dist_2q) for _ in range(2)), 3)
 
+    # batched distributed serving (round-4): 3 queries, ONE scan/decode/
+    # shuffle — reported in extras, NOT in the end-to-end total (keeps the
+    # headline comparable across rounds)
+    from miru_spark.plans.search import search_many_distributed
+
+    def dist_batched() -> None:
+        search_many_distributed(
+            reader,
+            [
+                (["the", "a"], "disjunctive"),
+                (["join", "hash"], "conjunctive"),
+                (["dup"], "disjunctive"),
+            ],
+            k=10,
+        ).collect()
+
+    dist_batched_secs = round(min(_timed(dist_batched) for _ in range(2)), 3)
+
     # "value" = end-to-end estimate from the recorded (noise-filtered) stage
     # times — NOT the harness wall clock, which now includes the duplicate
     # noise-control trials and would read ~2x the real pipeline cost.
@@ -130,6 +148,7 @@ def main() -> None:
             "query_p95_ms": round(p95_ms, 2),
             "batch_45q_ms": round(batch_secs * 1000, 2),
             "batch_ms_per_query": round(batch_secs * 1000 / len(query_set), 2),
+            "distributed_batched_3q_secs": dist_batched_secs,
             "n_queries": len(query_set),
             "harness_wall_secs": round(time.time() - t_total, 3),
             "noise_protocol": "build best-of-2, sweeps median-of-3, dist best-of-2",

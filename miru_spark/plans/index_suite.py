@@ -421,6 +421,47 @@ def _mk_term_vector(doc_id):
     return run
 
 
+def _mk_dist_many(queries):
+    """Batched distributed serving: N queries, ONE postings scan/decode/
+    shuffle (search_many_distributed); rank-identical to per-query runs."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_many_distributed
+
+        reader = ensure_index(spark, sf_dir)
+        return search_many_distributed(reader, queries, k=10)
+
+    return run
+
+
+def _dist_many_oracle(queries, k: int = 10) -> str:
+    branches = [
+        f"SELECT {qid} AS query_id, doc_id, score FROM ("
+        + bm25_oracle_sql(terms, mode, k=k)
+        + ")"
+        for qid, (terms, mode) in enumerate(queries)
+    ]
+    return "\nUNION ALL\n".join(branches)
+
+
+def _mk_dist_after(terms, mode):
+    """A38 on the cluster path: page 2 of the DISTRIBUTED scorer via a
+    real page-1 cursor (last hit's rounded score + doc_id) — the keyset
+    filter is a codegen predicate ahead of the TakeOrderedAndProject."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_distributed
+
+        reader = ensure_index(spark, sf_dir)
+        p1 = search_distributed(reader, terms, mode=mode, k=10).collect()
+        cur = (float(p1[-1]["score"]), int(p1[-1]["doc_id"]))
+        return search_distributed(reader, terms, mode=mode, k=10, after=cur)
+
+    return run
+
+
 def _mk_dist(terms, mode, exclude=None, where=None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -1992,6 +2033,29 @@ def register_all(register) -> None:
         # A54 hybrid RRF: BM25 top-100 fused with embedding-cosine top-100
         # (query vector = embeddings row 0) by reciprocal rank, k=60
         ("bm25_index_hybrid_rrf", _mk_hybrid_rrf(), _hybrid_oracle(), DS),
+        # round-4: A38 keyset pagination on the DISTRIBUTED path (codegen
+        # cursor filter before the TakeOrderedAndProject); oracle = rows
+        # 11-20 of the full ranking, same as the driver-path after entry
+        ("bm25_index_dist_after",
+         _mk_dist_after(["the", "a"], "disjunctive"),
+         "SELECT doc_id, score FROM ("
+         + bm25_oracle_sql(["the", "a"], "disjunctive", k=20)
+         + ") ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10",
+         DS),
+        # round-4: batched distributed serving — 3 queries, ONE scan/
+        # decode/shuffle; oracle = UNION ALL of each query's own twin
+        ("bm25_index_dist_many",
+         _mk_dist_many([
+             (["the", "a"], "disjunctive"),
+             (["join", "hash"], "conjunctive"),
+             (["dup"], "disjunctive"),
+         ]),
+         _dist_many_oracle([
+             (["the", "a"], "disjunctive"),
+             (["join", "hash"], "conjunctive"),
+             (["dup"], "disjunctive"),
+         ]),
+         ("query_id", "doc_id", "score")),
     ])
     register_composite(register, "bm25_index_prefix", [
         (n, _mk_prefix(p), bm25_prefix_oracle_sql(p), DS)

@@ -2952,14 +2952,23 @@ def phrase_verified_docs_df(
 
     def occurrences(term: str, off: int):
         def emit(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-            from miru_spark.index.format import unpack_chunk, unpack_positions
+            from miru_spark.index.format import unpack_chunk_np, unpack_positions
 
             for batch in batches:
-                for row in batch.to_pylist():
-                    ids, tfs, _ = unpack_chunk(
-                        row["blob"], row["blocks"], int(row["codec"])
+                blob_col, codec_np, offs, ns, og, ot, od, lasts = (
+                    _chunk_batch_views(batch)
+                )
+                pos_col = batch.column(batch.schema.names.index("pos_blob"))
+                for i in range(batch.num_rows):
+                    s, e = int(offs[i]), int(offs[i + 1])
+                    ids, tfs, _ = unpack_chunk_np(
+                        blob_col[i].as_buffer(),
+                        ns[s:e], og[s:e], ot[s:e], od[s:e], lasts[s:e],
+                        int(codec_np[i]),
                     )
-                    pos = unpack_positions(row["pos_blob"], tfs).astype(np.int64)
+                    pos = unpack_positions(
+                        pos_col[i].as_buffer(), tfs
+                    ).astype(np.int64)
                     doc_rep = np.repeat(ids.astype(np.int64), tfs.astype(np.int64))
                     adj = pos - off
                     ok = adj >= 0
@@ -3291,6 +3300,7 @@ def search_distributed(
     boosts: dict[str, float] | None = None,
     where: dict | None = None,
     with_nmatch: bool = False,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Pure-DataFrame scoring over chunk rows (scatter-gather top-k).
 
@@ -3336,6 +3346,7 @@ def search_distributed(
         and not exclude
         and where is None
         and not with_nmatch
+        and after is None  # deep pages legitimately return sub-theta docs
         and (tomb is None or tomb.size == 0)
     ):
         # theta-based chunk skipping (soundness + gates documented above);
@@ -3469,9 +3480,137 @@ def search_distributed(
         # the existing count(*) IS the distinct-match count
         return agg.select("doc_id", score.alias("score"), "nmatch")
     out = agg.select("doc_id", score.alias("score"))
+    if after is not None:
+        # A38 keyset pagination on the cluster path: strictly-after the
+        # (score, doc_id) cursor in rank order, compared on the SAME
+        # rounded value the ordering uses — a codegen filter ahead of the
+        # TakeOrderedAndProject, so page depth never changes the plan cost
+        if k is None:
+            raise ValueError("after needs a top-k query (k is None)")
+        s_a, d_a = float(after[0]), int(after[1])
+        out = out.filter(
+            (F.col("score") < s_a)
+            | ((F.col("score") == s_a) & (F.col("doc_id") > d_a))
+        )
     if k is None:  # unsorted candidate set (internal callers rank later)
         return out
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_many_distributed(
+    reader: IndexReader,
+    queries: list[tuple[list[str], str]],
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Batched cluster serving — the distributed twin of :func:`search_many`:
+    N queries share ONE pruned postings scan, ONE mapInArrow decode per
+    chunk, and ONE contribution shuffle.
+
+    Plan: union of all queries' terms -> pruned scan -> decode+score to
+    (doc_id, term, contrib) -> broadcast join to the exploded
+    (query_id, term, n_terms, mode) table (terms shared by many queries
+    fan out JVM-side, never re-decoding) -> one map-side-combined hash agg
+    per (query_id, doc_id) with the distinct-term match count ->
+    conjunctive floor as a codegen filter -> per-query top-k via a
+    row_number window partitioned by query_id. At cluster scale a
+    multi-tenant batch pays the scan/decode once instead of once per
+    query — the same amortization the driver batch path does with its
+    shared decode cache, restated as one Spark plan.
+
+    Returns (query_id, doc_id, score), query_id = position in ``queries``.
+    Rank-identical to per-query :func:`search_distributed` (tested).
+    """
+    if not queries:
+        raise ValueError("empty query batch")
+    for terms, mode in queries:
+        if mode not in ("conjunctive", "disjunctive"):
+            raise ValueError(f"unknown mode {mode!r}")
+        if not terms:
+            raise ValueError("empty term list in batch")
+    spark = reader.spark
+    n_docs = float(reader.n_docs)
+    avgdl = float(reader.avgdl)
+    all_terms = list(dict.fromkeys(t for terms, _ in queries for t in terms))
+    chunks = reader.postings_df(all_terms)
+    term_df = chunks.groupBy("term").agg(F.sum("df_chunk").alias("df_global"))
+    chunks = chunks.join(F.broadcast(term_df), "term")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("term", T.StringType()),
+            T.StructField("contrib", T.DoubleType()),
+        ]
+    )
+
+    def score_chunks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from miru_spark.index.format import unpack_chunk_np
+
+        for batch in batches:
+            blob_col, codec_np, offs, ns, og, ot, od, lasts = _chunk_batch_views(
+                batch
+            )
+            names = batch.schema.names
+            dfg_np = batch.column(names.index("df_global")).to_numpy(
+                zero_copy_only=False
+            )
+            terms_l = batch.column(names.index("term")).to_pylist()
+            for i in range(batch.num_rows):
+                s, e = int(offs[i]), int(offs[i + 1])
+                ids, tfs, dls = unpack_chunk_np(
+                    blob_col[i].as_buffer(),
+                    ns[s:e], og[s:e], ot[s:e], od[s:e], lasts[s:e],
+                    int(codec_np[i]),
+                )
+                idf = float(bm25.idf_np(float(dfg_np[i]), n_docs))
+                contrib = bm25.score_np(tfs, idf, dls, avgdl)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids.astype(np.int64)),
+                        pa.array([terms_l[i]] * len(ids), type=pa.string()),
+                        pa.array(contrib),
+                    ],
+                    names=["doc_id", "term", "contrib"],
+                )
+
+    scored = chunks.mapInArrow(score_chunks, out_schema)
+    qrows = []
+    for qid, (terms, mode) in enumerate(queries):
+        uterms = list(dict.fromkeys(terms))
+        for t in uterms:
+            qrows.append((qid, t, len(uterms), mode))
+    qmap = spark.createDataFrame(
+        qrows, "query_id int, term string, n_terms int, mode string"
+    )
+    agg = (
+        scored.join(F.broadcast(qmap), "term")
+        .groupBy("query_id", "doc_id", "mode", "n_terms")
+        .agg(F.sum("contrib").alias("score"), F.count("*").alias("nmatch"))
+        .filter(
+            (F.col("mode") == "disjunctive")
+            | (F.col("nmatch") == F.col("n_terms"))
+        )
+    )
+    tomb_df = reader.tombstones_df()
+    if tomb_df is not None:
+        if reader.tombstones.size <= 5_000_000:
+            tomb_df = F.broadcast(tomb_df)
+        agg = agg.join(tomb_df, "doc_id", "left_anti")
+    score = (
+        F.round(F.col("score"), round_digits)
+        if round_digits is not None
+        else F.col("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.select("query_id", "doc_id", score.alias("score"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def search_terms_set(

@@ -55,6 +55,37 @@ def test_search_after_cross_strategy_page2(reader):
     assert not (set(d for d, _ in p1) & set(d for d, _ in a))
 
 
+def test_search_after_distributed_pages_tile(reader):
+    """Round-4: keyset pagination on the DISTRIBUTED scorer — three pages
+    driven by real cursors tile the driver path's full ranking."""
+    from miru_spark.plans.search import search_distributed
+
+    terms = ["the", "a"]
+    full = [
+        (d, round(s, 6))
+        for d, s in search_topk(reader, terms, mode="disjunctive", k=30)
+    ]
+    pages, cursor = [], None
+    for _ in range(3):
+        rows = search_distributed(
+            reader, terms, mode="disjunctive", k=10, after=cursor
+        ).collect()
+        if not rows:
+            break
+        pages.extend((int(r["doc_id"]), float(r["score"])) for r in rows)
+        cursor = (float(rows[-1]["score"]), int(rows[-1]["doc_id"]))
+    assert pages == full
+
+
+def test_search_after_distributed_rejects_unranked(reader):
+    from miru_spark.plans.search import search_distributed
+
+    with pytest.raises(ValueError, match="after"):
+        search_distributed(
+            reader, ["the"], mode="disjunctive", k=None, after=(1.0, 0)
+        )
+
+
 def test_search_after_past_the_end_is_empty(reader):
     hits = search_topk(reader, ["dup"], mode="conjunctive", k=10_000)
     last = hits[-1]
