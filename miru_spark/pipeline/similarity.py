@@ -143,22 +143,58 @@ def cosine_near_pairs(
     work is a fused matmul cell instead of a JVM higher-order-function
     expression, and each group is bounded at block^2 doubles (~8 MB)
     regardless of corpus size, so executors never see an unbounded task.
+
+    ``within``: optional column name — pairs are generated only between
+    vectors sharing that column's value (block enumeration and the
+    block-pair join both carry the key), turning the global n^2 into a
+    sum of per-group squares. SemDeDup's within-cluster restriction
+    (:func:`semantic_dedup`) rides this.
     """
+    return _near_pairs_blocked(embeddings, threshold, round_digits, block, None)
+
+
+def _near_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float,
+    round_digits: int,
+    block: int,
+    within: str | None,
+) -> DataFrame:
     spark = embeddings.sparkSession
+    wcols = [within] if within else []
     blocks = embeddings.select(
-        "vec_id", "embedding", (F.col("vec_id") / block).cast("long").alias("blk")
+        *wcols, "vec_id", "embedding",
+        (F.col("vec_id") / block).cast("long").alias("blk"),
     )
-    bids = sorted(r.blk for r in blocks.select("blk").distinct().collect())
-    pairs = spark.createDataFrame(
-        [(a, b) for a in bids for b in bids if a <= b], "ba long, bb long"
-    )
-    left = pairs.join(blocks.withColumnRenamed("blk", "ba"), "ba").select(
-        "ba", "bb", F.lit(0).alias("side"), "vec_id", "embedding"
+    if within:
+        rows = blocks.select(within, "blk").distinct().collect()
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(r[within], []).append(r["blk"])
+        pairs = spark.createDataFrame(
+            [
+                (w, a, b)
+                for w, bl in groups.items()
+                for a in sorted(bl)
+                for b in sorted(bl)
+                if a <= b
+            ],
+            f"{within} int, ba long, bb long",
+        )
+        jl, jr = [within, "ba"], [within, "bb"]
+    else:
+        bids = sorted(r.blk for r in blocks.select("blk").distinct().collect())
+        pairs = spark.createDataFrame(
+            [(a, b) for a in bids for b in bids if a <= b], "ba long, bb long"
+        )
+        jl, jr = ["ba"], ["bb"]
+    left = pairs.join(blocks.withColumnRenamed("blk", "ba"), jl).select(
+        *wcols, "ba", "bb", F.lit(0).alias("side"), "vec_id", "embedding"
     )
     right = (
         pairs.filter(F.col("ba") != F.col("bb"))
-        .join(blocks.withColumnRenamed("blk", "bb"), "bb")
-        .select("ba", "bb", F.lit(1).alias("side"), "vec_id", "embedding")
+        .join(blocks.withColumnRenamed("blk", "bb"), jr)
+        .select(*wcols, "ba", "bb", F.lit(1).alias("side"), "vec_id", "embedding")
     )
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -189,7 +225,7 @@ def cosine_near_pairs(
 
     return (
         left.unionByName(right)
-        .groupBy("ba", "bb")
+        .groupBy(*wcols, "ba", "bb")
         .applyInPandas(emit, "id_a long, id_b long, cos double")
         .orderBy("id_a", "id_b")
     )
@@ -218,6 +254,48 @@ def embedding_dedup(
     keep rule — banding bounds the pair generation, the rule is unchanged."""
     dup_ids = (
         cosine_near_pairs(embeddings, threshold, round_digits)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        embeddings.join(dup_ids, "vec_id", "left_anti")
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    round_digits: int = 6,
+    n_iter: int = 5,
+    seed: int = 42,
+    block: int = 1024,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding space, then near-duplicate-dedup WITHIN each cluster
+    (keep-min-vec_id, the repo's greedy representative rule). The
+    within-cluster restriction turns the global O(n^2) pair generation
+    into a sum of per-cluster squares — the semantic analogue of LSH
+    banding, and the shape that scales: cluster count grows with the
+    corpus so per-cluster work stays bounded.
+
+    Plan: seeded Lloyd on a bounded deterministic sample (driver) ->
+    broadcast centroid assignment (one Arrow pass) -> per-(cluster,
+    block-pair) exact cosine via the blocked matmul -> keep-min-id
+    anti-join. With ``n_clusters=1`` the cluster restriction is vacuous
+    and the result EQUALS :func:`embedding_dedup` — the identity the
+    driver oracle checks; multi-cluster recall vs the exact twin is
+    pytest-pinned (near-duplicates nearly always share a cluster; pairs
+    split across a centroid boundary are the documented recall loss,
+    exactly as in the paper)."""
+    cents = kmeans_centroids(
+        embeddings, n_clusters, n_iter=n_iter, seed=seed
+    )
+    assigned = ivf_assign(embeddings, cents)
+    dup_ids = (
+        _near_pairs_blocked(assigned, threshold, round_digits, block, "cluster")
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )

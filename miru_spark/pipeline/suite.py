@@ -154,6 +154,16 @@ def q_dedup_embedding(spark, sf):
     return embedding_dedup(_emb(spark, sf), threshold=0.4)
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup at n_clusters=1: the cluster restriction is vacuous, so
+    the result provably equals the exact embedding_dedup and shares its
+    oracle — the same full-probe identity trick as the ANN rows.
+    Multi-cluster recall is pytest's job (test_similarity)."""
+    from miru_spark.pipeline.similarity import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf), n_clusters=1, threshold=0.4)
+
+
 def q_ann_lsh(spark, sf):
     """LSH probe at max_hamming = n_bits: every bucket is a candidate, so
     the exact-cosine rerank returns the true top-k and the brute-force SQL
@@ -472,6 +482,10 @@ def register_all(register) -> None:
         ("pipe_cosine_near_pairs", q_cosine_pairs,
          cosine_near_pairs_oracle_sql(0.5), ("id_a", "id_b", "cos")),
         ("pipe_dedup_embedding", q_dedup_embedding,
+         embedding_dedup_oracle_sql(0.4), ("vec_id",)),
+        # SemDeDup (Abbas 2023): cluster-then-dedup-within; oracled at
+        # n_clusters=1 where it equals the exact twin by construction
+        ("pipe_semantic_dedup", q_semantic_dedup,
          embedding_dedup_oracle_sql(0.4), ("vec_id",)),
     ])
     # Each member runs at full probe (every bucket / cluster scanned) with

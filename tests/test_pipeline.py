@@ -323,3 +323,34 @@ def test_cosine_near_pairs_blocked_equals_naive(spark, emb):
     )
     want = [(r.id_a, r.id_b, r.cos) for r in naive.collect()]
     assert got and got == want
+
+
+def test_semantic_dedup_single_cluster_equals_exact(spark, emb):
+    """SemDeDup with n_clusters=1 IS embedding_dedup (the driver-oracle
+    identity); forced multi-block so the within-key plumbing is real."""
+    from miru_spark.pipeline.similarity import embedding_dedup, semantic_dedup
+
+    got = [r.vec_id for r in semantic_dedup(emb, n_clusters=1, threshold=0.4, block=64).collect()]
+    want = [r.vec_id for r in embedding_dedup(emb, threshold=0.4).collect()]
+    assert got == want
+    n_all = emb.count()
+    assert 0 < len(got) < n_all  # dedup actually bites on the fixture
+
+
+def test_semantic_dedup_multicluster_recall(spark, emb):
+    """Multi-cluster SemDeDup: deterministic, keeps every doc the exact
+    twin keeps (within-cluster pairs are a SUBSET of all pairs, so fewer
+    docs get dropped — the paper's documented recall trade), and still
+    removes most duplicates on the fixture."""
+    from miru_spark.pipeline.similarity import embedding_dedup, semantic_dedup
+
+    exact_kept = {r.vec_id for r in embedding_dedup(emb, threshold=0.4).collect()}
+    sem1 = [r.vec_id for r in semantic_dedup(emb, n_clusters=4, threshold=0.4).collect()]
+    sem2 = [r.vec_id for r in semantic_dedup(emb, n_clusters=4, threshold=0.4).collect()]
+    assert sem1 == sem2  # seeded centroids + deterministic sample
+    kept = set(sem1)
+    assert exact_kept <= kept
+    n_all = emb.count()
+    removed_exact = n_all - len(exact_kept)
+    removed_sem = n_all - len(kept)
+    assert removed_sem >= removed_exact * 0.6, (removed_sem, removed_exact)
