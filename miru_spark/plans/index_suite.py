@@ -421,6 +421,39 @@ def _mk_term_vector(doc_id):
     return run
 
 
+_PRUNED_IDX: dict[str, str] = {}
+
+
+def _mk_dist_pruned(terms, k=3):
+    """Block-max chunk skipping exercised INSIDE the correctness record:
+    a fine-chunked index (target_chunk=64 -> ~7 chunks per hot term at
+    sf0.01) with the gate forced open (prune_gate=0), so the theta filter
+    genuinely drops chunk rows before the decode and the result must
+    still hash-match the standard SQL twin."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from miru_spark.index.reader import IndexReader
+        from miru_spark.index.writer import build_index
+        from miru_spark.plans.search import LAST_PRUNE_STATS, search_distributed
+        from miru_spark.schema import read_corpus
+
+        if sf_dir not in _PRUNED_IDX:
+            p = tempfile.mkdtemp(prefix="miru_finechunk_") + "/idx"
+            build_index(
+                spark, read_corpus(spark, sf_dir), p,
+                num_partitions=8, target_chunk=64,
+            )
+            _PRUNED_IDX[sf_dir] = p
+        reader = IndexReader(spark, _PRUNED_IDX[sf_dir])
+        return search_distributed(
+            reader, terms, mode="disjunctive", k=k, prune_gate=0
+        )
+
+    return run
+
+
 def _mk_dist_many(queries):
     """Batched distributed serving: N queries, ONE postings scan/decode/
     shuffle (search_many_distributed); rank-identical to per-query runs."""
@@ -2056,6 +2089,13 @@ def register_all(register) -> None:
              (["dup"], "disjunctive"),
          ]),
          ("query_id", "doc_id", "score")),
+        # round-4: the theta-PRUNED distributed path itself, value-checked
+        # — fine-chunked index + gate forced open, chunks skipped before
+        # decode, result must equal the standard SQL twin
+        ("bm25_index_dist_pruned",
+         _mk_dist_pruned(["the", "a"], k=3),
+         bm25_oracle_sql(["the", "a"], "disjunctive", k=3),
+         DS),
     ])
     register_composite(register, "bm25_index_prefix", [
         (n, _mk_prefix(p), bm25_prefix_oracle_sql(p), DS)

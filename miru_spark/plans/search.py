@@ -3301,6 +3301,7 @@ def search_distributed(
     where: dict | None = None,
     with_nmatch: bool = False,
     after: tuple[float, int] | None = None,
+    prune_gate: int | None = None,
 ) -> DataFrame:
     """Pure-DataFrame scoring over chunk rows (scatter-gather top-k).
 
@@ -3315,7 +3316,9 @@ def search_distributed(
     predicate down and prunes to doc_id, the semi-join and the groupBy
     share the doc_id hash partitioning (no extra exchange), and AQE
     broadcasts the filtered side when it's small — fully distributed, no
-    driver-side id list.
+    driver-side id list. ``prune_gate`` overrides the block-max skip
+    gate's min-df floor (0 forces the theta prune on any eligible query —
+    the driver correctness case exercises the pruned path with it).
     """
     terms = list(dict.fromkeys(terms))
     exclude = _check_exclude(terms, exclude)
@@ -3359,8 +3362,9 @@ def search_distributed(
         # (threshold_t = theta - (S_max - ubmax_t) > 0 needs ubmax_t near
         # the max). If that term is small, the prunable decode volume
         # cannot repay the metadata job — skip it.
+        gate = _PRUNE_MIN_POSTINGS if prune_gate is None else prune_gate
         dfs_dict = reader.term_dfs(terms)
-        if dfs_dict and min(dfs_dict.values()) >= _PRUNE_MIN_POSTINGS:
+        if dfs_dict and min(dfs_dict.values()) >= gate:
             chunks, LAST_PRUNE_STATS = _blockmax_prune(
                 chunks, k, n_docs, avgdl, boost_map, round_digits
             )
