@@ -386,6 +386,29 @@ def _mk_histogram(terms, mode, width):
     return run
 
 
+def _mk_histo_pipeline(terms, mode, width, moving_window, selector_min):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_histogram_pipeline
+
+        reader = ensure_index(spark, sf_dir)
+        return search_histogram_pipeline(
+            reader, terms, mode=mode, width=width,
+            moving_window=moving_window, selector_min=selector_min,
+        )
+
+    return run
+
+
+def _histo_pipeline_oracle(terms, mode, width, moving_window, selector_min):
+    from miru_spark.plans.relational import histogram_pipeline_oracle_sql
+
+    return histogram_pipeline_oracle_sql(
+        terms, mode, width=width, moving_window=moving_window,
+        selector_min=selector_min,
+    )
+
+
 def _mk_collapse(terms, mode, k_groups, per_group):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -2155,6 +2178,12 @@ def register_all(register) -> None:
          _mk_histogram(["the", "a"], "conjunctive", 10),
          histogram_oracle_sql(["the", "a"], "conjunctive", width=10),
          ("bin_lo", "n_docs")),
+        # round-4 A90 pipeline aggregations (ES derivative/cumulative_sum/
+        # moving_fn + bucket_selector): window exprs over histogram buckets
+        ("bm25_index_histo_pipeline",
+         _mk_histo_pipeline(["the", "a"], "conjunctive", 10, 3, 2),
+         _histo_pipeline_oracle(["the", "a"], "conjunctive", 10, 3, 2),
+         ("bin_lo", "n_docs", "deriv", "cum_n", "mov_avg")),
         # A50 field collapsing (ES collapse + inner_hits): top-4 repos by
         # their best hit, 2 inner hits each (engine repo == documents source)
         ("bm25_index_collapse",

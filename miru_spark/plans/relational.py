@@ -1138,6 +1138,39 @@ FROM cand JOIN dl USING(doc_id) GROUP BY 1 ORDER BY 1
 """.strip()
 
 
+def histogram_pipeline_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    width: int = 10,
+    moving_window: int = 3,
+    selector_min: int | None = None,
+    round_digits: int = 6,
+    tok_sql: str = DEFAULT_TOK_SQL,
+) -> str:
+    """Twin of plans.search.search_histogram_pipeline (A90 — ES pipeline
+    aggs): the A40 histogram CTE with derivative / cumulative_sum /
+    trailing moving average as window functions, bucket_selector last."""
+    if width <= 0 or moving_window <= 0:
+        raise ValueError("width and moving_window must be positive")
+    sel = f"WHERE n_docs >= {int(selector_min)}" if selector_min is not None else ""
+    return f"""
+{_candidate_ctes(terms, mode, tok_sql)},
+buckets AS (
+  SELECT CAST(floor(doc_len/{width})*{width} AS BIGINT) AS bin_lo,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM cand JOIN dl USING(doc_id) GROUP BY 1),
+pipe AS (
+  SELECT bin_lo, n_docs,
+         n_docs - lag(n_docs) OVER (ORDER BY bin_lo) AS deriv,
+         CAST(SUM(n_docs) OVER (ORDER BY bin_lo) AS BIGINT) AS cum_n,
+         ROUND(AVG(n_docs) OVER (ORDER BY bin_lo
+               ROWS BETWEEN {int(moving_window) - 1} PRECEDING AND CURRENT ROW),
+               {round_digits}) AS mov_avg
+  FROM buckets)
+SELECT * FROM pipe {sel} ORDER BY bin_lo
+""".strip()
+
+
 def range_agg_oracle_sql(
     terms: list[str],
     ranges: list[tuple[int | None, int | None]],

@@ -1213,6 +1213,61 @@ def search_facets_histogram(
     )
 
 
+def search_histogram_pipeline(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    col: str = "doc_len",
+    width: int = 10,
+    moving_window: int = 3,
+    selector_min: int | None = None,
+    round_digits: int | None = 6,
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A90 — ES pipeline aggregations over histogram buckets: derivative,
+    cumulative_sum and a trailing moving average (ES ``derivative`` /
+    ``cumulative_sum`` / ``moving_fn`` unweightedAvg), plus
+    ``bucket_selector``.
+
+    Parent agg = the A40 fixed-width histogram; every pipeline metric is a
+    pure window expression over the BUCKET rows (whole-stage codegen, and
+    |buckets| rows — the window costs nothing next to the candidate agg):
+
+    * ``deriv``   = n_docs - lag(n_docs) ordered by bin key (null on the
+      first bucket — ES's leading-edge behavior);
+    * ``cum_n``   = running total of n_docs;
+    * ``mov_avg`` = mean of n_docs over the trailing ``moving_window``
+      buckets (window shorter at the leading edge, like ES moving_fn);
+    * ``selector_min`` drops buckets with n_docs < floor AFTER the other
+      metrics are computed (ES applies bucket_selector last, so a removed
+      neighbor never changes another bucket's derivative).
+    """
+    from pyspark.sql import Window
+
+    if moving_window <= 0:
+        raise ValueError("moving_window must be positive")
+    buckets = search_facets_histogram(
+        reader, terms, mode=mode, col=col, width=width, exclude=exclude,
+        where=where,
+    )
+    w = Window.orderBy("bin_lo")
+    mov = Window.orderBy("bin_lo").rowsBetween(-(moving_window - 1), 0)
+    mov_avg = F.avg("n_docs").over(mov)
+    if round_digits is not None:
+        mov_avg = F.round(mov_avg, round_digits)
+    out = buckets.select(
+        "bin_lo",
+        "n_docs",
+        (F.col("n_docs") - F.lag("n_docs").over(w)).alias("deriv"),
+        F.sum("n_docs").over(w).alias("cum_n"),
+        mov_avg.alias("mov_avg"),
+    )
+    if selector_min is not None:
+        out = out.filter(F.col("n_docs") >= selector_min)
+    return out.orderBy("bin_lo")
+
+
 def search_facets_ranges(
     reader: IndexReader,
     terms: list[str],

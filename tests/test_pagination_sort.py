@@ -181,6 +181,56 @@ def test_histogram_matches_bruteforce(reader):
     assert sum(got.values()) == len(cand)  # bins partition the candidates
 
 
+def test_histogram_pipeline_matches_bruteforce(reader, duck):
+    """A90 pipeline aggs: derivative/cumulative/moving-avg windows over
+    the histogram buckets equal hand-computed values AND the DuckDB twin;
+    bucket_selector drops rows WITHOUT changing surviving metrics."""
+    from miru_spark.plans.relational import histogram_pipeline_oracle_sql
+    from miru_spark.plans.search import (
+        search_facets_histogram,
+        search_histogram_pipeline,
+    )
+
+    terms, mode, width, win = ["the", "a"], "conjunctive", 10, 3
+    base = search_facets_histogram(reader, terms, mode=mode, width=width).collect()
+    ns = [(r.bin_lo, r.n_docs) for r in base]
+    want = []
+    for i, (b, n) in enumerate(ns):
+        deriv = None if i == 0 else n - ns[i - 1][1]
+        cum = sum(x[1] for x in ns[: i + 1])
+        wvals = [x[1] for x in ns[max(0, i - win + 1) : i + 1]]
+        want.append((b, n, deriv, cum, round(sum(wvals) / len(wvals), 6)))
+    got = [
+        (r.bin_lo, r.n_docs, r.deriv, r.cum_n, r.mov_avg)
+        for r in search_histogram_pipeline(
+            reader, terms, mode=mode, width=width, moving_window=win
+        ).collect()
+    ]
+    assert got == want and len(got) >= 3
+    exp = duck.execute(
+        histogram_pipeline_oracle_sql(terms, mode, width=width, moving_window=win)
+    ).fetchall()
+    assert got == [tuple(r) for r in exp]
+    # selector: subset rows, identical surviving metrics
+    floor = sorted(n for _, n in ns)[len(ns) // 2]
+    sel = [
+        (r.bin_lo, r.n_docs, r.deriv, r.cum_n, r.mov_avg)
+        for r in search_histogram_pipeline(
+            reader, terms, mode=mode, width=width, moving_window=win,
+            selector_min=floor,
+        ).collect()
+    ]
+    assert sel == [t for t in want if t[1] >= floor]
+    assert 0 < len(sel) < len(want)
+
+
+def test_histogram_pipeline_validation(reader):
+    from miru_spark.plans.search import search_histogram_pipeline
+
+    with pytest.raises(ValueError, match="moving_window"):
+        search_histogram_pipeline(reader, ["the"], moving_window=0)
+
+
 def test_histogram_rejects_bad_width(reader):
     with pytest.raises(ValueError):
         search_facets_histogram(reader, ["the"], width=0)
