@@ -1880,6 +1880,31 @@ def _funcscore_oracle() -> str:
     )
 
 
+def q_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A91 — multi_match type=combined_fields (ES combined_fields /
+    Lucene CombinedFieldQuery): ONE synthetic field — weighted tf/dl
+    sums, blended df, single BM25 saturation over the combined tf."""
+    import tempfile
+
+    from miru_spark.plans.multifield import (
+        build_multifield_index,
+        open_field_readers,
+        search_fields_combined,
+    )
+    from miru_spark.schema import read_corpus
+
+    if sf_dir not in _MF_IDX:
+        base = tempfile.mkdtemp(prefix="miru_mf_") + "/idx"
+        build_multifield_index(
+            spark, read_corpus(spark, sf_dir), base, num_partitions=8
+        )
+        _MF_IDX[sf_dir] = base
+    readers = open_field_readers(spark, _MF_IDX[sf_dir])
+    return search_fields_combined(
+        readers, ["txt", "the"], weights=_MF_WEIGHTS, mode="disjunctive"
+    )
+
+
 def q_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A51 — dis_max (ES best_fields): the BEST field's BM25 carries the
     score, other matching fields add only tie_breaker (0.3) times theirs —
@@ -2383,6 +2408,7 @@ def register_all(register) -> None:
         DEFAULT_TOK_SQL,
         EDGE_TOK_SQL,
         SHINGLE_TOK_SQL,
+        bm25_combined_fields_oracle_sql,
         bm25_cross_fields_oracle_sql,
         bm25_dismax_oracle_sql,
         bm25_multifield_oracle_sql,
@@ -2431,6 +2457,15 @@ def register_all(register) -> None:
              {"content": (DEFAULT_TOK_SQL, _MF_WEIGHTS["content"]),
               "path": (_MF_PATH_TOK, _MF_WEIGHTS["path"])},
              "conjunctive"), DS),
+        # round-4 A91 combined_fields (CombinedFieldQuery): one synthetic
+        # field — weighted tf/dl sums, blended df, single BM25 saturation;
+        # completes the multi_match family (most/best/cross/combined)
+        ("combined_fields", q_combined_fields,
+         bm25_combined_fields_oracle_sql(
+             ["txt", "the"],
+             {"content": (DEFAULT_TOK_SQL, _MF_WEIGHTS["content"]),
+              "path": (_MF_PATH_TOK, _MF_WEIGHTS["path"])},
+             "disjunctive"), DS),
         # A51 dis_max best_fields: max + 0.3 * rest across field subqueries
         ("dismax", q_dismax,
          bm25_dismax_oracle_sql(

@@ -249,6 +249,195 @@ def search_fields_cross(
     return [(int(uids[i]), float(agg[i])) for i in order]
 
 
+def search_fields_combined(
+    readers: dict[str, IndexReader],
+    terms: list[str],
+    weights: dict | None = None,
+    mode: str = "disjunctive",
+    k: int = 10,
+    round_digits: int | None = 6,
+    where: dict | None = None,
+) -> DataFrame:
+    """A91 — multi_match ``type=combined_fields`` (ES combined_fields /
+    Lucene CombinedFieldQuery): the principled BM25F-style completion of
+    the multi_match family. The fields merge into ONE synthetic field —
+
+        tf_c(d,t)  = sum_f w_f * tf_f(d,t)
+        dl_c(d)    = sum_f w_f * dl_f(d)
+        avgdl_c    = sum_f w_f * avgdl_f     (linearity: every field
+                                              indexes the full corpus)
+        df_c(t)    = max_f df_f(t)           (blended, as BlendedTerm)
+
+    — then plain BM25 over the combined statistics. The semantic
+    difference vs cross_fields (A74): ONE tf saturation over the summed
+    occurrences, so a term hit in two weak fields can outscore one strong
+    field hit, where cross_fields' per-field dis-max cannot.
+
+    Plan (cluster path, the natural shape for per-doc cross-field sums):
+    per-field pruned chunk scans -> mapInArrow decode to (doc_id, term,
+    w_f*tf) -> one hash agg to tf_c -> join the candidates' combined
+    doc_len (per-field docmap projections, weighted union-sum, semi-joined
+    to candidates before the agg) -> per-(doc,term) BM25 as a codegen
+    expression with the blended idf broadcast as a literal map -> one
+    hash agg per doc (+ distinct-term count for conjunctive) ->
+    TakeOrderedAndProject. df/idf come from the per-field term
+    dictionaries driver-side (pyarrow seeks, no Spark job)."""
+    if mode not in ("disjunctive", "conjunctive"):
+        raise ValueError(f"unknown mode {mode!r}")
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    w = _norm_weights(readers, weights)
+    first = next(iter(readers.values()))
+    spark = first.spark
+    n_docs = float(first.n_docs)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+
+    # blended df + combined avgdl, driver-side (dictionary seeks + stats)
+    dfc: dict[str, float] = {}
+    for fname, reader in readers.items():
+        if w[fname] == 0.0:
+            continue
+        for t, d in reader.term_dfs(terms).items():
+            dfc[t] = max(dfc.get(t, 0.0), float(d))
+    if mode == "conjunctive" and len(dfc) < len(terms):
+        return empty
+    if not dfc:
+        return empty
+    avgdl_c = sum(
+        w[f] * float(r.avgdl) for f, r in readers.items() if w[f] != 0.0
+    )
+
+    wtf_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("term", T.StringType()),
+            T.StructField("wtf", T.DoubleType()),
+        ]
+    )
+
+    def emit_wtf(weight: float):
+        def gen(batches):
+            from miru_spark.index.format import unpack_chunk_np
+            from miru_spark.plans.search import _chunk_batch_views
+
+            for batch in batches:
+                blob_col, codec_np, offs, ns, og, ot, od, lasts = (
+                    _chunk_batch_views(batch)
+                )
+                terms_l = batch.column(
+                    batch.schema.names.index("term")
+                ).to_pylist()
+                for i in range(batch.num_rows):
+                    s, e = int(offs[i]), int(offs[i + 1])
+                    ids, tfs, _ = unpack_chunk_np(
+                        blob_col[i].as_buffer(),
+                        ns[s:e], og[s:e], ot[s:e], od[s:e], lasts[s:e],
+                        int(codec_np[i]),
+                    )
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(ids.astype(np.int64)),
+                            pa.array([terms_l[i]] * len(ids)),
+                            pa.array(tfs.astype(np.float64) * weight),
+                        ],
+                        names=["doc_id", "term", "wtf"],
+                    )
+
+        return gen
+
+    parts = []
+    for fname, reader in readers.items():
+        if w[fname] == 0.0:
+            continue
+        parts.append(
+            reader.postings_df(terms).mapInArrow(emit_wtf(w[fname]), wtf_schema)
+        )
+    from functools import reduce
+
+    tfc = (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy("doc_id", "term")
+        .agg(F.sum("wtf").alias("tfc"))
+    )
+
+    # combined doc_len of the candidate docs: weighted union-sum of the
+    # per-field docmap projections, semi-joined to candidates first so the
+    # agg carries candidates only (each projection is a narrow two-column
+    # docmap scan — the same cost family as a metadata-filtered search)
+    cand = tfc.select("doc_id").distinct()
+    dl_parts = []
+    for fname, reader in readers.items():
+        if w[fname] == 0.0:
+            continue
+        dl_parts.append(
+            reader.docmap_df()
+            .select("doc_id", (F.col("doc_len") * w[fname]).alias("wdl"))
+            .join(cand, "doc_id", "left_semi")
+        )
+    dlc = (
+        reduce(lambda a, b: a.unionByName(b), dl_parts)
+        .groupBy("doc_id")
+        .agg(F.sum("wdl").alias("dlc"))
+    )
+
+    idf_pairs = []
+    for t, d in dfc.items():
+        idf_pairs.extend(
+            [F.lit(t), F.lit(float(bm25.idf_np(d, n_docs)))]
+        )
+    idf_col = F.create_map(*idf_pairs)[F.col("term")]
+    tfcol = F.col("tfc")
+    contrib = (
+        idf_col
+        * tfcol
+        * F.lit(bm25.K1 + 1.0)
+        / (
+            tfcol
+            + F.lit(bm25.K1)
+            * (
+                F.lit(1.0 - bm25.B)
+                + F.lit(bm25.B) * F.col("dlc") / F.lit(avgdl_c)
+            )
+        )
+    )
+    scored = tfc.join(dlc, "doc_id").select(
+        "doc_id", "term", contrib.alias("s")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("s").alias("score"), F.count("*").alias("nmatch")
+    )
+    if mode == "conjunctive":
+        agg = agg.filter(F.col("nmatch") == len(terms))
+    if where:
+        from miru_spark.filters import spark_predicate
+
+        allow = first.docmap_df()
+        for c, val in where.items():
+            if c not in allow.columns:
+                raise ValueError(f"unknown docmap column {c!r}")
+            allow = allow.filter(spark_predicate(c, val))
+        agg = agg.join(allow.select("doc_id"), "doc_id", "left_semi")
+    # tombstones union across fields (a delete applied to any field index
+    # kills the doc, matching search_fields_distributed)
+    for reader in readers.values():
+        tomb = reader.tombstones_df()
+        if tomb is not None:
+            if reader.tombstones.size <= 5_000_000:
+                tomb = F.broadcast(tomb)
+            agg = agg.join(tomb, "doc_id", "left_anti")
+    score = (
+        F.round(F.col("score"), round_digits)
+        if round_digits is not None
+        else F.col("score")
+    )
+    return (
+        agg.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 _MF_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -992,6 +992,66 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
+def bm25_combined_fields_oracle_sql(
+    terms: list[str],
+    field_toks: dict[str, tuple[str, float]],
+    mode: str = "disjunctive",
+    k: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """Twin of plans.multifield.search_fields_combined (A91 — ES
+    ``combined_fields`` / Lucene CombinedFieldQuery): fields merge into
+    one synthetic field — tf_c = sum_f w_f*tf_f, dl_c = sum_f w_f*dl_f,
+    avgdl_c = sum of weighted per-field token mass over the corpus doc
+    count, df blended as max_f df_f — then plain BM25 on combined stats."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    values = ",".join("('" + t.replace("'", "''") + "')" for t in terms)
+    names = sorted(field_toks)
+    ctes, tf_unions, dl_unions, dfu = [], [], [], []
+    for i, fname in enumerate(names):
+        tok_sql, weight = field_toks[fname]
+        ctes.append(
+            f"tok{i} AS ({tok_sql}),\n"
+            f"tf{i} AS (SELECT doc_id, term, count(*)::DOUBLE tf "
+            f"FROM tok{i} WHERE term<>'' GROUP BY 1,2),\n"
+            f"dl{i} AS (SELECT doc_id, sum(tf) dl FROM tf{i} GROUP BY 1),\n"
+            f"df{i} AS (SELECT term, count(*)::DOUBLE df FROM tf{i} GROUP BY 1)"
+        )
+        dfu.append(f"SELECT term, df FROM df{i}")
+        tf_unions.append(
+            f"SELECT doc_id, term, {float(weight)!r} * tf AS wtf "
+            f"FROM tf{i} JOIN q USING(term)"
+        )
+        dl_unions.append(
+            f"SELECT doc_id, {float(weight)!r} * dl AS wdl FROM dl{i}"
+        )
+    conj = (
+        "WHERE nmatch = (SELECT count(*) FROM q)"
+        if mode == "conjunctive"
+        else ""
+    )
+    return f"""
+WITH q(term) AS (VALUES {values}),
+{",".join(ctes)},
+nb AS (SELECT count(*)::DOUBLE n FROM documents),
+dfb AS (SELECT term, max(df) dfb FROM ({" UNION ALL ".join(dfu)}) GROUP BY 1),
+du AS ({" UNION ALL ".join(dl_unions)}),
+dlc AS (SELECT doc_id, sum(wdl) dlc FROM du GROUP BY 1),
+av AS (SELECT (SELECT sum(wdl) FROM du) / (SELECT n FROM nb) AS avgdlc),
+ctf AS (SELECT doc_id, term, sum(wtf) tfc
+        FROM ({" UNION ALL ".join(tf_unions)}) GROUP BY 1, 2),
+c AS (SELECT ctf.doc_id, ctf.term,
+        ln(1+(nb.n-dfb.dfb+0.5)/(dfb.dfb+0.5))
+          * ctf.tfc*(1.2+1)/(ctf.tfc+1.2*(1-0.75+0.75*dlc.dlc/av.avgdlc)) AS s
+      FROM ctf JOIN dfb USING(term) JOIN dlc USING(doc_id), nb, av),
+agg AS (SELECT doc_id, sum(s) raw, count(*) nmatch FROM c GROUP BY 1)
+SELECT doc_id, round(raw, {round_digits}) AS score FROM agg {conj}
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def bm25_dismax_oracle_sql(
     terms: list[str],
     field_toks: dict[str, tuple[str, float]],

@@ -280,3 +280,72 @@ def test_cross_fields_blended_df_on_spanning_term(spark, tmp_path_factory):
     # cross takes the max — and the blended df (4, from path) lowers the
     # content-side idf (df 2) — so values must differ there
     assert any(abs(cross[d] - most[d]) > 1e-9 for d in (0, 1))
+
+
+# ---------------------------------------------------------------------------
+# A91 combined_fields (CombinedFieldQuery)
+
+
+def _combined_oracle(terms, mode, k=10):
+    from miru_spark.plans.relational import (
+        DEFAULT_TOK_SQL,
+        bm25_combined_fields_oracle_sql,
+    )
+
+    return bm25_combined_fields_oracle_sql(
+        terms,
+        {"content": (DEFAULT_TOK_SQL, WEIGHTS["content"]),
+         "path": (PATH_TOK, WEIGHTS["path"])},
+        mode, k=k,
+    )
+
+
+@pytest.mark.parametrize(
+    "mode,terms",
+    [("disjunctive", ["txt", "the"]), ("conjunctive", ["txt", "the"]),
+     ("conjunctive", ["txt", "join"]), ("disjunctive", ["doc", "00007"])],
+    ids=lambda x: str(x),
+)
+def test_combined_fields_matches_oracle(mf_readers, mode, terms):
+    from miru_spark.plans.multifield import search_fields_combined
+
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in search_fields_combined(
+            mf_readers, terms, weights=WEIGHTS, mode=mode
+        ).collect()
+    ]
+    assert got == [(int(d), float(s)) for d, s in _duck(_combined_oracle(terms, mode))]
+    assert got
+
+
+def test_combined_fields_single_saturation_semantics(mf_readers):
+    """The defining difference vs cross_fields: combined_fields saturates
+    ONE summed tf, so a doc's per-term contribution uses tf from BOTH
+    fields at once, while cross_fields takes the max field. On 'doc'
+    (path-only term) both must agree up to the stats change; on a query
+    mixing fields the rankings legitimately differ — pin the invariant
+    that combined conjunctive accepts cross-field term splits."""
+    from miru_spark.plans.multifield import search_fields_combined
+
+    got = search_fields_combined(
+        mf_readers, ["txt", "join"], weights=WEIGHTS, mode="conjunctive"
+    ).collect()
+    assert got  # txt lives only in path, join only in content
+
+
+def test_combined_fields_validation(mf_readers):
+    from miru_spark.plans.multifield import search_fields_combined
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        search_fields_combined(mf_readers, ["a"], mode="weird")
+    with pytest.raises(ValueError, match="empty term list"):
+        search_fields_combined(mf_readers, [])
+
+
+def test_combined_fields_missing_term_conjunctive_empty(mf_readers):
+    from miru_spark.plans.multifield import search_fields_combined
+
+    assert not search_fields_combined(
+        mf_readers, ["txt", "zzznope"], weights=WEIGHTS, mode="conjunctive"
+    ).collect()
