@@ -3341,6 +3341,90 @@ def _blockmax_prune(
     return chunks.filter(ub_expr >= thr_col), stats
 
 
+def _batch_blockmax_prune(
+    chunks: DataFrame,
+    queries: list[tuple[list[str], str]],
+    k: int,
+    n_docs: float,
+    avgdl: float,
+    round_digits: int | None,
+    term_dfs: dict[str, int],
+    prune_gate: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Theta chunk skipping for the BATCHED scorer: ONE shared metadata
+    job prices every chunk, each eligible disjunctive query derives its
+    own theta/thresholds, and a chunk is kept iff ANY query still needs
+    it (per-term threshold = min over that term's queries; terms of
+    conjunctive or gate-ineligible queries keep everything). Dropping a
+    chunk only when EVERY query's bound excludes it preserves each
+    query's exact top-k by the single-query soundness argument applied
+    per query."""
+    NEG = float("-inf")
+    gate = _PRUNE_MIN_POSTINGS if prune_gate is None else prune_gate
+    idf = bm25.idf_col(F.col("df_global").cast("double"), F.lit(float(n_docs)))
+    ub_expr = idf * chunk_upper_col(avgdl)
+    lb_expr = idf * chunk_lower_col(avgdl)
+    meta = chunks.select(F.col("term"), ub_expr.alias("__ub"), lb_expr.alias("__lb"))
+    cap = 1 << 20
+    rows = meta.limit(cap + 1).collect()
+    stats: dict = {"pruned": False, "thetas": {}, "thresholds": {}}
+    if len(rows) > cap:  # pathological chunk count: skip rather than spill
+        return chunks, stats
+    ubmax: dict[str, float] = {}
+    lbs: dict[str, list[float]] = {}
+    for r in rows:
+        t = r["term"]
+        u, lo = float(r["__ub"]), float(r["__lb"])
+        if u > ubmax.get(t, 0.0):
+            ubmax[t] = u
+        lbs.setdefault(t, []).append(lo)
+    thr: dict[str, float] = {}
+    for qi, (terms, mode) in enumerate(queries):
+        uterms = list(dict.fromkeys(terms))
+        present = [t for t in uterms if t in ubmax]
+        eligible = (
+            mode == "disjunctive"
+            and present
+            and min(term_dfs.get(t, 0) for t in present) >= gate
+        )
+        if not eligible:
+            for t in uterms:
+                thr[t] = NEG
+            continue
+        theta_q = 0.0
+        for t in present:
+            ls = lbs.get(t, [])
+            if len(ls) >= k:
+                kth = heapq.nlargest(k, ls)[-1]
+                if kth > theta_q:
+                    theta_q = kth
+        if theta_q <= 0.0:
+            for t in uterms:
+                thr[t] = NEG
+            continue
+        stats["thetas"][qi] = theta_q
+        margin = (
+            2.0 * 10.0 ** (-round_digits)
+            if round_digits is not None
+            else 1e-9 * (1.0 + theta_q)
+        )
+        s_max = sum(ubmax[t] for t in present)
+        for t in present:
+            v = theta_q - margin - (s_max - ubmax[t])
+            thr[t] = min(thr.get(t, float("inf")), v)
+    if not any(v > 0.0 for v in thr.values() if v != NEG):
+        return chunks, stats
+    stats["pruned"] = True
+    stats["thresholds"] = {t: v for t, v in thr.items() if v != NEG}
+    tpairs = []
+    for t, v in thr.items():
+        tpairs.extend([F.lit(t), F.lit(v if v != NEG else -1e300)])
+    thr_col = F.coalesce(
+        F.create_map(*tpairs)[F.col("term")], F.lit(-1e300)
+    )
+    return chunks.filter(ub_expr >= thr_col), stats
+
+
 #: last _blockmax_prune stats from search_distributed (observability/tests)
 LAST_PRUNE_STATS: dict = {}
 
@@ -3561,6 +3645,7 @@ def search_many_distributed(
     queries: list[tuple[list[str], str]],
     k: int = 10,
     round_digits: int | None = 6,
+    prune_gate: int | None = None,
 ) -> DataFrame:
     """Batched cluster serving — the distributed twin of :func:`search_many`:
     N queries share ONE pruned postings scan, ONE mapInArrow decode per
@@ -3594,6 +3679,26 @@ def search_many_distributed(
     chunks = reader.postings_df(all_terms)
     term_df = chunks.groupBy("term").agg(F.sum("df_chunk").alias("df_global"))
     chunks = chunks.join(F.broadcast(term_df), "term")
+
+    global LAST_PRUNE_STATS
+    LAST_PRUNE_STATS = {}
+    tomb_np = reader.tombstones
+    if tomb_np is None or tomb_np.size == 0:
+        # batch theta chunk skipping: one shared metadata job, per-query
+        # thresholds, keep-if-any-query-needs-it (_batch_blockmax_prune).
+        # Tombstones disable it exactly as on the single-query path.
+        term_dfs = reader.term_dfs(all_terms)
+        if any(
+            m == "disjunctive"
+            and (p := [t for t in dict.fromkeys(ts) if t in term_dfs])
+            and min(term_dfs[t] for t in p)
+            >= (_PRUNE_MIN_POSTINGS if prune_gate is None else prune_gate)
+            for ts, m in queries
+        ):
+            chunks, LAST_PRUNE_STATS = _batch_blockmax_prune(
+                chunks, queries, k, n_docs, avgdl, round_digits, term_dfs,
+                prune_gate,
+            )
 
     out_schema = T.StructType(
         [

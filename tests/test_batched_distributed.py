@@ -42,6 +42,52 @@ def test_batch_single_scan_plan(reader):
     assert "postings" in plan
 
 
+def test_batch_theta_prune_identical_and_skips(reader):
+    """Gate forced open: the batch prune must skip chunks for the hot
+    disjunctive queries while every query's result stays identical to
+    its unpruned per-query run; terms shared with a conjunctive query
+    keep all their chunks (keep-if-any-query-needs-it)."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.plans import search as S
+
+    batch = [
+        (["the"], "disjunctive"),
+        (["the", "license"], "disjunctive"),
+        (["the", "spark"], "conjunctive"),
+    ]
+    got = {}
+    for r in search_many_distributed(reader, batch, k=5, prune_gate=0).collect():
+        got.setdefault(int(r["query_id"]), []).append(
+            (int(r["doc_id"]), float(r["score"]))
+        )
+    # thetas were derived, but 'the' is protected by the conjunctive query
+    # and 'license' cannot clear the sum-UB slack — correctly NO pruning
+    # on this mix (and never a threshold for the conjunctive-shared term)
+    assert S.LAST_PRUNE_STATS.get("thetas"), S.LAST_PRUNE_STATS
+    assert "the" not in S.LAST_PRUNE_STATS["thresholds"]
+    for qid, (terms, mode) in enumerate(batch):
+        single = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in search_distributed(reader, terms, mode=mode, k=5).collect()
+        ]
+        assert sorted(got.get(qid, []), key=lambda t: (-t[1], t[0])) == single, (
+            qid, terms, mode,
+        )
+    # direct skip evidence: the helper drops chunk rows for a hot-only batch
+    all_terms = ["the", "license"]
+    chunks = reader.postings_df(all_terms)
+    tdf = chunks.groupBy("term").agg(F.sum("df_chunk").alias("df_global"))
+    chunks = chunks.join(F.broadcast(tdf), "term")
+    kept, stats = S._batch_blockmax_prune(
+        chunks, [(["the", "license"], "disjunctive"), (["license"], "disjunctive")],
+        3, float(reader.n_docs), float(reader.avgdl), 6,
+        reader.term_dfs(all_terms), prune_gate=0,
+    )
+    assert stats["pruned"]
+    assert kept.count() < chunks.count()
+
+
 def test_batch_validation(reader):
     with pytest.raises(ValueError, match="empty query batch"):
         search_many_distributed(reader, [])
