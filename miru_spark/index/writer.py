@@ -315,9 +315,19 @@ def purge_deleted(spark: SparkSession, index_path: str) -> dict:
         # directory layout exactly — a later micro-batch appends new
         # batch=M dirs next to these, and mixed layouts break the read
         part_cols = [c for c in ("batch", "partition_id") if c in seg_df.columns]
-        w = seg_df.mapInArrow(rewrite_segments, seg_schema).write.mode(
-            "overwrite"
-        )
+        seg_out = seg_df.mapInArrow(rewrite_segments, seg_schema)
+        # refresh the lineage columns the stream writer computed at append
+        # time — the rewrite changed blob/df_local, so carrying the old
+        # values would leave stale checksums/byte counts on purged rows
+        if "row_xxh" in seg_df.columns:
+            seg_out = seg_out.withColumn(
+                "row_xxh", F.xxhash64("term", "df_local", "blob")
+            )
+        if "blob_bytes" in seg_df.columns:
+            seg_out = seg_out.withColumn(
+                "blob_bytes", F.length("blob").cast("long")
+            )
+        w = seg_out.write.mode("overwrite")
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(f"{index_path}/segments_purged")

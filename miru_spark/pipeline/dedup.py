@@ -659,6 +659,34 @@ def simhash_jaccard_clusters(
     return min_label_components(edges).orderBy("doc_id")
 
 
+def minhash_jaccard_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_perms: int = MINHASH_PERMS,
+    n_bands: int = MINHASH_BANDS,
+    seed: int = 42,
+    round_digits: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_rep): min-label components over the exact-verified
+    MinHash candidate pairs (:func:`minhash_lsh_pairs`' full edge set) —
+    the MinHash twin of :func:`simhash_jaccard_clusters`.
+
+    This is the variant whose components EQUAL the exact all-pairs
+    components whenever banding recall is full (candidate pairs == exact
+    pairs => identical edge sets), which is what makes the recursive-CTE
+    components SQL a sound value oracle. The star-edge variant
+    (:func:`minhash_dedup_clusters`) is the O(m)-per-cluster scale path
+    but verifies doc<->bucket-min only, so a chain whose star edge fails
+    verification can split a component the exact oracle joins — it stays
+    pytest-covered, never SQL-oracled."""
+    pairs = minhash_lsh_pairs(
+        docs, threshold, n_perms, n_bands, seed, round_digits, max_bucket_size
+    )
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    return min_label_components(edges).orderBy("doc_id")
+
+
 def components_oracle_sql(pairs_sql: str) -> str:
     """DuckDB twin of :func:`min_label_components` over the pair set a
     pairs oracle produces: a recursive reachability CTE (undirected edges,

@@ -132,6 +132,7 @@ def cosine_near_pairs(
     threshold: float = 0.5,
     round_digits: int = 6,
     block: int = 1024,
+    within: str | None = None,
 ) -> DataFrame:
     """All (a < b) pairs with cosine >= threshold — exact, via BLOCK-MATRIX
     multiplication: vectors get block_id = vec_id // block, every
@@ -150,7 +151,7 @@ def cosine_near_pairs(
     sum of per-group squares. SemDeDup's within-cluster restriction
     (:func:`semantic_dedup`) rides this.
     """
-    return _near_pairs_blocked(embeddings, threshold, round_digits, block, None)
+    return _near_pairs_blocked(embeddings, threshold, round_digits, block, within)
 
 
 def _near_pairs_blocked(
@@ -171,6 +172,9 @@ def _near_pairs_blocked(
         groups: dict = {}
         for r in rows:
             groups.setdefault(r[within], []).append(r["blk"])
+        # key type comes from the input schema (not hardcoded int), so any
+        # groupable column type works as the restriction key
+        wtype = embeddings.schema[within].dataType.simpleString()
         pairs = spark.createDataFrame(
             [
                 (w, a, b)
@@ -179,7 +183,7 @@ def _near_pairs_blocked(
                 for b in sorted(bl)
                 if a <= b
             ],
-            f"{within} int, ba long, bb long",
+            f"{within} {wtype}, ba long, bb long",
         )
         jl, jr = [within, "ba"], [within, "bb"]
     else:

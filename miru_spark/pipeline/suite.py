@@ -80,10 +80,16 @@ def q_dedup_simhash(spark, sf):
 
 
 def q_dedup_minhash_clusters(spark, sf):
-    # the O(m)-per-cluster scale path: (doc_id, cluster_rep)
-    from miru_spark.pipeline.dedup import minhash_dedup_clusters
+    """Components over the exact-verified MinHash candidate PAIRS: with
+    full banding recall (pinned at these params) the edge set equals the
+    exact pair set, so the recursive-CTE components SQL is a sound value
+    oracle. The star-edge variant (minhash_dedup_clusters) is the
+    O(m)-per-cluster scale path but only verifies doc<->bucket-min edges,
+    so its components are NOT in general the exact-pair components — it
+    stays pytest-covered, never SQL-oracled (review finding, round 4)."""
+    from miru_spark.pipeline.dedup import minhash_jaccard_clusters
 
-    return minhash_dedup_clusters(_docs(spark, sf), threshold=0.12)
+    return minhash_jaccard_clusters(_docs(spark, sf), threshold=0.12)
 
 
 def q_dedup_simhash_clusters(spark, sf):

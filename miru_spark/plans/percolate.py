@@ -43,8 +43,12 @@ def percolate(
     q = queries.select(
         "query_id",
         "mode",
-        F.size("terms").alias("n_terms"),
-        F.explode("terms").alias("term"),
+        # DISTINCT term count: a registered query with a duplicated term
+        # must still be satisfiable (n_matched counts distinct terms, so a
+        # raw size() would make such a conjunctive query match nothing —
+        # ES's percolator deduplicates terms the same way)
+        F.size(F.array_distinct("terms")).alias("n_terms"),
+        F.explode(F.array_distinct("terms")).alias("term"),
     )
     # restrict the exploded corpus to the QUERY vocabulary before the
     # distinct: the expensive distinct then dedups only matching
@@ -123,8 +127,9 @@ def percolate_oracle_sql(
     qvals = []
     xvals = []
     for qid, terms, mode, exclude in query_rows:
-        for t in terms:
-            qvals.append(f"({int(qid)}, '{t}', '{mode}', {len(terms)})")
+        uterms = list(dict.fromkeys(terms))  # ES-style term dedup (engine twin)
+        for t in uterms:
+            qvals.append(f"({int(qid)}, '{t}', '{mode}', {len(uterms)})")
         for t in exclude or []:
             xvals.append(f"({int(qid)}, '{t}')")
     x_cte = (

@@ -3104,6 +3104,76 @@ def _chunk_batch_views(batch: pa.RecordBatch):
     return blob_col, codec_np, offs, ns, og, ot, od, lasts
 
 
+def bm25_contrib_gen(
+    n_docs: float,
+    avgdl: float,
+    *,
+    boost_map: dict[str, float] | None = None,
+    weight: float = 1.0,
+    emit_term: bool = False,
+    field_tag: str | None = None,
+    raw_tf: bool = False,
+    value_name: str = "contrib",
+):
+    """THE chunk decode-and-score mapInArrow generator, shared by every
+    distributed scorer (single/batched search, boolean trees, dis_max,
+    most_fields, combined_fields) — one zero-copy body instead of six
+    drifting copies. Per chunk row: numpy-view the block metadata
+    (:func:`_chunk_batch_views`), decode via ``unpack_chunk_np``, emit
+    one Arrow batch of (doc_id[, field][, term], value) rows where value
+    is the BM25 contribution (idf from the row's ``df_global``, optional
+    per-term boost, optional field weight) — or the weighted raw tf when
+    ``raw_tf`` (combined_fields accumulates tf before saturating)."""
+    boosts = dict(boost_map or {})
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from miru_spark.index.format import unpack_chunk_np
+
+        for batch in batches:
+            blob_col, codec_np, offs, ns, og, ot, od, lasts = _chunk_batch_views(
+                batch
+            )
+            snames = batch.schema.names
+            terms_l = batch.column(snames.index("term")).to_pylist()
+            dfg_np = (
+                None
+                if raw_tf
+                else batch.column(snames.index("df_global")).to_numpy(
+                    zero_copy_only=False
+                )
+            )
+            for i in range(batch.num_rows):
+                s, e = int(offs[i]), int(offs[i + 1])
+                ids, tfs, dls = unpack_chunk_np(
+                    blob_col[i].as_buffer(),
+                    ns[s:e], og[s:e], ot[s:e], od[s:e], lasts[s:e],
+                    int(codec_np[i]),
+                )
+                if raw_tf:
+                    vals = tfs.astype(np.float64) * weight
+                else:
+                    idf = float(bm25.idf_np(float(dfg_np[i]), n_docs))
+                    idf *= boosts.get(terms_l[i], 1.0)
+                    vals = bm25.score_np(tfs, idf, dls, avgdl) * weight
+                arrays = [pa.array(ids.astype(np.int64))]
+                names = ["doc_id"]
+                if field_tag is not None:
+                    arrays.append(
+                        pa.array([field_tag] * len(ids), type=pa.string())
+                    )
+                    names.append("field")
+                if emit_term:
+                    arrays.append(
+                        pa.array([terms_l[i]] * len(ids), type=pa.string())
+                    )
+                    names.append("term")
+                arrays.append(pa.array(vals))
+                names.append(value_name)
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return gen
+
+
 def _ids_only_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """Decode ONLY the doc_ids of chunk rows (skip tf/dl streams + scoring)."""
     from miru_spark.functions.codecs import varint_decode
@@ -3536,37 +3606,9 @@ def search_distributed(
                 "left_semi",
             )
 
-    def score_chunks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from miru_spark.index.format import unpack_chunk_np
-
-        for batch in batches:
-            blob_col, codec_np, offs, ns, og, ot, od, lasts = _chunk_batch_views(
-                batch
-            )
-            names = batch.schema.names
-            dfg_np = batch.column(names.index("df_global")).to_numpy(
-                zero_copy_only=False
-            )
-            terms_l = batch.column(names.index("term")).to_pylist()
-            for i in range(batch.num_rows):
-                s, e = int(offs[i]), int(offs[i + 1])
-                ids, tfs, dls = unpack_chunk_np(
-                    blob_col[i].as_buffer(),
-                    ns[s:e], og[s:e], ot[s:e], od[s:e], lasts[s:e],
-                    int(codec_np[i]),
-                )
-                idf = float(bm25.idf_np(float(dfg_np[i]), n_docs))
-                idf *= boost_map.get(terms_l[i], 1.0)
-                contrib = bm25.score_np(tfs, idf, dls, avgdl)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(ids.astype(np.int64)),
-                        pa.array(contrib),
-                    ],
-                    names=["doc_id", "contrib"],
-                )
-
-    scored = chunks.mapInArrow(score_chunks, out_schema)
+    scored = chunks.mapInArrow(
+        bm25_contrib_gen(n_docs, avgdl, boost_map=boost_map), out_schema
+    )
     if where:
         from miru_spark.filters import spark_predicate
 
@@ -3708,37 +3750,9 @@ def search_many_distributed(
         ]
     )
 
-    def score_chunks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from miru_spark.index.format import unpack_chunk_np
-
-        for batch in batches:
-            blob_col, codec_np, offs, ns, og, ot, od, lasts = _chunk_batch_views(
-                batch
-            )
-            names = batch.schema.names
-            dfg_np = batch.column(names.index("df_global")).to_numpy(
-                zero_copy_only=False
-            )
-            terms_l = batch.column(names.index("term")).to_pylist()
-            for i in range(batch.num_rows):
-                s, e = int(offs[i]), int(offs[i + 1])
-                ids, tfs, dls = unpack_chunk_np(
-                    blob_col[i].as_buffer(),
-                    ns[s:e], og[s:e], ot[s:e], od[s:e], lasts[s:e],
-                    int(codec_np[i]),
-                )
-                idf = float(bm25.idf_np(float(dfg_np[i]), n_docs))
-                contrib = bm25.score_np(tfs, idf, dls, avgdl)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(ids.astype(np.int64)),
-                        pa.array([terms_l[i]] * len(ids), type=pa.string()),
-                        pa.array(contrib),
-                    ],
-                    names=["doc_id", "term", "contrib"],
-                )
-
-    scored = chunks.mapInArrow(score_chunks, out_schema)
+    scored = chunks.mapInArrow(
+        bm25_contrib_gen(n_docs, avgdl, emit_term=True), out_schema
+    )
     qrows = []
     for qid, (terms, mode) in enumerate(queries):
         uterms = list(dict.fromkeys(terms))

@@ -14,6 +14,9 @@ QUERIES = [
     (2, ["dup", "tree"], "disjunctive", []),
     (3, ["the"], "conjunctive", ["dup"]),
     (4, ["zzz_not_in_vocab"], "conjunctive", []),
+    # duplicated term: must match like the deduped query (round-4 review
+    # fix — a raw size(terms) floor made this match NOTHING)
+    (5, ["join", "join", "hash"], "conjunctive", []),
 ]
 
 
@@ -78,6 +81,7 @@ def test_handcrafted_semantics(spark):
             (10, ["a", "b"], "conjunctive", None),
             (20, ["a", "b"], "disjunctive", None),
             (30, ["a", "b"], "conjunctive", ["forbidden"]),
+            (40, ["a", "a", "b"], "conjunctive", None),  # dup term == query 10
         ],
         "query_id long, terms array<string>, mode string, exclude array<string>",
     )
@@ -86,10 +90,10 @@ def test_handcrafted_semantics(spark):
         for r in percolate(docs, qs).collect()
     )
     assert got == [
-        (1, 10), (1, 20), (1, 30),
+        (1, 10), (1, 20), (1, 30), (1, 40),
         (2, 20),
         (3, 20),
-        (4, 10), (4, 20),  # 30 excluded by 'forbidden'
+        (4, 10), (4, 20), (4, 40),  # 30 excluded by 'forbidden'
     ]
 
 
