@@ -285,6 +285,14 @@ def q_token_counts(spark, sf):
     return token_counts(_docs(spark, sf))
 
 
+def q_pack(spark, sf):
+    from miru_spark.pipeline.packing import pack_sequences
+
+    # small bucket_width so the two-level prefix sum is non-trivially
+    # exercised (many buckets) even at oracle scale
+    return pack_sequences(_docs(spark, sf), seq_len=512, bucket_width=37)
+
+
 def q_lang_id(spark, sf):
     from miru_spark.pipeline.textqual import lang_id
 
@@ -392,6 +400,18 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_dsir_weights(spark, sf):
+    from miru_spark.pipeline.dsir import dsir_weights
+
+    return dsir_weights(_docs(spark, sf), "lang = 'en'", n_buckets=512)
+
+
+def q_dsir_resample(spark, sf):
+    from miru_spark.pipeline.dsir import dsir_resample
+
+    return dsir_resample(_docs(spark, sf), "lang = 'en'", k=25, n_buckets=512)
+
+
 # ---- multimodal -----------------------------------------------------------
 
 def q_media_features(spark, sf):
@@ -438,6 +458,8 @@ def register_all(register) -> None:
         token_counts_oracle_sql,
     )
     from miru_spark.pipeline.lm import perplexity_oracle_sql
+    from miru_spark.pipeline.packing import pack_sequences_oracle_sql
+    from miru_spark.pipeline.dsir import dsir_oracle_sql
     from miru_spark.plans.composite import register_composite
 
     register_composite(register, "pipe_dedup_exact", [
@@ -523,6 +545,11 @@ def register_all(register) -> None:
         # add-k model, train + score are pure hash-agg/join plans
         ("pipe_perplexity", q_perplexity, perplexity_oracle_sql(),
          ("doc_id", "n_bigrams", "avg_nll", "ppl")),
+        # sequence packing (concat-and-chunk pretraining layout): per-doc
+        # placement map via a two-level exclusive prefix sum — no global
+        # single-partition window at scale
+        ("pipe_pack", q_pack, pack_sequences_oracle_sql(512),
+         ("doc_id", "n_tokens", "seq_id", "seq_off", "n_seqs")),
     ])
     register("pipe_lang_id", q_lang_id, lang_id_oracle_sql())
     register("pipe_winnow_pairs", q_winnow_pairs, None)
@@ -542,6 +569,15 @@ def register_all(register) -> None:
          ("doc_id",)),
         ("pipe_stratified_sample", q_stratified_sample,
          stratified_sample_oracle_sql(5), ("source", "doc_id")),
+        # DSIR importance resampling (Xie 2023): hashed-bigram likelihood
+        # ratio vs the lang='en' target — weights for every doc, then the
+        # top-k selected subset; md5 bucket hash is engine-identical
+        ("pipe_dsir_weights", q_dsir_weights,
+         dsir_oracle_sql("lang = 'en'", n_buckets=512),
+         ("doc_id", "n_bigrams", "log_w")),
+        ("pipe_dsir_resample", q_dsir_resample,
+         dsir_oracle_sql("lang = 'en'", k=25, n_buckets=512),
+         ("doc_id", "log_w")),
     ])
     register("pipe_media_features", q_media_features, None)
     register("pipe_frame_sample", q_frame_sample, sql_frame_sample())
