@@ -434,6 +434,17 @@ def _mk_field_stats(terms, mode):
     return run
 
 
+def _mk_ext_stats(terms, mode):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_extended_stats
+
+        reader = ensure_index(spark, sf_dir)
+        return search_extended_stats(reader, terms, mode=mode, col="doc_len")
+
+    return run
+
+
 def _mk_term_vector(doc_id):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.search import term_vector
@@ -842,6 +853,21 @@ def _mk_span_first(term, end):
         rows = [
             (int(d), round(float(s), 6))
             for d, s in search_span_first(reader, term, end, k=10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
+def _mk_span_not(term, excl_term, pre, post):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_span_not
+
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search_span_not(reader, term, excl_term, pre, post, k=10)
         ]
         return spark.createDataFrame(rows, "doc_id long, score double")
 
@@ -1950,10 +1976,12 @@ def register_all(register) -> None:
         bm25_sloppy_phrase_oracle_sql,
         bm25_sorted_early_oracle_sql,
         bm25_span_first_oracle_sql,
+        bm25_span_not_oracle_sql,
         lm_dirichlet_oracle_sql,
         classic_oracle_sql,
         collapse_oracle_sql,
         count_oracle_sql,
+        extended_stats_oracle_sql,
         facet_rollup_oracle_sql,
         field_stats_oracle_sql,
         histogram_oracle_sql,
@@ -2280,6 +2308,13 @@ def register_all(register) -> None:
          _mk_span_first("the", 5),
          bm25_span_first_oracle_sql("the", 5),
          DS),
+        # A92 span_not (Lucene SpanNotQuery): occurrences of 'dup' with no
+        # 'hash' within 5 positions either side — positional exclusion,
+        # finer than boolean NOT (both terms may coexist far apart)
+        ("bm25_index_span_not",
+         _mk_span_not("dup", "hash", 5, 5),
+         bm25_span_not_oracle_sql("dup", "hash", 5, 5),
+         DS),
         # A71 sloppy n-term phrase (ES match_phrase slop, alignment-window
         # semantics) through the grammar: '"the a data"~2'
         ("bm25_index_sloppy_phrase",
@@ -2310,6 +2345,13 @@ def register_all(register) -> None:
          _mk_field_stats(["the", "a"], "conjunctive"),
          field_stats_oracle_sql(["the", "a"], "conjunctive"),
          ("n_docs", "min_v", "max_v", "sum_v", "avg_v")),
+        # A93 extended_stats (ES extended_stats): + sum_of_squares /
+        # population variance / std dev from exact integer moment sums
+        ("bm25_index_extended_stats",
+         _mk_ext_stats(["the", "a"], "conjunctive"),
+         extended_stats_oracle_sql(["the", "a"], "conjunctive"),
+         ("n_docs", "min_v", "max_v", "sum_v", "sum_sq",
+          "avg_v", "variance", "std_dev")),
         # A55 significant_terms (JLH): what the result set is "about"
         ("bm25_index_sigterms", _mk_sigterms(),
          _sigterms_oracle(), ("term", "fg_count", "bg_count", "score")),

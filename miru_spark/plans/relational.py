@@ -752,6 +752,37 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
+def bm25_span_not_oracle_sql(
+    term: str,
+    excl_term: str,
+    pre: int = 0,
+    post: int = 0,
+    k: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """Twin of plans.search.search_span_not (Lucene SpanNotQuery): docs
+    with >= 1 occurrence of ``term`` having no ``excl_term`` within
+    [pos-pre, pos+post], ranked by the include term's plain BM25."""
+    inner = bm25_oracle_sql(
+        [term], "conjunctive", k=1 << 30, round_digits=round_digits
+    )
+    qa, qb = _sql_quote(term), _sql_quote(excl_term)
+    return f"""
+WITH ranked AS ({inner}),
+toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         FROM documents),
+pos AS (SELECT doc_id, i, l[i] AS term
+        FROM toks, UNNEST(range(1, len(l)+1)) AS u(i)),
+hit AS (SELECT DISTINCT a.doc_id FROM pos a
+        WHERE a.term = '{qa}' AND NOT EXISTS (
+          SELECT 1 FROM pos b
+          WHERE b.doc_id = a.doc_id AND b.term = '{qb}'
+            AND b.i BETWEEN a.i - {int(pre)} AND a.i + {int(post)}))
+SELECT doc_id, score FROM ranked JOIN hit USING(doc_id)
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def bm25_near_oracle_sql(
     term_a: str,
     term_b: str,
@@ -1301,6 +1332,34 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(doc_len) AS BIGINT) AS sum_v,
        round(avg(doc_len), 6) AS avg_v
 FROM cand JOIN dl USING(doc_id)
+""".strip()
+
+
+def extended_stats_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    tok_sql: str = DEFAULT_TOK_SQL,
+) -> str:
+    """Twin of plans.search.search_extended_stats (ES extended_stats):
+    A46's stats row plus sum_of_squares / population variance / population
+    std deviation, derived from the same exact-integer moment sums."""
+    return f"""
+{_candidate_ctes(terms, mode, tok_sql)},
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(doc_len) AS BIGINT) AS min_v,
+             CAST(max(doc_len) AS BIGINT) AS max_v,
+             CAST(sum(doc_len) AS BIGINT) AS sum_v,
+             CAST(sum(doc_len*doc_len) AS BIGINT) AS sum_sq
+      FROM cand JOIN dl USING(doc_id))
+SELECT n_docs, min_v, max_v, sum_v, sum_sq,
+       round(CAST(sum_v AS DOUBLE) / n_docs, 6) AS avg_v,
+       round(CAST(sum_sq AS DOUBLE) / n_docs
+             - (CAST(sum_v AS DOUBLE) / n_docs) * (CAST(sum_v AS DOUBLE) / n_docs),
+             6) AS variance,
+       round(sqrt(CAST(sum_sq AS DOUBLE) / n_docs
+             - (CAST(sum_v AS DOUBLE) / n_docs) * (CAST(sum_v AS DOUBLE) / n_docs)),
+             6) AS std_dev
+FROM s
 """.strip()
 
 

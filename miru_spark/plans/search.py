@@ -1394,6 +1394,49 @@ def search_field_stats(
     )
 
 
+def search_extended_stats(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    col: str = "doc_len",
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """ES ``extended_stats``: the A46 stats row plus sum_of_squares,
+    population variance, and population std deviation (ES defaults).
+
+    Same single map-side-combined hash agg as A46/A73: exact integer
+    moment sums (n, Σx, Σx² as longs) accumulate, and the float moments
+    derive from them in one final projection — partition-merge-order
+    independent, rounded to the registry float policy."""
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
+    ).select("doc_id")
+    dm = reader.docmap_df().select("doc_id", col)
+    x = F.col(col).cast("long")
+    sums = cand.join(dm, "doc_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min(x).alias("min_v"),
+        F.max(x).alias("max_v"),
+        F.sum(x).alias("sum_v"),
+        F.sum(x * x).alias("sum_sq"),
+    )
+    n = F.col("n_docs").cast("double")
+    mean = F.col("sum_v") / n
+    var = F.col("sum_sq") / n - mean * mean
+    return sums.select(
+        "n_docs",
+        "min_v",
+        "max_v",
+        "sum_v",
+        "sum_sq",
+        F.round(mean, 6).alias("avg_v"),
+        F.round(var, 6).alias("variance"),
+        F.round(F.sqrt(var), 6).alias("std_dev"),
+    )
+
+
 def search_matrix_stats(
     reader: IndexReader,
     terms: list[str],
@@ -2568,6 +2611,93 @@ def search_span_first(
         return []
     idx = np.searchsorted(ids, verified)
     scores = bm25.score_np(tfs[idx], tps[term].idf, dls[idx], reader.avgdl)
+    if round_digits is not None:
+        scores = np.round(scores, round_digits)
+    order = np.lexsort((verified, -scores))[:k]
+    return [(int(verified[i]), float(scores[i])) for i in order]
+
+
+def search_span_not(
+    reader: IndexReader,
+    term: str,
+    excl_term: str,
+    pre: int = 0,
+    post: int = 0,
+    k: int = 10,
+    round_digits: int | None = 6,
+    where: dict | None = None,
+) -> list[tuple[int, float]]:
+    """Positional exclusion (Lucene ``SpanNotQuery``): occurrences of
+    ``term`` that have NO occurrence of ``excl_term`` within ``pre`` token
+    positions before or ``post`` after; a doc matches iff at least one
+    occurrence survives. This is finer than boolean NOT: 'java NOT within
+    3 of script' still matches a doc mentioning both when some 'java' sits
+    far from every 'script'.
+
+    Same vectorized-key machinery as :func:`search_near`, inverted: one
+    searchsorted of the include occurrences' doc*2^32+pos keys into the
+    exclusion's sorted keys decides every occurrence at once (the window
+    is << 2^32, so a key-range hit implies a same-doc positional hit).
+    Scores are the include term's plain BM25 — Lucene scores span_not
+    through the include weight, same convention as :func:`search_span_first`.
+    """
+    from miru_spark.index.format import unpack_positions
+
+    if pre < 0 or post < 0:
+        raise ValueError("pre and post must be >= 0")
+    if term == excl_term:
+        raise ValueError("span_not needs distinct include/exclude terms")
+    if not reader.positions:
+        raise ValueError("span_not needs a positional index (positions=True)")
+    tps = reader.fetch_terms([term, excl_term], with_positions=True)
+    if term not in tps:
+        return []
+
+    def occ(t):
+        ids_l, tf_l, dl_l, pos_l = [], [], [], []
+        for r in tps[t].chunks:
+            ids, tfs, dls = unpack_chunk_bm(r["blob"], r["bm"], int(r["codec"]))
+            ids_l.append(ids.astype(np.int64))
+            tf_l.append(tfs.astype(np.int64))
+            dl_l.append(dls.astype(np.int64))
+            pos_l.append(unpack_positions(r["pos_blob"], tfs).astype(np.int64))
+        return (
+            np.concatenate(ids_l),
+            np.concatenate(tf_l),
+            np.concatenate(dl_l),
+            np.concatenate(pos_l),
+        )
+
+    ids_a, tfs_a, dls_a, pos_a = occ(term)
+    ka = np.repeat(ids_a, tfs_a).astype(np.uint64) * np.uint64(1 << 32) + pos_a.astype(
+        np.uint64
+    )
+    if excl_term in tps:
+        ids_b, tfs_b, _, pos_b = occ(excl_term)
+        kb = np.repeat(ids_b, tfs_b).astype(np.uint64) * np.uint64(
+            1 << 32
+        ) + pos_b.astype(np.uint64)
+        upre, upost = np.uint64(pre), np.uint64(post)
+        lo = ka - np.minimum(ka, upre)  # clamp doc-0 underflow
+        # bad iff any exclusion key in [ka-pre, ka+post]
+        bad = np.searchsorted(kb, ka + upost, side="right") > np.searchsorted(
+            kb, lo, side="left"
+        )
+        surviving = ka[~bad]
+    else:
+        surviving = ka
+    verified = np.unique(surviving >> np.uint64(32)).astype(np.int64)
+    if where:
+        verified = np.intersect1d(
+            verified, reader.filter_doc_ids(where), assume_unique=True
+        )
+    tomb = _with_tombstones(reader, None)
+    if tomb is not None:
+        verified = verified[~np.isin(verified, tomb, assume_unique=True)]
+    if verified.size == 0:
+        return []
+    idx = np.searchsorted(ids_a, verified)
+    scores = bm25.score_np(tfs_a[idx], tps[term].idf, dls_a[idx], reader.avgdl)
     if round_digits is not None:
         scores = np.round(scores, round_digits)
     order = np.lexsort((verified, -scores))[:k]

@@ -156,3 +156,59 @@ def test_sloppy_phrase_properties(pos_reader):
         search_phrase_sloppy(pos_reader, "single", 2)
     with pytest.raises(ValueError):
         search_phrase_sloppy(pos_reader, "the a", -1)
+
+
+# ---- span_not (Lucene SpanNotQuery: positional exclusion) -------------------
+
+
+@pytest.mark.parametrize(
+    "term,excl,pre,post",
+    [("dup", "hash", 5, 5), ("dup", "hash", 2, 2), ("the", "a", 1, 1),
+     ("dup", "zzz_missing", 3, 3), ("the", "dup", 0, 0)],
+    ids=lambda x: str(x),
+)
+def test_span_not_matches_oracle(pos_reader, duck, term, excl, pre, post):
+    from miru_spark.plans.relational import bm25_span_not_oracle_sql
+    from miru_spark.plans.search import search_span_not
+
+    got = search_span_not(pos_reader, term, excl, pre, post, k=10)
+    exp = duck.execute(
+        bm25_span_not_oracle_sql(term, excl, pre, post, k=10)
+    ).fetchall()
+    assert got == [(int(d), float(s)) for d, s in exp]
+
+
+def test_span_not_semantics(pos_reader):
+    """Narrowing the window only ADDS docs; absent exclusion term equals the
+    plain ranking; span_not is strictly finer than boolean NOT (a doc with
+    both terms far apart matches span_not but never NOT)."""
+    from miru_spark.plans.search import search, search_span_not, search_topk
+
+    wide = {d for d, _ in search_span_not(pos_reader, "dup", "hash", 9, 9, k=10**9)}
+    tight = {d for d, _ in search_span_not(pos_reader, "dup", "hash", 1, 1, k=10**9)}
+    assert wide <= tight
+    absent = search_span_not(pos_reader, "dup", "zzz_missing", 5, 5, k=10)
+    plain = [(d, round(s, 6)) for d, s in search(pos_reader, "dup", k=10)]
+    assert absent == plain
+    bool_not = {d for d, _ in search_topk(pos_reader, ["dup"], exclude=["hash"],
+                                          k=10**9)}
+    span_not = {d for d, _ in search_span_not(pos_reader, "dup", "hash", 5, 5,
+                                              k=10**9)}
+    assert bool_not <= span_not  # NOT removes every co-occurrence; span_not only near ones
+    assert bool_not != span_not  # ... and the difference is non-vacuous here
+
+
+def test_span_not_asymmetric_window(pos_reader):
+    """pre-only and post-only windows differ (direction matters), and both
+    are supersets of the symmetric window's matches."""
+    from miru_spark.plans.search import search_span_not
+
+    pre_only = {d for d, _ in search_span_not(pos_reader, "the", "a", 3, 0, k=10**9)}
+    post_only = {d for d, _ in search_span_not(pos_reader, "the", "a", 0, 3, k=10**9)}
+    sym = {d for d, _ in search_span_not(pos_reader, "the", "a", 3, 3, k=10**9)}
+    assert sym <= pre_only and sym <= post_only
+    assert pre_only != post_only
+    with pytest.raises(ValueError):
+        search_span_not(pos_reader, "the", "the", 1, 1)
+    with pytest.raises(ValueError):
+        search_span_not(pos_reader, "the", "a", -1, 0)

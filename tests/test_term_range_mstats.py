@@ -89,3 +89,41 @@ def test_matrix_stats_single_doc_yields_nulls(reader, duck):
     assert tuple(got) == tuple(want)
     if got["n_docs"] == 1:
         assert got["var_x"] is None and got["correlation"] is None
+
+
+# ---- extended_stats (ES extended_stats: + sum_sq / variance / std_dev) -----
+
+
+@pytest.mark.parametrize(
+    "terms,mode",
+    [(["the", "a"], "conjunctive"), (["join", "dup"], "disjunctive")],
+    ids=lambda x: str(x),
+)
+def test_extended_stats_matches_oracle(reader, duck, terms, mode):
+    from miru_spark.plans.relational import extended_stats_oracle_sql
+    from miru_spark.plans.search import search_extended_stats
+
+    got = [tuple(r) for r in search_extended_stats(reader, terms, mode=mode).collect()]
+    want = [tuple(r) for r in duck.execute(
+        extended_stats_oracle_sql(terms, mode)
+    ).fetchall()]
+    assert got == want
+
+
+def test_extended_stats_consistent_with_stats(reader):
+    """The shared columns must agree with A46's stats row, and the derived
+    moments must satisfy their defining identities."""
+    import math
+
+    from miru_spark.plans.search import search_extended_stats, search_field_stats
+
+    ext = search_extended_stats(reader, ["the", "a"], mode="conjunctive").collect()[0]
+    base = search_field_stats(reader, ["the", "a"], mode="conjunctive").collect()[0]
+    assert (ext["n_docs"], ext["min_v"], ext["max_v"], ext["sum_v"], ext["avg_v"]) == (
+        base["n_docs"], base["min_v"], base["max_v"], base["sum_v"], base["avg_v"]
+    )
+    mean = ext["sum_v"] / ext["n_docs"]
+    var = ext["sum_sq"] / ext["n_docs"] - mean * mean
+    assert abs(ext["variance"] - round(var, 6)) < 1e-9
+    assert abs(ext["std_dev"] - round(math.sqrt(var), 6)) < 1e-9
+    assert ext["variance"] >= 0
