@@ -534,6 +534,51 @@ def dedup_event_stream(
     )
 
 
+def attributed_clicks(
+    clicks_stream: DataFrame,
+    views_stream: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join (the attribution primitive): each click
+    joins every view by the SAME user within ``within`` BEFORE it —
+    'which impression led to this click'. Both sides are event streams, so
+    neither can be a static broadcast; this is Structured Streaming's
+    symmetric-hash stream-stream join, and the interval condition plus the
+    two watermarks are what BOUND the join state: a buffered view can only
+    match clicks up to ``within`` later, so once the click watermark passes
+    that horizon the view's state row is evicted. Without the time bound
+    the state would grow with the whole stream — the canonical
+    stream-stream join trap.
+
+    Inner join, append mode; output is one row per (click, view) pair with
+    exact ids, so the result is value-oracle-able against the batch SQL
+    twin on the same events.
+    """
+    c = clicks_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    v = views_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    c = c.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    v = v.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    joined = c.join(
+        v,
+        F.expr(
+            f"c_user = v_user AND view_ts <= click_ts "
+            f"AND view_ts >= click_ts - INTERVAL {within}"
+        ),
+    )
+    return joined.select(
+        "click_id", "view_id", F.col("c_user").alias("user_id")
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

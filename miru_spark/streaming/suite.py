@@ -207,6 +207,58 @@ SELECT event_id, user_id, event_type FROM events ORDER BY event_id
 """.strip()
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks and views arrive as two
+    INDEPENDENT file streams (separate source dirs, one file per trigger,
+    so matches genuinely span micro-batches and sit in join state until
+    the other side arrives); each click attributes to same-user views
+    within the hour before it."""
+    from miru_spark.streaming.incremental import attributed_clicks
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    c_src = tempfile.mkdtemp(prefix="miru_clickstream_")
+    v_src = tempfile.mkdtemp(prefix="miru_viewstream_")
+    events.filter("event_type = 'click'").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(c_src)
+    events.filter("event_type = 'view'").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(v_src)
+    clicks = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(c_src)
+    )
+    views = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(v_src)
+    )
+    name = f"attr_{os.getpid()}"
+    q = (
+        attributed_clicks(clicks, views, within="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in 300s"
+    return spark.sql(
+        f"SELECT click_id, view_id, user_id FROM {name} ORDER BY click_id, view_id"
+    )
+
+
+STREAM_JOIN_SQL = """
+SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND v.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+ORDER BY click_id, view_id
+""".strip()
+
+
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState custom stateful operator in the driver record:
     per-source counters carried across micro-batches; the LAST update per
@@ -316,6 +368,11 @@ def register_all(register) -> None:
         # and must die against persisted dropDuplicates state
         ("dedup", q_stream_dedup, STREAM_DEDUP_SQL,
          ("event_id", "user_id", "event_type")),
+        # stream-stream interval join (attribution): two independent file
+        # streams, symmetric-hash join state bounded by the time interval
+        # + watermarks
+        ("stream_join", q_stream_join, STREAM_JOIN_SQL,
+         ("click_id", "view_id", "user_id")),
     ])
     register("stream_stateful_source_stats", q_stream_stateful, STREAM_STATEFUL_SQL)
     register("stream_session_windows", q_session_windows, SESSION_WINDOWS_SQL)

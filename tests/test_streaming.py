@@ -397,3 +397,55 @@ def test_stream_dedup_kills_cross_batch_replays(spark, tmp_path):
     # sanity: the source genuinely contained every id twice
     raw = spark.read.parquet(src)
     assert raw.count() == 2 * n
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Clicks and views arrive as two independent multi-file streams (one
+    file per trigger, so pairs span micro-batches and must meet in join
+    state); the streamed attribution must equal the batch join exactly."""
+    from miru_spark.streaming.incremental import attributed_clicks
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    c_src, v_src = str(tmp_path / "clicks"), str(tmp_path / "views")
+    events.filter("event_type = 'click'").coalesce(3).write.parquet(c_src)
+    events.filter("event_type = 'view'").coalesce(3).write.parquet(v_src)
+    clicks = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(c_src)
+    )
+    views = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(v_src)
+    )
+    q = (
+        attributed_clicks(clicks, views, within="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r.click_id, r.view_id, r.user_id)
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    )
+    c = events.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("cts"),
+    )
+    v = events.filter("event_type = 'view'").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("vts"),
+    )
+    want = sorted(
+        (r.click_id, r.view_id, r.user_id)
+        for r in c.join(v, "user_id")
+        .filter("vts <= cts AND vts >= cts - INTERVAL 1 HOUR")
+        .collect()
+    )
+    assert got == want and len(want) > 0
