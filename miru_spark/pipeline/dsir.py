@@ -11,12 +11,18 @@ Shape at 100 TB:
 * one corpus pass explodes word bigrams and maps each through a stable
   md5 bucket hash (``B`` buckets — the hashing trick bounds model size
   regardless of vocabulary);
-* the two models are per-bucket count tables of at most ``B`` rows (one
-  map-side-combined hash agg each; the target agg reuses the same exploded
-  frame with a pushed-down predicate, so there is ONE tokenize/explode);
-* scoring broadcast-joins the tiny models back onto the exploded frame and
-  sum-aggregates per doc — shuffle proportional to distinct buckets per
-  doc, never to model size.
+* TRAIN pass: exploded grams collapse into per-bucket counts — one
+  map-side-combined hash agg whose result is at most ``B`` rows, collected
+  to the driver (bounded by construction, the same discipline as the
+  eval-set grams in ``pipeline.bloom``) with the two totals folded into a
+  scalar constant;
+* SCORE pass: the corpus explodes once more into per-(doc, bucket) counts
+  and broadcast-joins the tiny lineage-free model table — shuffle
+  proportional to distinct buckets per doc, never to model or corpus size.
+
+Two corpus passes total (train + score — the ``pipeline.lm`` shape); a
+lazy three-consumer lineage would silently re-run the corpus explode per
+consumer instead.
 
 The bucket hash (first 15 md5 hex chars → integer mod B) is bit-identical
 in Spark and DuckDB, so the whole operator is value-oracled; add-one
@@ -61,45 +67,60 @@ def dsir_weights(
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     toks = F.array_remove(F.split(F.col("text"), " "), "")
     is_target = F.expr(target_predicate)
-    exploded = (
+    grams = (
         docs.select("doc_id", is_target.alias("_t"), toks.alias("toks"))
-        .select("doc_id", "_t", F.explode_outer(_bigrams(F.col("toks"))).alias("g"))
+        .select("doc_id", "_t", F.explode(_bigrams(F.col("toks"))).alias("g"))
         .withColumn(
             "b",
-            F.when(
-                F.col("g").isNotNull(),
-                F.conv(F.substring(F.md5("g"), 1, _HEX), 16, 10).cast("long")
-                % n_buckets,
-            ),
+            F.conv(F.substring(F.md5("g"), 1, _HEX), 16, 10).cast("long")
+            % n_buckets,
         )
+        # the joins downstream infer isnotnull on their keys and push it
+        # into ONE consumer's copy of this subtree; stating the (vacuously
+        # true) filters here keeps every consumer's subtree canonical-equal
+        # so ReuseExchange computes the trunk shuffle once per action
+        .filter(F.col("doc_id").isNotNull() & F.col("b").isNotNull())
     )
-    grams = exploded.filter(F.col("b").isNotNull())
-    model = grams.groupBy("b").agg(
-        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
-        F.count("*").alias("cr"),
+    # TRAIN: per-bucket model, <= n_buckets rows by construction, so the
+    # collect is bounded regardless of corpus size; a lazy model lineage
+    # would re-run the corpus explode once per downstream consumer
+    model_rows = (
+        grams.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
+            F.count("*").alias("cr"),
+        )
+        .collect()
     )
-    totals = model.agg(
-        F.sum("ct").alias("Tt"), F.sum("cr").alias("Tr")
+    spark = docs.sparkSession
+    model = spark.createDataFrame(
+        [(int(r["b"]), int(r["ct"]), int(r["cr"])) for r in model_rows],
+        "b long, ct long, cr long",
     )
+    Tt = sum(int(r["ct"]) for r in model_rows)
+    Tr = sum(int(r["cr"]) for r in model_rows)
     # per-bigram contribution with add-one smoothing:
     #   log((ct+1)/(Tt+B)) - log((cr+1)/(Tr+B))
-    #   = log(ct+1) - log(cr+1) + [log(Tr+B) - log(Tt+B)]   (constant term)
-    B = F.lit(float(n_buckets))
+    #   = log(ct+1) - log(cr+1) + [log(Tr+B) - log(Tt+B)]   (constant term,
+    #     folded driver-side — Spark and DuckDB lit doubles agree exactly)
+    import math
+
+    const = math.log(Tr + float(n_buckets)) - math.log(Tt + float(n_buckets))
+    # SCORE: per-(doc, bucket) counts join the tiny lineage-free model
+    db = grams.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
     scored = (
-        grams.join(F.broadcast(model), "b")
+        db.join(F.broadcast(model), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum(F.log(F.col("ct") + 1.0) - F.log(F.col("cr") + 1.0)).alias("_s"),
+            F.sum("c").alias("n_bigrams"),
+            F.sum(
+                F.col("c") * (F.log(F.col("ct") + 1.0) - F.log(F.col("cr") + 1.0))
+            ).alias("_s"),
         )
-        .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
             "n_bigrams",
-            (
-                F.col("_s")
-                + F.col("n_bigrams") * (F.log(F.col("Tr") + B) - F.log(F.col("Tt") + B))
-            ).alias("_lw"),
+            (F.col("_s") + F.col("n_bigrams") * F.lit(const)).alias("_lw"),
         )
     )
     return (
@@ -149,15 +170,17 @@ g AS (
          CAST(('0x' || substring(md5(l[i] || ' ' || l[i+1]), 1, {_HEX}))
               AS UBIGINT) % {n_buckets} AS b
   FROM toks, UNNEST(range(1, len(l))) AS u(i)),
+db AS (
+  SELECT doc_id, t, b, COUNT(*) AS c FROM g GROUP BY doc_id, t, b),
 model AS (
-  SELECT b, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct, COUNT(*) AS cr
-  FROM g GROUP BY b),
+  SELECT b, SUM(CASE WHEN t THEN c ELSE 0 END) AS ct, SUM(c) AS cr
+  FROM db GROUP BY b),
 tot AS (SELECT SUM(ct) AS Tt, SUM(cr) AS Tr FROM model),
 scored AS (
-  SELECT doc_id, COUNT(*) AS n_bigrams,
-         SUM(ln(ct + 1.0) - ln(cr + 1.0))
-           + COUNT(*) * (ln(Tr + {n_buckets}.0) - ln(Tt + {n_buckets}.0)) AS lw
-  FROM g JOIN model USING(b) CROSS JOIN tot
+  SELECT doc_id, SUM(c) AS n_bigrams,
+         SUM(c * (ln(ct + 1.0) - ln(cr + 1.0)))
+           + SUM(c) * (ln(Tr + {n_buckets}.0) - ln(Tt + {n_buckets}.0)) AS lw
+  FROM db JOIN model USING(b) CROSS JOIN tot
   GROUP BY doc_id, Tt, Tr),
 w AS (
   SELECT d.doc_id,

@@ -55,10 +55,12 @@ def pack_sequences(
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     doc_id = F.col(id_col)
     n = F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("long")
+    # `div` is exact integer division; double-quotient-then-cast rounds
+    # wrong once values pass 2^53 (real at trillion-token prefix sums)
     base = docs.select(
         doc_id.alias("doc_id"),
         n.alias("n_tokens"),
-        (doc_id / bucket_width).cast("long").alias("_bk"),
+        F.expr(f"CAST(`{id_col}` AS BIGINT) div {int(bucket_width)}").alias("_bk"),
     )
     # exclusive prefix sum of token counts per id-range bucket (tiny table)
     bk_sums = base.groupBy("_bk").agg(F.sum("n_tokens").alias("_bk_n"))
@@ -79,16 +81,16 @@ def pack_sequences(
             F.col("_bk_off") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
         )
     )
-    L = F.lit(int(seq_len))
+    L = int(seq_len)
     return cum.select(
         "doc_id",
         "n_tokens",
-        (F.col("_before") / L).cast("long").alias("seq_id"),
-        (F.col("_before") % L).alias("seq_off"),
+        F.expr(f"_before div {L}").alias("seq_id"),
+        (F.col("_before") % F.lit(L)).alias("seq_off"),
         F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
         .otherwise(
-            ((F.col("_before") + F.col("n_tokens") - 1) / L).cast("long")
-            - (F.col("_before") / L).cast("long")
+            F.expr(f"(_before + n_tokens - 1) div {L}")
+            - F.expr(f"_before div {L}")
             + 1
         )
         .alias("n_seqs"),

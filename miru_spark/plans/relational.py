@@ -1350,16 +1350,20 @@ s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
              CAST(max(doc_len) AS BIGINT) AS max_v,
              CAST(sum(doc_len) AS BIGINT) AS sum_v,
              CAST(sum(doc_len*doc_len) AS BIGINT) AS sum_sq
-      FROM cand JOIN dl USING(doc_id))
+      FROM cand JOIN dl USING(doc_id)),
+d AS (SELECT *,
+             -- clamp before sqrt: float derivation of a ~0 variance can
+             -- round to -epsilon past 2^53, and DuckDB's sqrt(<0) is a
+             -- hard error (Spark twin clamps identically)
+             greatest(CAST(sum_sq AS DOUBLE) / n_docs
+               - (CAST(sum_v AS DOUBLE) / n_docs) * (CAST(sum_v AS DOUBLE) / n_docs),
+               0.0) AS var_raw
+      FROM s)
 SELECT n_docs, min_v, max_v, sum_v, sum_sq,
        round(CAST(sum_v AS DOUBLE) / n_docs, 6) AS avg_v,
-       round(CAST(sum_sq AS DOUBLE) / n_docs
-             - (CAST(sum_v AS DOUBLE) / n_docs) * (CAST(sum_v AS DOUBLE) / n_docs),
-             6) AS variance,
-       round(sqrt(CAST(sum_sq AS DOUBLE) / n_docs
-             - (CAST(sum_v AS DOUBLE) / n_docs) * (CAST(sum_v AS DOUBLE) / n_docs)),
-             6) AS std_dev
-FROM s
+       round(var_raw, 6) AS variance,
+       round(sqrt(var_raw), 6) AS std_dev
+FROM d
 """.strip()
 
 

@@ -1380,17 +1380,40 @@ def search_field_stats(
     doc, one row. Same candidate plan as facets; the agg is one hash agg
     with partial (map-side) combine, so it's a single shuffle of five
     numbers per partition at any corpus size."""
+    sums = _candidate_moments(reader, terms, mode, col, exclude, where)
+    return sums.select(
+        "n_docs",
+        "min_v",
+        "max_v",
+        "sum_v",
+        F.round(F.col("sum_v") / F.col("n_docs").cast("double"), 6).alias("avg_v"),
+    )
+
+
+def _candidate_moments(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str,
+    col: str,
+    exclude: list[str] | None,
+    where: dict | None,
+) -> DataFrame:
+    """Shared candidate-set moment sums for A46 stats / A93 extended_stats:
+    one map-side-combined hash agg of exact integer moments (n, min, max,
+    Σx, Σx²) — a handful of longs per partition at any corpus size, and
+    partition-merge-order independent by exactness."""
     cand = search_distributed(
         reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
         where=where,
     ).select("doc_id")
     dm = reader.docmap_df().select("doc_id", col)
+    x = F.col(col).cast("long")
     return cand.join(dm, "doc_id").agg(
         F.count("*").alias("n_docs"),
-        F.min(col).cast("long").alias("min_v"),
-        F.max(col).cast("long").alias("max_v"),
-        F.sum(col).cast("long").alias("sum_v"),
-        F.round(F.avg(col), 6).alias("avg_v"),
+        F.min(x).alias("min_v"),
+        F.max(x).alias("max_v"),
+        F.sum(x).alias("sum_v"),
+        F.sum(x * x).alias("sum_sq"),
     )
 
 
@@ -1409,22 +1432,12 @@ def search_extended_stats(
     moment sums (n, Σx, Σx² as longs) accumulate, and the float moments
     derive from them in one final projection — partition-merge-order
     independent, rounded to the registry float policy."""
-    cand = search_distributed(
-        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
-        where=where,
-    ).select("doc_id")
-    dm = reader.docmap_df().select("doc_id", col)
-    x = F.col(col).cast("long")
-    sums = cand.join(dm, "doc_id").agg(
-        F.count("*").alias("n_docs"),
-        F.min(x).alias("min_v"),
-        F.max(x).alias("max_v"),
-        F.sum(x).alias("sum_v"),
-        F.sum(x * x).alias("sum_sq"),
-    )
+    sums = _candidate_moments(reader, terms, mode, col, exclude, where)
     n = F.col("n_docs").cast("double")
     mean = F.col("sum_v") / n
-    var = F.col("sum_sq") / n - mean * mean
+    # clamp before sqrt: once the exact integer sums exceed 2^53 the float
+    # derivation can round a true ~0 variance to -epsilon (NaN std_dev)
+    var = F.greatest(F.col("sum_sq") / n - mean * mean, F.lit(0.0))
     return sums.select(
         "n_docs",
         "min_v",

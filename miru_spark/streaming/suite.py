@@ -207,23 +207,60 @@ SELECT event_id, user_id, event_type FROM events ORDER BY event_id
 """.strip()
 
 
+def attribution_stream_sources(spark, events, c_src: str, v_src: str):
+    """Write clicks and views as two time-ordered files per source, split
+    AT a real attributed pair (its view in file 1, its click in file 2) so
+    the pair provably meets in persisted join state ACROSS micro-batches —
+    a single-file split would let one batch see both sides and never
+    exercise the symmetric-hash state. Time-ordered halves keep every row
+    ahead of both watermarks (nothing is dropped as late), so the streamed
+    result must equal the batch join exactly. Returns the chosen
+    (click_id, view_id) crossing pair."""
+    c = events.filter("event_type = 'click'").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
+    )
+    v = events.filter("event_type = 'view'").select(
+        F.col("event_id").alias("vid"), "user_id", F.col("ts").alias("vts")
+    )
+    pair = (
+        c.join(v, "user_id")
+        .filter("vts <= cts AND vts >= cts - INTERVAL 1 HOUR")
+        .orderBy(F.desc(F.col("cts") - F.col("vts")), "cid", "vid")
+        .limit(1)
+        .collect()[0]
+    )
+    clicks = events.filter("event_type = 'click'")
+    views = events.filter("event_type = 'view'")
+    # per-source time-ordered halves; the boundary pair's view is in the
+    # first view file, its click in the second click file
+    views.filter(F.col("ts") <= pair.vts).coalesce(1).write.mode(
+        "append"
+    ).parquet(v_src)
+    views.filter(F.col("ts") > pair.vts).coalesce(1).write.mode(
+        "append"
+    ).parquet(v_src)
+    clicks.filter(F.col("ts") < pair.cts).coalesce(1).write.mode(
+        "append"
+    ).parquet(c_src)
+    clicks.filter(F.col("ts") >= pair.cts).coalesce(1).write.mode(
+        "append"
+    ).parquet(c_src)
+    return pair.cid, pair.vid
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: clicks and views arrive as two
-    INDEPENDENT file streams (separate source dirs, one file per trigger,
-    so matches genuinely span micro-batches and sit in join state until
-    the other side arrives); each click attributes to same-user views
-    within the hour before it."""
+    INDEPENDENT file streams (two time-ordered files each, one file per
+    trigger, split at a known attributed pair so at least one match
+    provably spans micro-batches and sits in join state until the other
+    side arrives); each click attributes to same-user views within the
+    hour before it."""
     from miru_spark.streaming.incremental import attributed_clicks
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     c_src = tempfile.mkdtemp(prefix="miru_clickstream_")
     v_src = tempfile.mkdtemp(prefix="miru_viewstream_")
-    events.filter("event_type = 'click'").coalesce(2).write.mode(
-        "overwrite"
-    ).parquet(c_src)
-    events.filter("event_type = 'view'").coalesce(2).write.mode(
-        "overwrite"
-    ).parquet(v_src)
+    attribution_stream_sources(spark, events, c_src, v_src)
     clicks = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)

@@ -400,15 +400,19 @@ def test_stream_dedup_kills_cross_batch_replays(spark, tmp_path):
 
 
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
-    """Clicks and views arrive as two independent multi-file streams (one
-    file per trigger, so pairs span micro-batches and must meet in join
-    state); the streamed attribution must equal the batch join exactly."""
+    """Clicks and views arrive as two independent two-file streams, split
+    at a KNOWN attributed pair (its view in micro-batch 1, its click in
+    micro-batch 2) so at least one match provably crosses batches and must
+    meet in persisted symmetric-hash join state; the streamed attribution
+    must equal the batch join exactly and contain that crossing pair."""
     from miru_spark.streaming.incremental import attributed_clicks
+    from miru_spark.streaming.suite import attribution_stream_sources
 
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     c_src, v_src = str(tmp_path / "clicks"), str(tmp_path / "views")
-    events.filter("event_type = 'click'").coalesce(3).write.parquet(c_src)
-    events.filter("event_type = 'view'").coalesce(3).write.parquet(v_src)
+    cross_click, cross_view = attribution_stream_sources(
+        spark, events, c_src, v_src
+    )
     clicks = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
@@ -449,3 +453,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == want and len(want) > 0
+    # the engineered cross-batch pair really is in the streamed output
+    assert any(
+        cid == cross_click and vid == cross_view for cid, vid, _ in got
+    )
