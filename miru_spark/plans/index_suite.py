@@ -928,6 +928,43 @@ def q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+# A94 rank_eval: the pinned evaluation request set — conjunctive,
+# disjunctive, single rare term, and a query with an absent term (empty
+# judgment edge: mrr/ndcg/recall coalesce to 0)
+_RANK_EVAL_QUERIES = {
+    "q_conj": (["join", "hash"], "conjunctive"),
+    "q_disj": (["the", "dup"], "disjunctive"),
+    "q_rare": (["dup"], "conjunctive"),
+    "q_missing": (["the", "zzz_not_in_vocab"], "disjunctive"),
+}
+
+
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miru_spark.plans.flagship import ensure_index
+    from miru_spark.plans.rankeval import rank_eval
+    from miru_spark.schema import read_corpus
+
+    reader = ensure_index(spark, sf_dir)
+    # eval_query (string), not query_id: the composite union would try to
+    # unify it with percolate's BIGINT query_id column otherwise
+    return rank_eval(
+        spark, reader, read_corpus(spark, sf_dir), _RANK_EVAL_QUERIES, k=10
+    ).withColumnRenamed("query_id", "eval_query")
+
+
+def _rank_eval_sql():
+    from miru_spark.plans.rankeval import rank_eval_oracle_sql
+
+    inner = rank_eval_oracle_sql(_RANK_EVAL_QUERIES, k=10)
+    return (
+        "SELECT query_id AS eval_query, p_at_k, recall_at_k, mrr, ndcg "
+        f"FROM (\n{inner}\n) ORDER BY eval_query"
+    )
+
+
+_RANK_EVAL_SQL = _rank_eval_sql()
+
+
 def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k + stored-field snippets: the result-page render step."""
     from miru_spark.plans.flagship import ensure_index
@@ -2407,6 +2444,11 @@ def register_all(register) -> None:
         # A80 has_parent: every file of a repo with >= 1 match, inheriting
         # the parent's max-child score
         ("has_parent", _mk_has_parent(), _has_parent_oracle(), DS),
+        # A94 rank_eval (ES _rank_eval): precision@k / recall@k / MRR /
+        # NDCG@k of the engine's own top-k against deterministic synthetic
+        # judgments — the offline relevance-regression harness
+        ("rank_eval", q_rank_eval, _RANK_EVAL_SQL,
+         ("eval_query", "p_at_k", "recall_at_k", "mrr", "ndcg")),
     ])
     register("bm25_index_stats", q_index_stats, SQL_INDEX_STATS)
     register_composite(register, "bm25_index_suggest", [

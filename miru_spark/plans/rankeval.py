@@ -1,0 +1,196 @@
+"""Ranking-quality evaluation (ES ``_rank_eval`` / Lucene benchmark quality
+package): given rated (query, doc, grade) judgments, score the engine's
+actual top-k rankings with the standard offline IR metrics —
+precision@k, recall@k, MRR, and NDCG@k (ES defaults: gain 2^grade - 1,
+log2(rank + 1) discount, ideal DCG from the judgment set's best k grades).
+
+This is the regression harness a search team runs on every relevance
+change; it has to reproduce the engine's EXACT ranking (ties included), so
+rankings come from the same serving path the driver oracles pin
+(``search_topk``: rounded scores, doc_id tie-break) and the metric
+arithmetic is mirrored 1:1 in the DuckDB twin.
+
+Judgments here are synthesized deterministically from the corpus (grade 2:
+doc contains every query term AND lang = 'en'; grade 1: contains every
+term; else unrated) so the whole operator is value-oracled with no
+external data — swap in a real judgment table at will, the metric code
+never looks at how grades were produced.
+
+Scale shape: rankings are k rows per query (driver-side by construction);
+the only corpus-sized work is the judgment scan (one pass, a hash
+semi-join per query term group), and metrics are per-query aggregates over
+k-row frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from miru_spark.index.reader import IndexReader
+from miru_spark.plans.relational import _sql_quote, bm25_oracle_sql
+
+
+def synthetic_ratings(corpus: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, grade) judgments for one query: 2 = all terms + lang='en',
+    1 = all terms, unrated docs omitted."""
+    toks = F.array_remove(F.split(F.col("content"), " "), "")
+    has_all = None
+    for t in dict.fromkeys(terms):
+        cond = F.array_contains(toks, t)
+        has_all = cond if has_all is None else (has_all & cond)
+    return (
+        corpus.filter(has_all)
+        .select(
+            "doc_id",
+            F.when(F.col("lang") == "en", F.lit(2)).otherwise(F.lit(1)).alias(
+                "grade"
+            ),
+        )
+    )
+
+
+def rank_eval(
+    spark: SparkSession,
+    reader: IndexReader,
+    corpus: DataFrame,
+    queries: dict[str, tuple[list[str], str]],
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-query metric row: (query_id, p_at_k, recall_at_k, mrr, ndcg).
+
+    ``queries`` maps query_id -> (terms, mode). Rankings are the engine's
+    own ``search_topk`` top-k (rank = 1-based position); judgments come
+    from :func:`synthetic_ratings`. Metrics follow ES ``_rank_eval``:
+
+    * p_at_k     = relevant-in-top-k / k (ES divides by k, not by hits)
+    * recall_at_k = relevant-in-top-k / total-relevant
+    * mrr        = 1 / rank of the first relevant hit (0 if none)
+    * ndcg       = DCG@k / ideal-DCG@k, gain 2^grade - 1, log2(rank + 1)
+    """
+    from miru_spark.plans.search import search_topk
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    ranked_rows = []
+    for qid, (terms, mode) in queries.items():
+        for rank, (doc_id, _score) in enumerate(
+            search_topk(reader, terms, mode=mode, k=k), start=1
+        ):
+            ranked_rows.append((qid, int(doc_id), rank))
+    ranked = spark.createDataFrame(
+        ranked_rows, "query_id string, doc_id long, rank int"
+    )
+    ratings = None
+    for qid, (terms, _mode) in queries.items():
+        r = synthetic_ratings(corpus, terms).select(
+            F.lit(qid).alias("query_id"), "doc_id", "grade"
+        )
+        ratings = r if ratings is None else ratings.unionByName(r)
+
+    # per-query totals over the judgment set: total relevant + ideal DCG@k
+    w_ideal = F.expr(
+        "row_number() OVER (PARTITION BY query_id ORDER BY grade DESC, doc_id)"
+    )
+    ideal = (
+        ratings.withColumn("irank", w_ideal)
+        .filter(F.col("irank") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("grade")) - 1.0)
+                / F.log2(F.col("irank") + 1.0)
+            ).alias("idcg")
+        )
+    )
+    totals = ratings.groupBy("query_id").agg(
+        F.count("*").alias("n_relevant")
+    )
+    hits = ranked.join(ratings, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "rank",
+        F.coalesce("grade", F.lit(0)).alias("grade"),
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.sum(F.when(F.col("grade") > 0, 1).otherwise(0)).alias("n_rel_topk"),
+        F.min(F.when(F.col("grade") > 0, F.col("rank"))).alias("first_rel"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("grade")) - 1.0) / F.log2(F.col("rank") + 1.0)
+        ).alias("dcg"),
+    )
+    out = (
+        per_q.join(totals, "query_id", "left")
+        .join(ideal, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.col("n_rel_topk") / float(k), round_digits).alias("p_at_k"),
+            F.round(
+                F.coalesce(
+                    F.col("n_rel_topk") / F.col("n_relevant").cast("double"),
+                    F.lit(0.0),
+                ),
+                round_digits,
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), round_digits
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)), round_digits
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+    return out
+
+
+def rank_eval_oracle_sql(
+    queries: dict[str, tuple[list[str], str]],
+    k: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin: per query, the pinned BM25 ranking CTE (the same SQL
+    every serving oracle uses) + identical metric arithmetic; queries
+    UNION ALL into one (query_id, ...) frame."""
+    branches = []
+    for qid, (terms, mode) in queries.items():
+        qid_q = _sql_quote(qid)
+        inner = bm25_oracle_sql(terms, mode, k=k, round_digits=round_digits)
+        conds = " AND ".join(
+            f"list_contains(l, '{_sql_quote(t)}')" for t in dict.fromkeys(terms)
+        )
+        branches.append(f"""
+SELECT '{qid_q}' AS query_id, p_at_k, recall_at_k, mrr, ndcg FROM (
+WITH ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM ({inner})),
+toks AS (SELECT doc_id, lang,
+                list_filter(string_split(text, ' '), x -> x <> '') AS l
+         FROM documents),
+ratings AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 2 ELSE 1 END AS grade
+  FROM toks WHERE {conds}),
+ideal AS (
+  SELECT SUM((POW(2.0, grade) - 1.0) / LOG2(irank + 1.0)) AS idcg
+  FROM (SELECT grade, ROW_NUMBER() OVER (ORDER BY grade DESC, doc_id) AS irank
+        FROM ratings)
+  WHERE irank <= {k}),
+tot AS (SELECT COUNT(*) AS n_relevant FROM ratings),
+hits AS (
+  SELECT r.rank, COALESCE(g.grade, 0) AS grade
+  FROM ranked r LEFT JOIN ratings g USING(doc_id)),
+agg AS (
+  SELECT SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS n_rel_topk,
+         MIN(CASE WHEN grade > 0 THEN rank END) AS first_rel,
+         SUM((POW(2.0, grade) - 1.0) / LOG2(rank + 1.0)) AS dcg
+  FROM hits)
+SELECT ROUND(n_rel_topk / {float(k)}, {round_digits}) AS p_at_k,
+       ROUND(COALESCE(n_rel_topk / CAST(n_relevant AS DOUBLE), 0.0),
+             {round_digits}) AS recall_at_k,
+       ROUND(COALESCE(1.0 / first_rel, 0.0), {round_digits}) AS mrr,
+       ROUND(COALESCE(dcg / idcg, 0.0), {round_digits}) AS ndcg
+FROM agg CROSS JOIN tot CROSS JOIN ideal
+)""".strip())
+    return "\nUNION ALL\n".join(branches) + "\nORDER BY query_id"
