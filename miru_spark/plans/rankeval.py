@@ -62,7 +62,10 @@ def rank_eval(
 
     ``queries`` maps query_id -> (terms, mode). Rankings are the engine's
     own ``search_topk`` top-k (rank = 1-based position); judgments come
-    from :func:`synthetic_ratings`. Metrics follow ES ``_rank_eval``:
+    from :func:`synthetic_ratings`. A query whose ranking is EMPTY (no
+    matching docs at all) is rejected up front — ES returns an error detail
+    for such requests, and silently scoring it 0 would hide a dead query.
+    Metrics follow ES ``_rank_eval``:
 
     * p_at_k     = relevant-in-top-k / k (ES divides by k, not by hits)
     * recall_at_k = relevant-in-top-k / total-relevant
@@ -77,9 +80,13 @@ def rank_eval(
         raise ValueError("queries must be non-empty")
     ranked_rows = []
     for qid, (terms, mode) in queries.items():
-        for rank, (doc_id, _score) in enumerate(
-            search_topk(reader, terms, mode=mode, k=k), start=1
-        ):
+        hits_q = search_topk(reader, terms, mode=mode, k=k)
+        if not hits_q:
+            raise ValueError(
+                f"query {qid!r} returned no results — rank_eval cannot "
+                "score an empty ranking (fix or drop the request)"
+            )
+        for rank, (doc_id, _score) in enumerate(hits_q, start=1):
             ranked_rows.append((qid, int(doc_id), rank))
     ranked = spark.createDataFrame(
         ranked_rows, "query_id string, doc_id long, rank int"

@@ -82,3 +82,11 @@ def test_rank_eval_degenerate_and_validation(spark, reader, corpus):
         rank_eval(spark, reader, corpus, QUERIES, k=0)
     with pytest.raises(ValueError):
         rank_eval(spark, reader, corpus, {}, k=10)
+
+
+def test_rank_eval_rejects_empty_ranking(spark, reader, corpus):
+    """A query with no matching docs is an error (ES returns an error
+    detail), not a silent row of zeros."""
+    bad = {"q_dead": (["zzz_not_in_vocab"], "conjunctive")}
+    with pytest.raises(ValueError, match="no results"):
+        rank_eval(spark, reader, corpus, bad, k=10)
