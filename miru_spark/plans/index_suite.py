@@ -434,6 +434,17 @@ def _mk_field_stats(terms, mode):
     return run
 
 
+def _mk_percentile_ranks(terms, mode, values):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_percentile_ranks
+
+        reader = ensure_index(spark, sf_dir)
+        return search_percentile_ranks(reader, terms, values, mode=mode)
+
+    return run
+
+
 def _mk_ext_stats(terms, mode):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -2021,6 +2032,7 @@ def register_all(register) -> None:
         extended_stats_oracle_sql,
         facet_rollup_oracle_sql,
         field_stats_oracle_sql,
+        percentile_ranks_oracle_sql,
         histogram_oracle_sql,
         matrix_stats_oracle_sql,
         mlt_oracle_sql,
@@ -2405,6 +2417,15 @@ def register_all(register) -> None:
          _mk_percentiles(["the", "a"], "conjunctive"),
          _percentiles_oracle(["the", "a"], "conjunctive"),
          ("pct", "value")),
+        # A95 percentile_ranks (ES percentile_ranks): inverse percentiles
+        # — percent of candidate doc_lens at or below each given value,
+        # exact inverse-interpolation variant, edge values included
+        ("bm25_index_percentile_ranks",
+         _mk_percentile_ranks(["the", "a"], "conjunctive",
+                              (5.0, 30.0, 55.0, 500.0)),
+         percentile_ranks_oracle_sql(["the", "a"], [5.0, 30.0, 55.0, 500.0],
+                                     "conjunctive"),
+         ("value", "pct_rank")),
         # A73 matrix_stats (ES matrix_stats): exact-integer moment sums ->
         # means/variances/covariance/correlation of (doc_len, doc_id)
         ("bm25_index_matrix_stats",

@@ -1424,6 +1424,40 @@ FROM cand JOIN documents USING(doc_id)
 """.strip()
 
 
+def percentile_ranks_oracle_sql(
+    terms: list[str],
+    values: list[float],
+    mode: str = "conjunctive",
+    tok_sql: str = DEFAULT_TOK_SQL,
+) -> str:
+    """Twin of plans.search.search_percentile_ranks (ES percentile_ranks,
+    exact inverse-interpolation variant): the SAME bracket statistics
+    (count <=, neighbor order stats) and the SAME arithmetic, branch for
+    branch, so the rounded percents cannot drift between engines."""
+    if not values:
+        raise ValueError("values must be non-empty")
+    branches = []
+    for v in values:
+        fv = float(v)
+        branches.append(f"""
+SELECT CAST({fv} AS DOUBLE) AS value,
+       ROUND(100.0 * CASE
+         WHEN SUM(CASE WHEN doc_len <= {fv} THEN 1 ELSE 0 END) = 0 THEN 0.0
+         WHEN SUM(CASE WHEN doc_len <= {fv} THEN 1 ELSE 0 END) = COUNT(*) THEN 1.0
+         ELSE ((SUM(CASE WHEN doc_len <= {fv} THEN 1 ELSE 0 END) - 1.0)
+               + ({fv} - MAX(CASE WHEN doc_len <= {fv} THEN CAST(doc_len AS DOUBLE) END))
+               / (MIN(CASE WHEN doc_len > {fv} THEN CAST(doc_len AS DOUBLE) END)
+                  - MAX(CASE WHEN doc_len <= {fv} THEN CAST(doc_len AS DOUBLE) END)))
+              / (COUNT(*) - 1.0)
+       END, 6) AS pct_rank
+FROM cand JOIN dl USING(doc_id)""".strip())
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+{_candidate_ctes(terms, mode, tok_sql)}
+{body}
+""".strip()
+
+
 def percentiles_oracle_sql(
     terms: list[str],
     mode: str = "conjunctive",

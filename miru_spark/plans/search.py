@@ -1581,6 +1581,71 @@ def search_percentiles(
     )
 
 
+def search_percentile_ranks(
+    reader: IndexReader,
+    terms: list[str],
+    values: tuple[float, ...],
+    mode: str = "conjunctive",
+    col: str = "doc_len",
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """ES ``percentile_ranks`` (inverse percentiles): for each given value,
+    the percent of the candidate set's ``col`` values at or below it —
+    "what fraction of matching files are under 4 KB". Exact variant: the
+    inverse of A60's rank-``p*(n-1)`` linear interpolation, so
+    percentile_ranks(percentiles(p)) == 100p on continuous data. Clamped
+    to 0 below the min and 100 at/above the max (the ES convention).
+
+    One map-side-combined hash agg computes every value's bracket stats
+    (count <=, neighbor order statistics) simultaneously — no sort, no
+    row explosion, a handful of numbers per partition at any corpus size;
+    ES's production path is t-digest (approximate) with the same plan
+    shape."""
+    if not values:
+        raise ValueError("values must be non-empty")
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
+    ).select("doc_id")
+    dm = reader.docmap_df().select("doc_id", col)
+    x = F.col(col).cast("double")
+    aggs = [F.count("*").alias("n")]
+    for i, v in enumerate(values):
+        lv = F.lit(float(v))
+        aggs += [
+            F.sum(F.when(x <= lv, 1).otherwise(0)).alias(f"le_{i}"),
+            F.max(F.when(x <= lv, x)).alias(f"xle_{i}"),
+            F.min(F.when(x > lv, x)).alias(f"xgt_{i}"),
+        ]
+    sums = cand.join(dm, "doc_id").agg(*aggs)
+    rows = []
+    for i, v in enumerate(values):
+        lv = F.lit(float(v))
+        n = F.col("n").cast("double")
+        le = F.col(f"le_{i}").cast("double")
+        p = (
+            F.when(le == 0, F.lit(0.0))
+            .when(le == n, F.lit(1.0))
+            .otherwise(
+                (
+                    (le - 1.0)
+                    + (lv - F.col(f"xle_{i}"))
+                    / (F.col(f"xgt_{i}") - F.col(f"xle_{i}"))
+                )
+                / (n - 1.0)
+            )
+        )
+        rows.append(
+            F.struct(lv.alias("value"), F.round(100.0 * p, 6).alias("pct_rank"))
+        )
+    # one explode over the single agg row — a per-value union of selects
+    # would re-run the aggregation once per value
+    return sums.select(F.explode(F.array(*rows)).alias("s")).select(
+        "s.value", "s.pct_rank"
+    )
+
+
 def term_vector(
     corpus: DataFrame, doc_id: int, tokenizer: str = "whitespace"
 ) -> DataFrame:

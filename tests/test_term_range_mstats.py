@@ -127,3 +127,81 @@ def test_extended_stats_consistent_with_stats(reader):
     assert abs(ext["variance"] - round(var, 6)) < 1e-9
     assert abs(ext["std_dev"] - round(math.sqrt(var), 6)) < 1e-9
     assert ext["variance"] >= 0
+
+
+# ---- percentile_ranks (ES percentile_ranks: inverse percentiles) -----------
+
+
+@pytest.mark.parametrize(
+    "terms,mode",
+    [(["the", "a"], "conjunctive"), (["join", "dup"], "disjunctive")],
+    ids=lambda x: str(x),
+)
+def test_percentile_ranks_matches_oracle(reader, duck, terms, mode):
+    from miru_spark.plans.relational import percentile_ranks_oracle_sql
+    from miru_spark.plans.search import search_percentile_ranks
+
+    vals = (5.0, 30.0, 55.0, 500.0)
+    got = sorted(
+        tuple(r)
+        for r in search_percentile_ranks(reader, terms, vals, mode=mode).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            percentile_ranks_oracle_sql(terms, list(vals), mode)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_percentiles_invert_percentile_ranks(reader):
+    """percentiles(pct_rank(v)/100) == v for any v PRESENT in the data —
+    the exact inversion direction that survives tied (integer) values:
+    pct_rank maps v to the upper edge of its tie run, and the rank-p*(n-1)
+    percentile at that edge returns v itself. (The other direction,
+    pct_rank(percentiles(p)) == 100p, holds only for continuous data —
+    ties collapse interior ranks to the tie run's edge.)"""
+    from miru_spark.plans.search import search_percentile_ranks, search_percentiles
+
+    from miru_spark.plans.search import search
+
+    cand = {d for d, _ in search(reader, "the", k=10**9)}
+    lens = sorted(
+        r.doc_len
+        for r in reader.docmap_df().select("doc_id", "doc_len").collect()
+        if r.doc_id in cand
+    )
+    probes = tuple(
+        float(v)
+        for v in dict.fromkeys(
+            [lens[len(lens) // 10], lens[len(lens) // 2], lens[-1]]
+        )
+    )
+    ranks = {
+        r.value: r.pct_rank
+        for r in search_percentile_ranks(reader, ["the"], probes,
+                                         mode="disjunctive").collect()
+    }
+    pcts = tuple(ranks[v] / 100.0 for v in probes)
+    back = {
+        r.pct: r.value
+        for r in search_percentiles(reader, ["the"], mode="disjunctive",
+                                    percentiles=pcts).collect()
+    }
+    for v in probes:
+        assert back[ranks[v] / 100.0] == v, (v, ranks[v])
+
+
+def test_percentile_ranks_edges_and_validation(reader):
+    from miru_spark.plans.search import search_percentile_ranks
+
+    rows = {
+        r.value: r.pct_rank
+        for r in search_percentile_ranks(
+            reader, ["the", "a"], (0.0, 10**9)
+        ).collect()
+    }
+    assert rows[0.0] == 0.0 and rows[float(10**9)] == 100.0
+    with pytest.raises(ValueError):
+        search_percentile_ranks(reader, ["the", "a"], ())
