@@ -67,10 +67,17 @@ def rank_eval(
     for such requests, and silently scoring it 0 would hide a dead query.
     Metrics follow ES ``_rank_eval``:
 
-    * p_at_k     = relevant-in-top-k / k (ES divides by k, not by hits)
+    * p_at_k     = relevant-in-top-k / retrieved (ES divides by the number
+      of docs actually retrieved, which is < k when fewer match)
     * recall_at_k = relevant-in-top-k / total-relevant
     * mrr        = 1 / rank of the first relevant hit (0 if none)
     * ndcg       = DCG@k / ideal-DCG@k, gain 2^grade - 1, log2(rank + 1)
+
+    One corpus pass: every query's judgment is a struct in one projected
+    array (single tokenize), the tiny ranking broadcast-joins onto it, and
+    ideal/total/hit statistics come out of ONE window + hash agg — a
+    per-query chain of filtered scans would re-tokenize the corpus per
+    consumer per query.
     """
     from miru_spark.plans.search import search_topk
 
@@ -79,6 +86,7 @@ def rank_eval(
     if not queries:
         raise ValueError("queries must be non-empty")
     ranked_rows = []
+    n_retrieved = {}
     for qid, (terms, mode) in queries.items():
         hits_q = search_topk(reader, terms, mode=mode, k=k)
         if not hits_q:
@@ -86,54 +94,72 @@ def rank_eval(
                 f"query {qid!r} returned no results — rank_eval cannot "
                 "score an empty ranking (fix or drop the request)"
             )
+        n_retrieved[qid] = len(hits_q)
         for rank, (doc_id, _score) in enumerate(hits_q, start=1):
             ranked_rows.append((qid, int(doc_id), rank))
     ranked = spark.createDataFrame(
         ranked_rows, "query_id string, doc_id long, rank int"
     )
-    ratings = None
+    # ONE corpus scan judges every query: per-query (query_id, grade)
+    # structs in a single array, nulls compacted, exploded
+    toks = F.array_remove(F.split(F.col("content"), " "), "")
+    grade = F.when(F.col("lang") == "en", F.lit(2)).otherwise(F.lit(1))
+    structs = []
     for qid, (terms, _mode) in queries.items():
-        r = synthetic_ratings(corpus, terms).select(
-            F.lit(qid).alias("query_id"), "doc_id", "grade"
+        has_all = None
+        for t in dict.fromkeys(terms):
+            c = F.array_contains(F.col("_toks"), t)
+            has_all = c if has_all is None else (has_all & c)
+        structs.append(
+            F.when(
+                has_all,
+                F.struct(F.lit(qid).alias("query_id"), grade.alias("grade")),
+            )
         )
-        ratings = r if ratings is None else ratings.unionByName(r)
-
-    # per-query totals over the judgment set: total relevant + ideal DCG@k
+    ratings = (
+        corpus.select("doc_id", "lang", toks.alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(F.array_compact(F.array(*structs))).alias("j"),
+        )
+        .select("doc_id", "j.query_id", "j.grade")
+    )
+    # tiny ranking broadcast onto the judgments; ONE window gives the
+    # ideal ordering and ONE hash agg produces every per-query statistic
     w_ideal = F.expr(
         "row_number() OVER (PARTITION BY query_id ORDER BY grade DESC, doc_id)"
     )
-    ideal = (
-        ratings.withColumn("irank", w_ideal)
-        .filter(F.col("irank") <= k)
-        .groupBy("query_id")
-        .agg(
-            F.sum(
-                (F.pow(F.lit(2.0), F.col("grade")) - 1.0)
-                / F.log2(F.col("irank") + 1.0)
-            ).alias("idcg")
-        )
+    joined = (
+        ratings.join(F.broadcast(ranked), ["query_id", "doc_id"], "left")
+        .withColumn("irank", w_ideal)
     )
-    totals = ratings.groupBy("query_id").agg(
-        F.count("*").alias("n_relevant")
-    )
-    hits = ranked.join(ratings, ["query_id", "doc_id"], "left").select(
-        "query_id",
-        "rank",
-        F.coalesce("grade", F.lit(0)).alias("grade"),
-    )
-    per_q = hits.groupBy("query_id").agg(
-        F.sum(F.when(F.col("grade") > 0, 1).otherwise(0)).alias("n_rel_topk"),
-        F.min(F.when(F.col("grade") > 0, F.col("rank"))).alias("first_rel"),
+    gain = F.pow(F.lit(2.0), F.col("grade")) - 1.0
+    per_q = joined.groupBy("query_id").agg(
+        F.count("*").alias("n_relevant"),
+        F.sum(F.when(F.col("irank") <= k, gain / F.log2(F.col("irank") + 1.0))).alias(
+            "idcg"
+        ),
+        F.sum(F.when(F.col("rank").isNotNull(), 1).otherwise(0)).alias("n_rel_topk"),
+        F.min("rank").alias("first_rel"),
         F.sum(
-            (F.pow(F.lit(2.0), F.col("grade")) - 1.0) / F.log2(F.col("rank") + 1.0)
+            F.when(F.col("rank").isNotNull(), gain / F.log2(F.col("rank") + 1.0))
         ).alias("dcg"),
     )
+    qrows = spark.createDataFrame(
+        [(qid, n_retrieved[qid]) for qid in queries],
+        "query_id string, n_retrieved int",
+    )
     out = (
-        per_q.join(totals, "query_id", "left")
-        .join(ideal, "query_id", "left")
+        qrows.join(per_q, "query_id", "left")
         .select(
             "query_id",
-            F.round(F.col("n_rel_topk") / float(k), round_digits).alias("p_at_k"),
+            F.round(
+                F.coalesce(
+                    F.col("n_rel_topk") / F.col("n_retrieved").cast("double"),
+                    F.lit(0.0),
+                ),
+                round_digits,
+            ).alias("p_at_k"),
             F.round(
                 F.coalesce(
                     F.col("n_rel_topk") / F.col("n_relevant").cast("double"),
@@ -189,11 +215,12 @@ hits AS (
   SELECT r.rank, COALESCE(g.grade, 0) AS grade
   FROM ranked r LEFT JOIN ratings g USING(doc_id)),
 agg AS (
-  SELECT SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS n_rel_topk,
+  SELECT COUNT(*) AS n_retrieved,
+         SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS n_rel_topk,
          MIN(CASE WHEN grade > 0 THEN rank END) AS first_rel,
          SUM((POW(2.0, grade) - 1.0) / LOG2(rank + 1.0)) AS dcg
   FROM hits)
-SELECT ROUND(n_rel_topk / {float(k)}, {round_digits}) AS p_at_k,
+SELECT ROUND(n_rel_topk / CAST(n_retrieved AS DOUBLE), {round_digits}) AS p_at_k,
        ROUND(COALESCE(n_rel_topk / CAST(n_relevant AS DOUBLE), 0.0),
              {round_digits}) AS recall_at_k,
        ROUND(COALESCE(1.0 / first_rel, 0.0), {round_digits}) AS mrr,

@@ -222,13 +222,20 @@ def attribution_stream_sources(spark, events, c_src: str, v_src: str):
     v = events.filter("event_type = 'view'").select(
         F.col("event_id").alias("vid"), "user_id", F.col("ts").alias("vts")
     )
-    pair = (
+    pairs = (
         c.join(v, "user_id")
         .filter("vts <= cts AND vts >= cts - INTERVAL 1 HOUR")
         .orderBy(F.desc(F.col("cts") - F.col("vts")), "cid", "vid")
         .limit(1)
-        .collect()[0]
+        .collect()
     )
+    if not pairs:
+        raise ValueError(
+            "events contain no attributable (click, view) pair within the "
+            "1-hour interval — the cross-batch split has nothing to anchor "
+            "on (use a denser events table)"
+        )
+    pair = pairs[0]
     clicks = events.filter("event_type = 'click'")
     views = events.filter("event_type = 'view'")
     # per-source time-ordered halves; the boundary pair's view is in the

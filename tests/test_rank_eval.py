@@ -45,7 +45,8 @@ def test_rank_eval_handcrafted(spark, reader, corpus):
             r.doc_id: r.grade for r in synthetic_ratings(corpus, terms).collect()
         }
         rel = [grades.get(d, 0) for d in ranking]
-        p = sum(1 for g in rel if g > 0) / 10.0
+        # ES precision@k divides by the retrieved count (< k when fewer match)
+        p = sum(1 for g in rel if g > 0) / len(ranking)
         recall = (
             sum(1 for g in rel if g > 0) / len(grades) if grades else 0.0
         )
