@@ -516,12 +516,236 @@ def _score_col(
     raise TypeError(f"unexpected node in distributed plan: {node!r}")
 
 
+#: last _tree_blockmax_prune stats from search_bool_distributed
+LAST_TREE_PRUNE_STATS: dict = {}
+#: below this summed-df volume the decode is cheaper than the metadata job
+_TREE_PRUNE_MIN_POSTINGS = 1_000_000
+
+
+def _classify_leaves(node: Node):
+    """(positive {term: max boost}, NOT-side term set, has_not, min boost)."""
+    pos: dict[str, float] = {}
+    neg: set[str] = set()
+    has_not = False
+    min_boost = 1.0
+
+    def walk(n: Node, under_not: bool) -> None:
+        nonlocal has_not, min_boost
+        if isinstance(n, BTerm):
+            min_boost = min(min_boost, n.boost)
+            if under_not:
+                neg.add(n.term)
+            else:
+                pos[n.term] = max(pos.get(n.term, 0.0), n.boost)
+        elif isinstance(n, BPhrase):
+            if under_not:
+                neg.update(n.tokens)
+            else:
+                for t in n.tokens:
+                    pos.setdefault(t, 1.0)
+        elif isinstance(n, BNot):
+            has_not = True
+            walk(n.child, True)
+        else:
+            for c in n.children:
+                walk(c, under_not)
+
+    walk(node, False)
+    return pos, neg, has_not, min_boost
+
+
+def _sufficient_terms(node: Node) -> set[str]:
+    """Terms t such that a doc containing ONLY t still matches the tree.
+    Valid only for NOT-free, phrase-free trees (the caller gates)."""
+    if isinstance(node, BTerm):
+        return {node.term}
+    if isinstance(node, BAnd):
+        outs = [_sufficient_terms(c) for c in node.children]
+        return set.intersection(*outs) if outs else set()
+    if isinstance(node, BOr):
+        return set.union(*[_sufficient_terms(c) for c in node.children])
+    return set()
+
+
+def _tree_blockmax_prune(
+    chunks: DataFrame,
+    node: Node,
+    k: int | None,
+    n_docs: float,
+    avgdl: float,
+    round_digits: int | None,
+    allow_theta: bool,
+) -> tuple[DataFrame, dict]:
+    """Windowed block-max chunk skipping for boolean trees — the Lucene
+    BMM generalization the flat disjunctive pruner (search._blockmax_prune)
+    cannot express. Two stacked, independently sound criteria decide per
+    chunk of each positive-only leaf term, evaluated on the breakpoint
+    grid of the positive terms' chunk edges (plans/chunkprune.py):
+
+    * FEASIBILITY / liveness — a chunk of term t is needed at doc range r
+      only if t's branch can match there: every AND ancestor's positive
+      siblings must have coverage at r (a doc in r lacking a required
+      term fails the conjunction with or without t's row). Dropping a
+      non-live chunk changes NO doc's match value or score: match
+      expressions are monotone-positive in positive-term presence, the
+      branch is false either way, and _score_col zeroes unmatched
+      clauses — so this criterion is sound even for k=None / where /
+      tombstone paths and for trees with NOT clauses (NOT children are
+      treated as always-satisfiable, an over-estimate; NOT-side terms
+      themselves are NEVER pruned, since removing their rows could flip
+      ``~isNotNull`` false->true).
+    * THETA (only when ``allow_theta`` and the tree is NOT-free with
+      non-negative boosts) — theta = max over SUFFICIENT leaves (a term
+      that alone satisfies the tree) of boost * the term's k-th chunk
+      lower bound: k distinct docs match via that leaf and score >= it.
+      A chunk then survives only where the tree's windowed upper bound
+      reaches theta - margin: root_ub(r) evaluates the tree bottom-up on
+      per-term covering UBs (AND sums its positive children where all
+      are feasible else 0, OR sums its self-zeroing children), so any
+      doc's true score in r is <= root_ub(r); every true top-k doc keeps
+      all its chunks (root_ub(r_d) >= its score >= theta - margin at a
+      live range) and is scored exactly, while dropped docs score (and
+      display, if they still match) strictly below theta - margin.
+    """
+    from miru_spark.functions import bm25 as _bm25
+    from miru_spark.plans.chunkprune import interval_values, range_max
+    from miru_spark.plans.search import (
+        _keep_chunks_by_key,
+        _margin,
+        chunk_lower_col,
+        chunk_upper_col,
+    )
+
+    pos, negset, has_not, min_boost = _classify_leaves(node)
+    prunable = [t for t in pos if t not in negset]
+    stats: dict = {"pruned": False, "theta": 0.0, "bound": "tree-bmm"}
+    if not prunable or min_boost < 0.0:
+        return chunks, stats
+    idf = _bm25.idf_col(F.col("df_global").cast("double"), F.lit(float(n_docs)))
+    meta = chunks.select(
+        F.col("term"),
+        F.col("first_docid"),
+        F.col("last_docid"),
+        (idf * chunk_upper_col(avgdl)).alias("__ub"),
+        (idf * chunk_lower_col(avgdl)).alias("__lb"),
+    )
+    cap = 1 << 20
+    rows = meta.limit(cap + 1).collect()
+    if len(rows) > cap or not rows:
+        return chunks, stats
+    terms_a = np.array([r["term"] for r in rows], dtype=object)
+    lo_a = np.array([r["first_docid"] for r in rows], dtype=np.int64)
+    hi_a = np.array([r["last_docid"] for r in rows], dtype=np.int64)
+    ub_a = np.array([r["__ub"] for r in rows], dtype=np.float64)
+    lb_a = np.array([r["__lb"] for r in rows], dtype=np.float64)
+    pos_mask = np.isin(terms_a, np.array(sorted(pos), dtype=object))
+    if not pos_mask.any():
+        return chunks, stats
+    P = np.unique(np.concatenate([lo_a[pos_mask], hi_a[pos_mask] + 1]))
+    m = P.size
+    cov: dict[str, np.ndarray] = {}
+    present: dict[str, np.ndarray] = {}
+    for t in pos:
+        tm = terms_a == t
+        cov[t] = (
+            interval_values(P, lo_a[tm], hi_a[tm], ub_a[tm])
+            if tm.any()
+            else np.zeros(m)
+        )
+        present[t] = cov[t] > 0.0
+
+    feas_of: dict[int, np.ndarray] = {}
+
+    def ev(n: Node) -> tuple[np.ndarray, np.ndarray]:
+        """bottom-up (feasible[m], score-UB[m]); UB self-zeroes where the
+        node cannot match, mirroring _score_col's otherwise(0)."""
+        if isinstance(n, BTerm):
+            fe, u = present[n.term], cov[n.term]
+            u = u * n.boost if n.boost != 1.0 else u
+        elif isinstance(n, BAnd):
+            fe, u = None, None
+            for c in n.children:
+                if isinstance(c, BNot):
+                    continue  # over-estimate: NOT never blocks feasibility
+                f, cu = ev(c)
+                fe = f if fe is None else (fe & f)
+                u = cu if u is None else (u + cu)
+            u = np.where(fe, u, 0.0)
+        elif isinstance(n, BOr):
+            fe, u = None, None
+            for c in n.children:
+                f, cu = ev(c)
+                fe = f if fe is None else (fe | f)
+                u = cu if u is None else (u + cu)
+        else:  # pragma: no cover — phrases gated out by the caller
+            raise TypeError(f"unprunable node {n!r}")
+        feas_of[id(n)] = fe
+        return fe, u
+
+    _, root_ub = ev(node)
+
+    live: dict[str, np.ndarray] = {t: np.zeros(m, dtype=bool) for t in prunable}
+
+    def down(n: Node, live_in: np.ndarray) -> None:
+        if isinstance(n, BTerm):
+            if n.term in live:
+                live[n.term] |= live_in & present[n.term]
+        elif isinstance(n, BAnd):
+            nxt = live_in & feas_of[id(n)]
+            for c in n.children:
+                if not isinstance(c, BNot):
+                    down(c, nxt)
+        elif isinstance(n, BOr):
+            for c in n.children:
+                down(c, live_in)
+
+    down(node, np.ones(m, dtype=bool))
+
+    theta = 0.0
+    if allow_theta and not has_not and k is not None:
+        kth: dict[str, float] = {}
+        for t in _sufficient_terms(node) & set(prunable):
+            ls = lb_a[terms_a == t]
+            if ls.size >= k:
+                kth[t] = float(np.partition(ls, ls.size - k)[ls.size - k])
+        theta = max((pos[t] * v for t, v in kth.items()), default=0.0)
+    stats["theta"] = theta
+    thr = theta - _margin(round_digits, theta) if theta > 0.0 else 0.0
+
+    keep = np.ones(len(rows), dtype=bool)
+    for t in prunable:
+        tm_idx = np.flatnonzero(terms_a == t)
+        if tm_idx.size == 0:
+            continue
+        if theta > 0.0:
+            V = np.where(live[t], root_ub, -np.inf)
+            win = range_max(
+                P, V, lo_a[tm_idx], hi_a[tm_idx],
+                np.zeros(tm_idx.size, dtype=np.int64),
+            )
+            keep[tm_idx] = win >= thr
+        else:  # feasibility-only: keep iff the leaf is live anywhere
+            V = np.where(live[t], 1.0, -np.inf)
+            win = range_max(
+                P, V, lo_a[tm_idx], hi_a[tm_idx],
+                np.zeros(tm_idx.size, dtype=np.int64),
+            )
+            keep[tm_idx] = win > 0.0
+    stats["chunks_total"] = int(len(rows))
+    stats["chunks_kept"] = int(keep.sum())
+    if keep.all():
+        return chunks, stats
+    stats["pruned"] = True
+    return _keep_chunks_by_key(chunks, terms_a, lo_a, keep), stats
+
+
 def search_bool_distributed(
     reader: IndexReader,
     query: "Node | str",
     k: int | None = 10,
     round_digits: int | None = 6,
     where: dict | None = None,
+    prune_gate: int | None = None,
 ) -> DataFrame:
     """The cluster-scale twin of :func:`search_bool`.
 
@@ -550,6 +774,28 @@ def search_bool_distributed(
     chunks = reader.postings_df(terms)
     term_df = chunks.groupBy("term").agg(F.sum("df_chunk").alias("df_global"))
     chunks = chunks.join(F.broadcast(term_df), "term")
+
+    # windowed tree block-max prune (_tree_blockmax_prune): feasibility/
+    # liveness pruning is unconditionally sound; the theta criterion is
+    # gated exactly like the flat path (top-k only, no where, no
+    # tombstones — those remove docs post-agg). Phrase trees skip the
+    # prune: the positional verification join has its own scan and the
+    # pivot-side bounds don't model it.
+    global LAST_TREE_PRUNE_STATS
+    LAST_TREE_PRUNE_STATS = {}
+    if not phrases:
+        gate = _TREE_PRUNE_MIN_POSTINGS if prune_gate is None else prune_gate
+        term_dfs = reader.term_dfs(terms)
+        if term_dfs and sum(term_dfs.values()) >= gate:
+            tomb = reader.tombstones
+            allow_theta = (
+                k is not None
+                and where is None
+                and (tomb is None or tomb.size == 0)
+            )
+            chunks, LAST_TREE_PRUNE_STATS = _tree_blockmax_prune(
+                chunks, node, k, n_docs, avgdl, round_digits, allow_theta
+            )
 
     from miru_spark.plans.search import bm25_contrib_gen
 

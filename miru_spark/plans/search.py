@@ -3474,15 +3474,24 @@ def _ids_term_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
 #   theta = max over terms of that per-term k-th LB ⇒ at least k docs
 #   score >= theta. (Cross-term LB pooling is NOT sound — two terms' LBs
 #   can be achieved by the same doc.)
-# * filter: drop chunk c of term t iff UB(c) + sum_{t'≠t} UBmax(t') <
-#   theta - margin. Any doc in a dropped chunk has total score < theta
-#   (its other terms' chunks are bounded by their UBmax), so it cannot
-#   reach the top-k; conversely any doc with total >= theta - margin keeps
-#   ALL of its chunks (the same bound, reversed), so every surviving
-#   top-k doc is scored EXACTLY. Dropped docs may survive with partial
-#   (underestimated) scores — all strictly below theta - margin, and the
-#   margin (2 ulps of the round_digits grid) keeps them from rounding
-#   into a tie with the exact top-k.
+# * filter (WINDOWED bound, plans/chunkprune.py): per term, chunk rows
+#   cover disjoint ascending doc ranges, so S(r) = sum over terms of the
+#   covering chunk's UB bounds every doc's total score in range r. Drop
+#   chunk c iff max_{r in c's range} S(r) < theta - margin. Any doc in a
+#   dropped chunk has total score <= S(r_d) < theta - margin, so it
+#   cannot reach the top-k; conversely any doc with total >= theta -
+#   margin keeps ALL of its chunks (each covering chunk's window max >=
+#   S(r_d) >= total), so every surviving top-k doc is scored EXACTLY.
+#   Dropped docs may survive with partial (underestimated) scores — all
+#   strictly below theta - margin, and the margin (2 ulps of the
+#   round_digits grid) keeps them from rounding into a tie with the
+#   exact top-k. The window bound strictly refines round 4's sum-UB rule
+#   (UB(c) + sum_{t'≠t} UBmax_global(t') < theta - margin): sum-UB
+#   credits every chunk with every other term's global max anywhere in
+#   doc space and therefore provably cannot prune equal-strength
+#   disjunctions, while the window bound prunes any doc-id region whose
+#   STACKED coverage is weak. The >2^20-chunk Spark fallback still uses
+#   sum-UB (per-term scalars need no row collect).
 _PRUNE_MIN_POSTINGS = 1_000_000  # below this, decode is cheaper than the
 #                                  extra metadata job the theta bound costs
 _RANGE_PRUNE_MAX_RARE_DF = 50_000_000  # conjunctive chunk-range prune gate:
@@ -3531,6 +3540,39 @@ def chunk_lower_col(avgdl: float):
     return F.array_max(F.transform(F.col("blocks"), per_block))
 
 
+def _margin(round_digits: int | None, theta: float) -> float:
+    """Tie guard: 2 ulps of the rounding grid (or a relative epsilon)."""
+    if round_digits is not None:
+        return 2.0 * 10.0 ** (-round_digits)
+    return 1e-9 * (1.0 + theta)
+
+
+def _keep_chunks_by_key(
+    chunks: DataFrame, terms: np.ndarray, firsts: np.ndarray, keep: np.ndarray
+) -> DataFrame:
+    """Apply a driver-side per-chunk keep decision to the chunk DataFrame.
+
+    (term, first_docid) identifies a chunk row — per-term doc ranges are
+    disjoint (merge.py positional buckets) so first_docid is unique within
+    a term. The surviving keys go back as a tiny broadcast semi-join (an
+    Arrow-built local relation, no shuffle); even an overlap-violating
+    index only makes the join KEEP extra rows, never drop a needed one."""
+    import pandas as pd
+
+    if not keep.any():  # every chunk provably irrelevant (e.g. a
+        return chunks.filter(F.lit(False))  # conjunction with an absent term)
+    kept = pd.DataFrame(
+        {
+            "term": terms[keep],
+            "first_docid": firsts[keep].astype(np.int64),
+        }
+    )
+    keys = chunks.sparkSession.createDataFrame(
+        kept, schema="term string, first_docid long"
+    )
+    return chunks.join(F.broadcast(keys), ["term", "first_docid"], "left_semi")
+
+
 def _blockmax_prune(
     chunks: DataFrame,
     k: int,
@@ -3540,11 +3582,22 @@ def _blockmax_prune(
     round_digits: int | None,
 ) -> tuple[DataFrame, dict]:
     """Filter chunk rows that provably cannot contribute to the disjunctive
-    top-k (see the soundness note above). Returns (kept_chunks, stats);
-    ``chunks`` must already carry ``df_global``. One tiny metadata-only
-    Spark job (term + frontier columns — the parquet scan never touches
-    the blob pages) establishes theta and the per-term UB maxima."""
+    top-k. Returns (kept_chunks, stats); ``chunks`` must already carry
+    ``df_global``. One tiny metadata-only Spark job (term + frontier +
+    doc-range columns — the parquet scan never touches the blob pages)
+    establishes theta and per-chunk windowed upper bounds.
+
+    The keep rule is the WINDOWED (BMM) bound from plans/chunkprune.py:
+    chunk c survives iff somewhere in its doc range the summed per-term
+    covering UBs reach theta - margin. It strictly refines the round-4
+    sum-UB rule (which credits every chunk with every other term's GLOBAL
+    max and therefore provably cannot prune equal-strength disjunctions);
+    the Spark aggregation fallback for pathological >2^20-chunk queries
+    still uses sum-UB thresholds (per-term scalars compose into a codegen
+    filter without collecting the rows)."""
     from pyspark.sql import Window
+
+    from miru_spark.plans.chunkprune import chunk_window_max
 
     idf = bm25.idf_col(F.col("df_global").cast("double"), F.lit(float(n_docs)))
     if boost_map:
@@ -3556,31 +3609,22 @@ def _blockmax_prune(
         boost = F.lit(1.0)
     ub_expr = idf * boost * chunk_upper_col(avgdl)
     lb_expr = idf * boost * chunk_lower_col(avgdl)
-    meta = chunks.select(F.col("term"), ub_expr.alias("__ub"), lb_expr.alias("__lb"))
+    meta = chunks.select(
+        F.col("term"),
+        F.col("first_docid"),
+        F.col("last_docid"),
+        ub_expr.alias("__ub"),
+        lb_expr.alias("__lb"),
+    )
     # one NARROW job (metadata-column scan + project + collect, no
-    # exchange): per-chunk (term, ub, lb) triplets are tiny, so the theta
-    # math runs driver-side. The limit guards the pathological case (an
-    # ultra-hot many-term query with >1M chunk rows) by falling back to a
-    # per-term Spark aggregation — two tiny metadata shuffles instead of
-    # an unbounded collect.
+    # exchange): per-chunk rows are tiny, so the theta math and the
+    # window sweep run driver-side. The limit guards the pathological
+    # case (an ultra-hot many-term query with >1M chunk rows) by falling
+    # back to a per-term Spark aggregation — two tiny metadata shuffles
+    # instead of an unbounded collect.
     cap = 1 << 20
     rows = meta.limit(cap + 1).collect()
-    if len(rows) <= cap:
-        ubmax: dict[str, float] = {}
-        lbs: dict[str, list[float]] = {}
-        for r in rows:
-            t = r["term"]
-            u, lo = float(r["__ub"]), float(r["__lb"])
-            if u > ubmax.get(t, 0.0):
-                ubmax[t] = u
-            lbs.setdefault(t, []).append(lo)
-        theta = 0.0
-        for t, ls in lbs.items():
-            if len(ls) >= k:
-                kth_lb = heapq.nlargest(k, ls)[-1]
-                if kth_lb > theta:
-                    theta = kth_lb
-    else:
+    if len(rows) > cap:  # sum-UB fallback: per-term scalar thresholds
         w = Window.partitionBy("term").orderBy(F.desc("__lb"))
         kth = (
             meta.withColumn("__rn", F.row_number().over(w))
@@ -3598,25 +3642,61 @@ def _blockmax_prune(
             (float(r["__lbk"]) for r in arows if r["__lbk"] is not None),
             default=0.0,
         )
-    stats = {"theta": theta, "ubmax": ubmax, "pruned": False, "thresholds": {}}
+        stats = {
+            "theta": theta,
+            "ubmax": ubmax,
+            "pruned": False,
+            "bound": "sum-ub",
+            "thresholds": {},
+        }
+        if theta <= 0.0:
+            return chunks, stats
+        margin = _margin(round_digits, theta)
+        s_max = sum(ubmax.values())
+        thresholds = {t: theta - margin - (s_max - u) for t, u in ubmax.items()}
+        if all(thr <= 0.0 for thr in thresholds.values()):
+            return chunks, stats  # bounds too loose: skip the filter
+        stats["pruned"] = True
+        stats["thresholds"] = thresholds
+        tpairs = []
+        for t, thr in thresholds.items():
+            tpairs.extend([F.lit(t), F.lit(thr)])
+        thr_col = F.create_map(*tpairs)[F.col("term")]
+        return chunks.filter(ub_expr >= thr_col), stats
+
+    terms_a = np.array([r["term"] for r in rows], dtype=object)
+    lo_a = np.array([r["first_docid"] for r in rows], dtype=np.int64)
+    hi_a = np.array([r["last_docid"] for r in rows], dtype=np.int64)
+    ub_a = np.array([r["__ub"] for r in rows], dtype=np.float64)
+    lb_a = np.array([r["__lb"] for r in rows], dtype=np.float64)
+    uniq, codes = np.unique(terms_a, return_inverse=True)
+    ubmax = {}
+    theta = 0.0
+    for ti, t in enumerate(uniq):
+        m = codes == ti
+        ubmax[t] = float(ub_a[m].max())
+        ls = lb_a[m]
+        if ls.size >= k:
+            kth_lb = float(np.partition(ls, ls.size - k)[ls.size - k])
+            if kth_lb > theta:
+                theta = kth_lb
+    stats = {
+        "theta": theta,
+        "ubmax": ubmax,
+        "pruned": False,
+        "bound": "bmm-window",
+        "thresholds": {},
+        "chunks_total": int(len(rows)),
+    }
     if theta <= 0.0:
         return chunks, stats
-    margin = (
-        2.0 * 10.0 ** (-round_digits)
-        if round_digits is not None
-        else 1e-9 * (1.0 + theta)
-    )
-    s_max = sum(ubmax.values())
-    thresholds = {t: theta - margin - (s_max - u) for t, u in ubmax.items()}
-    if all(thr <= 0.0 for thr in thresholds.values()):
-        return chunks, stats  # bounds too loose to cut anything: skip filter
+    win = chunk_window_max(codes, lo_a, hi_a, ub_a)
+    keep = win >= theta - _margin(round_digits, theta)
+    stats["chunks_kept"] = int(keep.sum())
+    if keep.all():
+        return chunks, stats
     stats["pruned"] = True
-    stats["thresholds"] = thresholds
-    tpairs = []
-    for t, thr in thresholds.items():
-        tpairs.extend([F.lit(t), F.lit(thr)])
-    thr_col = F.create_map(*tpairs)[F.col("term")]
-    return chunks.filter(ub_expr >= thr_col), stats
+    return _keep_chunks_by_key(chunks, terms_a, lo_a, keep), stats
 
 
 def _batch_blockmax_prune(
@@ -3631,76 +3711,69 @@ def _batch_blockmax_prune(
 ) -> tuple[DataFrame, dict]:
     """Theta chunk skipping for the BATCHED scorer: ONE shared metadata
     job prices every chunk, each eligible disjunctive query derives its
-    own theta/thresholds, and a chunk is kept iff ANY query still needs
-    it (per-term threshold = min over that term's queries; terms of
-    conjunctive or gate-ineligible queries keep everything). Dropping a
-    chunk only when EVERY query's bound excludes it preserves each
-    query's exact top-k by the single-query soundness argument applied
-    per query."""
-    NEG = float("-inf")
+    own theta and runs the windowed (BMM) sweep over ITS terms' chunks,
+    and a chunk is kept iff ANY query still needs it (terms of
+    conjunctive or gate-ineligible queries keep everything — recorded in
+    ``stats['protected_terms']``). Dropping a chunk only when EVERY
+    query's bound excludes it preserves each query's exact top-k by the
+    single-query soundness argument applied per query."""
+    from miru_spark.plans.chunkprune import chunk_window_max
+
     gate = _PRUNE_MIN_POSTINGS if prune_gate is None else prune_gate
     idf = bm25.idf_col(F.col("df_global").cast("double"), F.lit(float(n_docs)))
     ub_expr = idf * chunk_upper_col(avgdl)
     lb_expr = idf * chunk_lower_col(avgdl)
-    meta = chunks.select(F.col("term"), ub_expr.alias("__ub"), lb_expr.alias("__lb"))
+    meta = chunks.select(
+        F.col("term"),
+        F.col("first_docid"),
+        F.col("last_docid"),
+        ub_expr.alias("__ub"),
+        lb_expr.alias("__lb"),
+    )
     cap = 1 << 20
     rows = meta.limit(cap + 1).collect()
-    stats: dict = {"pruned": False, "thetas": {}, "thresholds": {}}
+    stats: dict = {"pruned": False, "thetas": {}, "protected_terms": []}
     if len(rows) > cap:  # pathological chunk count: skip rather than spill
         return chunks, stats
-    ubmax: dict[str, float] = {}
-    lbs: dict[str, list[float]] = {}
-    for r in rows:
-        t = r["term"]
-        u, lo = float(r["__ub"]), float(r["__lb"])
-        if u > ubmax.get(t, 0.0):
-            ubmax[t] = u
-        lbs.setdefault(t, []).append(lo)
-    thr: dict[str, float] = {}
+    terms_a = np.array([r["term"] for r in rows], dtype=object)
+    lo_a = np.array([r["first_docid"] for r in rows], dtype=np.int64)
+    hi_a = np.array([r["last_docid"] for r in rows], dtype=np.int64)
+    ub_a = np.array([r["__ub"] for r in rows], dtype=np.float64)
+    lb_a = np.array([r["__lb"] for r in rows], dtype=np.float64)
+    uniq, codes = np.unique(terms_a, return_inverse=True)
+    code_of = {t: i for i, t in enumerate(uniq)}
+    kth_lb: dict[str, float] = {}
+    for ti, t in enumerate(uniq):
+        ls = lb_a[codes == ti]
+        if ls.size >= k:
+            kth_lb[t] = float(np.partition(ls, ls.size - k)[ls.size - k])
+    keep = np.zeros(len(rows), dtype=bool)
+    protected: set[str] = set()
     for qi, (terms, mode) in enumerate(queries):
         uterms = list(dict.fromkeys(terms))
-        present = [t for t in uterms if t in ubmax]
+        present = [t for t in uterms if t in code_of]
         eligible = (
             mode == "disjunctive"
             and present
-            and min(term_dfs.get(t, 0) for t in present) >= gate
+            and sum(term_dfs.get(t, 0) for t in present) >= gate
         )
-        if not eligible:
-            for t in uterms:
-                thr[t] = NEG
-            continue
-        theta_q = 0.0
-        for t in present:
-            ls = lbs.get(t, [])
-            if len(ls) >= k:
-                kth = heapq.nlargest(k, ls)[-1]
-                if kth > theta_q:
-                    theta_q = kth
-        if theta_q <= 0.0:
-            for t in uterms:
-                thr[t] = NEG
+        theta_q = max((kth_lb.get(t, 0.0) for t in present), default=0.0)
+        if not eligible or theta_q <= 0.0:
+            protected.update(present)
             continue
         stats["thetas"][qi] = theta_q
-        margin = (
-            2.0 * 10.0 ** (-round_digits)
-            if round_digits is not None
-            else 1e-9 * (1.0 + theta_q)
+        sub = np.flatnonzero(
+            np.isin(codes, np.array([code_of[t] for t in present]))
         )
-        s_max = sum(ubmax[t] for t in present)
-        for t in present:
-            v = theta_q - margin - (s_max - ubmax[t])
-            thr[t] = min(thr.get(t, float("inf")), v)
-    if not any(v > 0.0 for v in thr.values() if v != NEG):
+        win = chunk_window_max(codes[sub], lo_a[sub], hi_a[sub], ub_a[sub])
+        keep[sub] |= win >= theta_q - _margin(round_digits, theta_q)
+    if protected:
+        keep |= np.isin(codes, np.array([code_of[t] for t in protected]))
+        stats["protected_terms"] = sorted(protected)
+    if keep.all():
         return chunks, stats
     stats["pruned"] = True
-    stats["thresholds"] = {t: v for t, v in thr.items() if v != NEG}
-    tpairs = []
-    for t, v in thr.items():
-        tpairs.extend([F.lit(t), F.lit(v if v != NEG else -1e300)])
-    thr_col = F.coalesce(
-        F.create_map(*tpairs)[F.col("term")], F.lit(-1e300)
-    )
-    return chunks.filter(ub_expr >= thr_col), stats
+    return _keep_chunks_by_key(chunks, terms_a, lo_a, keep), stats
 
 
 #: last _blockmax_prune stats from search_distributed (observability/tests)
@@ -3772,16 +3845,16 @@ def search_distributed(
         # theta-based chunk skipping (soundness + gates documented above);
         # exclude/where/tombstones remove docs post-agg, which would break
         # the "k docs reach theta" guarantee, so those paths stay unpruned.
-        # Gate on the MINIMUM df across present terms (driver-side term
-        # dictionary — a pyarrow seek, no Spark job): idf is decreasing in
-        # df, so the rarest term is the score-dominant one, and only the
-        # dominant term's chunks can clear the sum-UB slack
-        # (threshold_t = theta - (S_max - ubmax_t) > 0 needs ubmax_t near
-        # the max). If that term is small, the prunable decode volume
-        # cannot repay the metadata job — skip it.
+        # Gate on the TOTAL postings volume across present terms
+        # (driver-side term dictionary — a pyarrow seek, no Spark job):
+        # the windowed bound can prune ANY term's chunks wherever the
+        # stacked coverage is weak (not just the score-dominant term, the
+        # sum-UB-era rationale for a min-df gate), so the right question
+        # is whether the prunable decode volume can repay the metadata
+        # job — which scales with the summed df.
         gate = _PRUNE_MIN_POSTINGS if prune_gate is None else prune_gate
         dfs_dict = reader.term_dfs(terms)
-        if dfs_dict and min(dfs_dict.values()) >= gate:
+        if dfs_dict and sum(dfs_dict.values()) >= gate:
             chunks, LAST_PRUNE_STATS = _blockmax_prune(
                 chunks, k, n_docs, avgdl, boost_map, round_digits
             )
@@ -3941,7 +4014,7 @@ def search_many_distributed(
         if any(
             m == "disjunctive"
             and (p := [t for t in dict.fromkeys(ts) if t in term_dfs])
-            and min(term_dfs[t] for t in p)
+            and sum(term_dfs[t] for t in p)
             >= (_PRUNE_MIN_POSTINGS if prune_gate is None else prune_gate)
             for ts, m in queries
         ):

@@ -9,14 +9,17 @@ Protocol:
      realistic input shape.
   2. Per level (local[8], local[32]): fresh JVM, Python-worker warm-up, then
      1 warm-up build + T timed builds of the SAME index from the SAME input.
-  3. Levels alternate (8,32,8,32,...) across trials and the BEST throughput
-     per level is reported: this sandbox VM has visible steal time /
-     noisy-neighbor variance of up to 2-3x on identical runs, and min-of-N
-     at alternating times is the standard estimator for the machine-
-     independent cost.
+  3. Levels alternate (2,8,32 per trial, trials back-to-back). The headline
+     efficiency is the MEDIAN over trials of the SAME-TRIAL ratio
+     fps@8 / (4 * fps@2): each trial's readings share one machine window,
+     so noisy-neighbor variance (2-3x on this VM) perturbs numerator and
+     denominator together instead of letting one trial's quiet 2-core best
+     pair against another trial's stolen 8-core reading (the r4
+     cross-check artifact). Per-level best-of is kept as a reference
+     diagnostic only.
 
-Efficiency = files/sec@32 / (4 * files/sec@8). Writes BENCH/scaling.json and
-prints a summary. Usage:
+Efficiency = files/sec@8 / (4 * files/sec@2), median over trials. Writes
+BENCH/scaling.json and prints a summary. Usage:
     python scripts/scaling_bench.py [--replicas 400] [--trials 3]
 """
 
@@ -121,24 +124,49 @@ def main() -> None:
         print(f"preparing scaled corpus ({args.replicas}x) -> {corpus}", flush=True)
         _run_py(PREP, [str(args.replicas), corpus, args.sf_dir])
 
+    import statistics
+
     results: dict[int, dict] = {}
+    trials_out: list[dict[int, dict]] = []
     for t in range(args.trials):
+        row: dict[int, dict] = {}
         for cpus in (2, 8, 32):
             out = _run_py(CHILD, [str(cpus), corpus, str(args.timed_per_trial)], cpus=cpus)
             line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
             print(f"trial {t} local[{cpus}]: {r}", flush=True)
+            row[cpus] = r
             if cpus not in results or r["files_per_sec"] > results[cpus]["files_per_sec"]:
                 results[cpus] = r
+        trials_out.append(row)
 
-    eff_2_8 = results[8]["files_per_sec"] / (4 * results[2]["files_per_sec"])
-    eff_8_32 = results[32]["files_per_sec"] / (4 * results[8]["files_per_sec"])
+    # SAME-TRIAL pairings (judge r4 item #3): each trial runs its 2/8/32
+    # readings back-to-back inside one machine window, so its efficiency
+    # ratio is internally consistent; the median over trials is robust to
+    # one noisy window. Best-of-per-level cross-pairing (a quiet trial's
+    # 2-core best against another trial's stolen 8-core reading) produced
+    # the 0.798/0.683 artifacts recorded in BENCH/BASELINE.md §1 and is
+    # kept only as a reference diagnostic.
+    eff_2_8_trials = [
+        row[8]["files_per_sec"] / (4 * row[2]["files_per_sec"])
+        for row in trials_out
+    ]
+    eff_8_32_trials = [
+        row[32]["files_per_sec"] / (4 * row[8]["files_per_sec"])
+        for row in trials_out
+    ]
+    eff_2_8 = statistics.median(eff_2_8_trials)
+    eff_8_32 = statistics.median(eff_8_32_trials)
+    best_eff_2_8 = results[8]["files_per_sec"] / (4 * results[2]["files_per_sec"])
     summary = {
         "local2": results[2],
         "local8": results[8],
         "local32": results[32],
         "scaling_efficiency_N_to_4N": round(eff_2_8, 3),
         "scaling_efficiency_8_to_32": round(eff_8_32, 3),
+        "per_trial_efficiency_2_8": [round(e, 3) for e in eff_2_8_trials],
+        "per_trial_efficiency_8_32": [round(e, 3) for e in eff_8_32_trials],
+        "best_of_cross_pair_2_8_reference_only": round(best_eff_2_8, 3),
         "meets_0.8": eff_2_8 >= 0.8,
         "note": "2->8 cores is the N-vs-4N proxy below the single-socket "
         "memory-bandwidth ceiling; 8->32 shares one memory bus (a real "
@@ -147,8 +175,10 @@ def main() -> None:
         "replicas": args.replicas,
         "n_docs": results[8]["n_docs"],
         "protocol": "identical job (128 logical partitions, 64 shuffle "
-        "partitions), tmpfs storage, alternating trials, best-of per level "
-        "(noisy-neighbor VM)",
+        "partitions), tmpfs storage, alternating trials; headline = MEDIAN "
+        "of SAME-TRIAL efficiency ratios (never cross-pairs machine "
+        "windows); per-level best-of kept as reference only",
+        "estimator": "median(per-trial fps8/(4*fps2))",
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(summary, indent=1))

@@ -61,11 +61,10 @@ def test_batch_theta_prune_identical_and_skips(reader):
         got.setdefault(int(r["query_id"]), []).append(
             (int(r["doc_id"]), float(r["score"]))
         )
-    # thetas were derived, but 'the' is protected by the conjunctive query
-    # and 'license' cannot clear the sum-UB slack — correctly NO pruning
-    # on this mix (and never a threshold for the conjunctive-shared term)
+    # thetas were derived; 'the' is shared with the conjunctive query, so
+    # keep-if-any-query-needs-it must protect every one of its chunks
     assert S.LAST_PRUNE_STATS.get("thetas"), S.LAST_PRUNE_STATS
-    assert "the" not in S.LAST_PRUNE_STATS["thresholds"]
+    assert "the" in S.LAST_PRUNE_STATS.get("protected_terms", [])
     for qid, (terms, mode) in enumerate(batch):
         single = [
             (int(r["doc_id"]), float(r["score"]))
