@@ -82,6 +82,258 @@ def _stem_en(t):
     )
     return F.when(strip, t.substr(F.lit(1), F.length(t) - 1)).otherwise(t)
 
+# ---------------------------------------------------------------------------
+# Multilingual analysis (round 5 — VERDICT r4 #6): per-language stop sets
+# and minimal plural stemmers, dispatched by the corpus ``lang`` column.
+# The rule tables below are PINNED HERE as the spec. Their shape follows
+# Lucene's public per-language *MinimalStemFilter family (plural-only
+# suffix stripping; full Snowball is deliberately out of scope), but the
+# exact tables are this engine's own, chosen so that every rule is a
+# single-pass CASE over length/suffix tests — i.e. every stage is a
+# whole-stage-codegen built-in on the Spark side and a 1:1 CASE expression
+# on the DuckDB side (same discipline as the english chain, A62).
+# Languages without rules (e.g. zh — CJK segmentation is out of scope for
+# this whitespace corpus) pass through lowercase+split unchanged.
+
+MULTILANG_STOPWORDS: dict[str, list[str]] = {
+    "en": list(ENGLISH_STOPWORDS),
+    "es": (
+        "de la que el en y a los se del las un por con no una su para "
+        "es al lo como mas pero sus le"
+    ).split(),
+    "de": (
+        "der die das und in den von zu mit sich des auf für ist im dem "
+        "nicht ein eine als auch es an"
+    ).split(),
+    "fr": (
+        "le la les de des du et en un une que qui dans pour sur au aux "
+        "avec ne se ce il est pas par plus"
+    ).split(),
+}
+
+
+def _stem_es_col(t: Column) -> Column:
+    """Pinned Spanish minimal stem (plural-only): -ces -> -z (luces ->
+    luz); strip -es after r/l/n/d/j/z (redes -> red); else strip one
+    final -s (datos -> dato; never -ss/-us)."""
+    ln = F.length(t)
+    return (
+        F.when(
+            (ln >= 5) & t.endswith("ces"),
+            F.concat(t.substr(F.lit(1), ln - 3), F.lit("z")),
+        )
+        .when(
+            (ln >= 5)
+            & t.endswith("es")
+            & t.substr(ln - 2, F.lit(1)).isin("r", "l", "n", "d", "j", "z"),
+            t.substr(F.lit(1), ln - 2),
+        )
+        .when(
+            (ln >= 4) & t.endswith("s") & ~t.endswith("ss") & ~t.endswith("us"),
+            t.substr(F.lit(1), ln - 1),
+        )
+        .otherwise(t)
+    )
+
+
+def _stem_de_col(t: Column) -> Column:
+    """Pinned German minimal stem: strip -ern, else -en/-er/-es, else one
+    of -e/-n/-s — longest suffix first, min stem length 4. No umlaut
+    normalization (documented divergence: Bäume does not reach Baum)."""
+    ln = F.length(t)
+    return (
+        F.when((ln >= 7) & t.endswith("ern"), t.substr(F.lit(1), ln - 3))
+        .when(
+            (ln >= 6)
+            & (t.endswith("en") | t.endswith("er") | t.endswith("es")),
+            t.substr(F.lit(1), ln - 2),
+        )
+        .when(
+            (ln >= 5) & (t.endswith("e") | t.endswith("n") | t.endswith("s")),
+            t.substr(F.lit(1), ln - 1),
+        )
+        .otherwise(t)
+    )
+
+
+def _stem_fr_col(t: Column) -> Column:
+    """Pinned French minimal stem: -eaux -> -eau (reseaux -> reseau,
+    BEFORE the -aux rule, which would mangle it), -aux -> -al (journaux
+    -> journal), else strip final -x or -s, else final -e (len >= 6)."""
+    ln = F.length(t)
+    return (
+        F.when((ln >= 6) & t.endswith("eaux"), t.substr(F.lit(1), ln - 1))
+        .when(
+            (ln >= 6) & t.endswith("aux"),
+            F.concat(t.substr(F.lit(1), ln - 3), F.lit("al")),
+        )
+        .when((ln >= 5) & t.endswith("x"), t.substr(F.lit(1), ln - 1))
+        .when((ln >= 5) & t.endswith("s"), t.substr(F.lit(1), ln - 1))
+        .when((ln >= 6) & t.endswith("e"), t.substr(F.lit(1), ln - 1))
+        .otherwise(t)
+    )
+
+
+_LANG_STEM_COL = {
+    "en": _stem_en,
+    "es": _stem_es_col,
+    "de": _stem_de_col,
+    "fr": _stem_fr_col,
+}
+
+
+def tokens_col_lang(content: Column | str, lang: Column | str) -> Column:
+    """Per-language analysis chain: lowercase -> whitespace split ->
+    ``lang``-routed stop set -> ``lang``-routed minimal stem. The dispatch
+    is ONE chain of ``when`` branches at the array level, so the whole
+    thing stays in codegen; languages without rules pass through."""
+    col = F.col(content) if isinstance(content, str) else content
+    lg = F.col(lang) if isinstance(lang, str) else lang
+    base = F.filter(
+        F.split(F.lower(col), r"\s+"), lambda t: t != F.lit("")
+    )
+    out = None
+    for code, stem in _LANG_STEM_COL.items():
+        stops = MULTILANG_STOPWORDS[code]
+        branch = F.transform(
+            F.filter(base, lambda t: ~t.isin(*stops)), stem
+        )
+        out = (
+            F.when(lg == code, branch)
+            if out is None
+            else out.when(lg == code, branch)
+        )
+    return out.otherwise(base)
+
+
+def tokenize_py_lang(text: str, lang: str) -> list[str]:
+    """Driver-side twin of :func:`tokens_col_lang` for normalizing QUERY
+    text under a given language's chain."""
+    import re
+
+    toks = [t for t in re.split(r"\s+", text.lower()) if t]
+    if lang not in _LANG_STEM_COL:
+        return toks
+    stops = set(MULTILANG_STOPWORDS[lang])
+    toks = [t for t in toks if t not in stops]
+
+    def es(t: str) -> str:
+        if len(t) >= 5 and t.endswith("ces"):
+            return t[:-3] + "z"
+        if len(t) >= 5 and t.endswith("es") and t[-3] in "rlndjz":
+            return t[:-2]
+        if (
+            len(t) >= 4
+            and t.endswith("s")
+            and not t.endswith("ss")
+            and not t.endswith("us")
+        ):
+            return t[:-1]
+        return t
+
+    def de(t: str) -> str:
+        if len(t) >= 7 and t.endswith("ern"):
+            return t[:-3]
+        if len(t) >= 6 and t[-2:] in ("en", "er", "es"):
+            return t[:-2]
+        if len(t) >= 5 and t[-1] in "ens":
+            return t[:-1]
+        return t
+
+    def fr(t: str) -> str:
+        if len(t) >= 6 and t.endswith("eaux"):
+            return t[:-1]
+        if len(t) >= 6 and t.endswith("aux"):
+            return t[:-3] + "al"
+        if len(t) >= 5 and t[-1] in "xs":
+            return t[:-1]
+        if len(t) >= 6 and t.endswith("e"):
+            return t[:-1]
+        return t
+
+    def en(t: str) -> str:
+        if len(t) >= 4 and t.endswith("s") and t[-2] not in ("u", "s"):
+            return t[:-1]
+        return t
+
+    stem = {"en": en, "es": es, "de": de, "fr": fr}[lang]
+    return [stem(t) for t in toks]
+
+
+def _stem_sql(lang: str, t: str = "t") -> str:
+    """The DuckDB CASE twin of the pinned per-language stem rules —
+    generated beside the rules so the two can never drift silently."""
+    if lang == "en":
+        return (
+            f"CASE WHEN len({t}) >= 4 AND {t} LIKE '%s' "
+            f"AND {t} NOT LIKE '%us' AND {t} NOT LIKE '%ss' "
+            f"THEN substr({t}, 1, len({t}) - 1) ELSE {t} END"
+        )
+    if lang == "es":
+        return (
+            f"CASE WHEN len({t}) >= 5 AND {t} LIKE '%ces' "
+            f"THEN substr({t}, 1, len({t}) - 3) || 'z' "
+            f"WHEN len({t}) >= 5 AND {t} LIKE '%es' "
+            f"AND substr({t}, len({t}) - 2, 1) IN ('r','l','n','d','j','z') "
+            f"THEN substr({t}, 1, len({t}) - 2) "
+            f"WHEN len({t}) >= 4 AND {t} LIKE '%s' "
+            f"AND {t} NOT LIKE '%ss' AND {t} NOT LIKE '%us' "
+            f"THEN substr({t}, 1, len({t}) - 1) ELSE {t} END"
+        )
+    if lang == "de":
+        return (
+            f"CASE WHEN len({t}) >= 7 AND {t} LIKE '%ern' "
+            f"THEN substr({t}, 1, len({t}) - 3) "
+            f"WHEN len({t}) >= 6 AND (({t} LIKE '%en') OR ({t} LIKE '%er') "
+            f"OR ({t} LIKE '%es')) THEN substr({t}, 1, len({t}) - 2) "
+            f"WHEN len({t}) >= 5 AND (({t} LIKE '%e') OR ({t} LIKE '%n') "
+            f"OR ({t} LIKE '%s')) THEN substr({t}, 1, len({t}) - 1) "
+            f"ELSE {t} END"
+        )
+    if lang == "fr":
+        return (
+            f"CASE WHEN len({t}) >= 6 AND {t} LIKE '%eaux' "
+            f"THEN substr({t}, 1, len({t}) - 1) "
+            f"WHEN len({t}) >= 6 AND {t} LIKE '%aux' "
+            f"THEN substr({t}, 1, len({t}) - 3) || 'al' "
+            f"WHEN len({t}) >= 5 AND {t} LIKE '%x' "
+            f"THEN substr({t}, 1, len({t}) - 1) "
+            f"WHEN len({t}) >= 5 AND {t} LIKE '%s' "
+            f"THEN substr({t}, 1, len({t}) - 1) "
+            f"WHEN len({t}) >= 6 AND {t} LIKE '%e' "
+            f"THEN substr({t}, 1, len({t}) - 1) ELSE {t} END"
+        )
+    raise ValueError(f"no stem rules for lang {lang!r}")
+
+
+def multilang_tok_sql(decor_sql: str = "text") -> str:
+    """(doc_id, term) tokenization CTE body replicating the multilang
+    chain in DuckDB: per-``lang`` stop filter and stem CASE over the same
+    lowercase/whitespace split. ``decor_sql`` swaps the content expression
+    (e.g. a per-lang decorated corpus)."""
+    langs = list(_LANG_STEM_COL)
+    stop_pred = " AND ".join(
+        "NOT (lang = '{c}' AND t IN ({ws}))".format(
+            c=c,
+            ws=",".join(f"'{w}'" for w in MULTILANG_STOPWORDS[c]),
+        )
+        for c in langs
+    )
+    stem_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN lang = '{c}' THEN ({_stem_sql(c)})" for c in langs
+        )
+        + " ELSE t END"
+    )
+    return (
+        f"SELECT doc_id, {stem_case} AS term FROM ("
+        f"SELECT doc_id, lang, lower(unnest(string_split_regex("
+        f"{decor_sql}, '\\s+'))) AS t FROM documents) "
+        f"WHERE t <> '' AND {stop_pred}"
+    )
+
+
 # boundary-insert patterns, applied IN ORDER (acronym rule first so
 # 'HTTPResponse' -> 'HTTP Response' before the generic hump rule runs);
 # every consumer inserts a space between the two capture groups in its own
@@ -110,7 +362,7 @@ def doc_len_col(content: Column | str, mode: str = "whitespace") -> Column:
     the length is needed (docmap pass). The ``english`` mode drops stopwords,
     so its length needs the filtered array (stemming preserves count)."""
     col = F.col(content) if isinstance(content, str) else content
-    if mode in ("english", "edge", "shingle"):
+    if mode in ("english", "edge", "shingle", "multilang"):
         return F.size(tokens_col(col, mode)).cast("long")
     col = _prep_col(col, mode)
     return F.regexp_count(col, F.lit(_TOKEN_PATTERNS[mode])).cast("long")
@@ -125,6 +377,10 @@ def tokens_col(content: Column | str, mode: str = "whitespace") -> Column:
     stage expressible 1:1 in the DuckDB oracle (lower/LIKE/substr), so the
     full analysis chain is value-oracled end-to-end."""
     col = F.col(content) if isinstance(content, str) else content
+    if mode == "multilang":
+        # per-language chain, routed by the frame's own ``lang`` column
+        # (present in the canonical corpus schema end-to-end)
+        return tokens_col_lang(col, F.col("lang"))
     if mode == "ascii":
         # A77 asciifolding: lowercase -> pinned diacritic fold ->
         # whitespace split; one translate() keeps it in codegen
@@ -197,6 +453,11 @@ def tokenize_py(text: str, mode: str = "whitespace") -> list[str]:
     term lists) with the same semantics the content was indexed under."""
     import re
 
+    if mode == "multilang":
+        raise ValueError(
+            "multilang analysis is per-document-language — normalize query"
+            " text with tokenize_py_lang(text, lang) instead"
+        )
     if mode == "ascii":
         folded = text.lower().translate(str.maketrans(FOLD_SRC, FOLD_DST))
         return [t for t in re.split(r"\s+", folded) if t]

@@ -207,6 +207,7 @@ def build_segments(
         "doc_id",
         (F.col("doc_id") / F.lit(docs_per_part)).cast("long").alias("partition_id"),
         "content",
+        "lang",  # the multilang tokenizer routes its chain on this column
     )
     toks = tokens_col("content", tokenizer)
     return (

@@ -413,12 +413,23 @@ def _eval(node: Node, env: _Env) -> tuple[np.ndarray, np.ndarray]:
     raise TypeError(f"cannot evaluate {node!r}")  # BNot handled by BAnd
 
 
+DISTRIBUTED_CUTOFF = 1 << 23
+"""Summed leaf df (positive AND NOT-side terms — the driver decodes both)
+above which ``strategy="auto"`` serves the tree from
+:func:`search_bool_distributed` instead of the driver, mirroring the
+WAND/exhaustive hybrid's postings-volume routing."""
+
+LAST_ROUTE = "driver"
+"""Path taken by the last ``search_bool(strategy="auto")`` call."""
+
+
 def search_bool(
     reader: IndexReader,
     query: "Node | str",
     k: int = 10,
     where: dict | None = None,
     round_digits: int | None = 6,
+    strategy: str = "auto",
 ) -> list[tuple[int, float]]:
     """Serve a nested boolean query from the binary index (driver path).
 
@@ -426,10 +437,30 @@ def search_bool(
     algebra; scoring is Lucene BooleanQuery semantics (matching clauses
     sum, non-matching subtrees contribute zero). ``where`` composes the
     usual metadata filter at the root. Tombstoned docs never match.
+
+    ``strategy``: ``"auto"`` (default) stays driver-side below
+    :data:`DISTRIBUTED_CUTOFF` summed leaf df and routes to
+    :func:`search_bool_distributed` above it (collecting the k-row
+    result — identical semantics, where= included); ``"driver"`` /
+    ``"distributed"`` force a path.
     """
+    global LAST_ROUTE
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     node = _as_node(query)
     if k <= 0:
         return []
+    if strategy == "distributed" or (
+        strategy == "auto"
+        and sum(reader.term_dfs(_leaf_terms(node)[0]).values())
+        > DISTRIBUTED_CUTOFF
+    ):
+        LAST_ROUTE = "distributed"
+        rows = search_bool_distributed(
+            reader, node, k=k, round_digits=round_digits, where=where
+        ).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+    LAST_ROUTE = "driver"
     env = _Env(reader, node)
     ids, scores = _eval(node, env)
     if ids.size == 0:

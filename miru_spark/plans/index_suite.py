@@ -1525,6 +1525,12 @@ def _english_tok_sql() -> str:
         stops=",".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
     )
 
+
+def _multilang_tok_sql_decorated() -> str:
+    from miru_spark.functions.tokenize import multilang_tok_sql
+
+    return multilang_tok_sql(_ML_DECOR_SQL)
+
 _CODE_IDX: dict[str, str] = {}
 _CODE_SPLIT_IDX: dict[str, str] = {}
 _EN_IDX: dict[str, str] = {}
@@ -1624,6 +1630,70 @@ def q_english_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from miru_spark.functions.tokenize import tokenize_py
 
     terms = tokenize_py("Nodes and Trees", "english")  # -> [node, tree]
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_topk(reader, terms, mode="conjunctive", k=10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+_ML_IDX: dict[str, str] = {}
+
+# per-lang decorations: each appended phrase is PLURAL in its language, so
+# the singular-stem query only ranks correctly if the per-lang minimal
+# stemmer fired on that language's docs (and nobody else's — 'Redes Datos'
+# under the German chain would stem to 'red'/'dato' too, but only es docs
+# carry it)
+_ML_DECOR = {
+    "en": " Nodes Trees",
+    "es": " Redes Datos",
+    "de": " Knoten Felder",
+    "fr": " Arbres Reseaux",
+}
+
+_ML_DECOR_SQL = "text || CASE " + " ".join(
+    f"WHEN lang = '{c}' THEN '{d}'" for c, d in _ML_DECOR.items()
+) + " ELSE '' END"
+
+
+def q_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5 — the multilingual analysis chain (VERDICT r4 #6): per-
+    ``lang`` stop sets and pinned minimal stemmers (Snowball-lite CASE
+    rules, tokenize.py MULTILANG_STOPWORDS/_stem_*_col) routed by the
+    corpus lang column, end-to-end through build+serve. Every doc gets a
+    plural decoration in its own language; the query is the SPANISH
+    singular stems tokenize_py_lang('Redes Datos', 'es') -> [red, dato],
+    conjunctive — it matches exactly the es docs, with avgdl shifted by
+    every language's stop-set removal, so the whole per-lang chain must
+    round-trip the index identically to the SQL twin."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from miru_spark.functions.tokenize import tokenize_py_lang
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.plans.search import search_topk
+    from miru_spark.schema import read_corpus
+
+    if sf_dir not in _ML_IDX:
+        decor = None
+        for c, d in _ML_DECOR.items():
+            decor = (
+                F.when(F.col("lang") == c, F.lit(d))
+                if decor is None
+                else decor.when(F.col("lang") == c, F.lit(d))
+            )
+        corpus = read_corpus(spark, sf_dir).withColumn(
+            "content",
+            F.concat(F.col("content"), decor.otherwise(F.lit(""))),
+        )
+        path = tempfile.mkdtemp(prefix="miru_ml_") + "/idx"
+        build_index(spark, corpus, path, num_partitions=8,
+                    tokenizer="multilang")
+        _ML_IDX[sf_dir] = path
+    reader = IndexReader(spark, _ML_IDX[sf_dir])
+    terms = tokenize_py_lang("Redes Datos", "es")  # -> [red, dato]
     rows = [
         (int(d), round(float(s), 6))
         for d, s in search_topk(reader, terms, mode="conjunctive", k=10)
@@ -2539,6 +2609,12 @@ def register_all(register) -> None:
         ("english", q_english_analyzer,
          bm25_oracle_sql(["node", "tree"], "conjunctive",
                          tok_sql=_english_tok_sql()), DS),
+        # round-5 multilingual chain: per-lang stop sets + pinned minimal
+        # stemmers routed by the corpus lang column; query = Spanish
+        # singular stems [red, dato] over the per-lang-decorated corpus
+        ("multilang", q_multilang,
+         bm25_oracle_sql(["red", "dato"], "conjunctive",
+                         tok_sql=_multilang_tok_sql_decorated()), DS),
         # A70 edge n-gram autocomplete: prefixes indexed as terms, the raw
         # keystrokes 'jo ha' served as an exact conjunctive lookup
         ("edge_ngram", q_edge_ngram,

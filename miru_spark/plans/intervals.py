@@ -44,10 +44,17 @@ value-oracle-able and intentionally not replicated.
 Scale shape: one pruned positional fetch for the tree's distinct leaf
 terms (same fetch the phrase/near paths use), candidate docs =
 intersection/union sets mirroring the tree (numpy sorted-set algebra),
-then per-candidate interval assembly over tf-sized position lists. The
-driver-side path serves interactive queries; a corpus-scale filter would
-ride the distributed occurrence-join plan exactly as
-``search_phrase_distributed`` does.
+then ONE batched interval assembly over ALL candidates at once
+(:func:`_eval_tree_vec`): every node's satisfying intervals live in flat
+``(doc_rank, s, e)`` arrays and ``all_of`` folds children left-to-right
+with a vectorized per-doc cross product carrying exactly the DFS's
+running state and prune bounds — no per-candidate Python loop. The
+per-doc evaluator :func:`_eval_doc` stays as the semantics reference the
+batched path is fuzz-tested against. The driver-side path serves
+interactive queries; past :data:`DISTRIBUTED_CUTOFF` summed leaf df it
+auto-routes to the distributed occurrence-join plan
+(:func:`search_intervals_distributed`), exactly as the WAND/exhaustive
+hybrid routes on postings volume.
 """
 
 from __future__ import annotations
@@ -202,23 +209,246 @@ def _eval_doc(spec, pos_of: dict[str, np.ndarray]) -> list[tuple[int, int]]:
     raise TypeError(f"unknown interval node {type(spec).__name__}")
 
 
+# ---------------------------------------------------------------------------
+# Batched evaluation: _eval_doc's exact semantics over ALL candidate docs at
+# once. Every node's satisfying intervals are flat (doc_rank, s, e) int64
+# arrays (lexsorted by rank, then s, then e; deduped), so the per-candidate
+# Python DFS becomes a handful of numpy passes per tree node. all_of folds
+# children left-to-right; the fold state carries exactly what the DFS
+# carried — (start-of-first, running end, width sum) for ordered, (min
+# start, max end, width sum) for unordered — and applies the SAME prune
+# predicates at each step, so surviving state count == surviving DFS
+# branches. Fuzz-tested 1:1 against _eval_doc (tests/test_intervals.py).
+
+_POS_LIMIT = 1 << 32  # composite (rank << 32 | pos) packing bound
+
+
+def _cross_per_key(k1: np.ndarray, k2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Index arrays (i1, i2) forming the per-key cross product of two
+    ascending int64 key arrays — for each key present in BOTH, every
+    (element-of-k1, element-of-k2) pair in that key's groups. The numpy
+    form of the DFS's per-doc nested loop over (state, child-interval)."""
+    u = np.intersect1d(np.unique(k1), np.unique(k2), assume_unique=True)
+    if u.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    s1 = np.searchsorted(k1, u)
+    c1 = np.searchsorted(k1, u, side="right") - s1
+    s2 = np.searchsorted(k2, u)
+    c2 = np.searchsorted(k2, u, side="right") - s2
+    pairs = c1 * c2
+    off = np.concatenate([[0], np.cumsum(pairs)])
+    key_of = np.repeat(np.arange(u.size), pairs)
+    p = np.arange(int(off[-1])) - off[key_of]
+    return s1[key_of] + p // c2[key_of], s2[key_of] + p % c2[key_of]
+
+
+def _dedup_sorted_cols(*cols: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Lexsort rows by the given columns (first column = major key) and
+    drop duplicate rows."""
+    n = cols[0].size
+    if n == 0:
+        return cols
+    order = np.lexsort(tuple(reversed(cols)))
+    cols = tuple(c[order] for c in cols)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = True
+    for c in cols:
+        keep[1:] |= c[1:] != c[:-1]
+    return tuple(c[keep] for c in cols)
+
+
+def _group_max(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(unique_keys, per-key max of vals) for an ascending key array."""
+    uk = np.unique(keys)
+    if uk.size == 0:
+        return uk, uk
+    starts = np.searchsorted(keys, uk)
+    return uk, np.maximum.reduceat(vals, starts)
+
+
+def _lookup_or_zero(uk: np.ndarray, uv: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """uv[uk == key] per key, 0 where absent (sound for the unordered
+    optimistic bound: a missing future child kills the branch later
+    anyway, and a SMALLER remaining-width estimate only prunes branches
+    that cannot complete)."""
+    out = np.zeros(keys.size, dtype=np.int64)
+    if uk.size:
+        j = np.searchsorted(uk, keys)
+        m = (j < uk.size) & (uk[np.minimum(j, uk.size - 1)] == keys)
+        out[m] = uv[j[m]]
+    return out
+
+
+_EMPTY3 = (
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+)
+
+
+def _eval_tree_vec(
+    spec, occ: dict[str, tuple[np.ndarray, np.ndarray]]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ALL satisfying intervals of ``spec`` across every candidate doc:
+    ``occ`` maps term -> (doc_rank, pos) int64 arrays lexsorted by
+    (rank, pos); returns (rank, s, e) lexsorted by (rank, s, e), deduped.
+    Positions must be < 2^32 (asserted by the caller) so (rank, pos)
+    packs into one int64 key for the phrase intersection."""
+    if isinstance(spec, ITerm):
+        d = occ.get(spec.term)
+        if d is None:
+            return _EMPTY3
+        r, p = d
+        return r, p, p
+    if isinstance(spec, IPhrase):
+        d0 = occ.get(spec.terms[0])
+        if d0 is None:
+            return _EMPTY3
+        r, p = d0
+        keys = (r << 32) | p
+        for j, t in enumerate(spec.terms[1:], start=1):
+            dj = occ.get(t)
+            if dj is None:
+                return _EMPTY3
+            rj, pj = dj
+            m = pj >= j
+            keys = np.intersect1d(
+                keys, (rj[m] << 32) | (pj[m] - j), assume_unique=True
+            )
+            if keys.size == 0:
+                return _EMPTY3
+        n = len(spec.terms)
+        r, s = keys >> 32, keys & np.int64(_POS_LIMIT - 1)
+        return r, s, s + n - 1
+    if isinstance(spec, IAnyOf):
+        kids = [_eval_tree_vec(c, occ) for c in spec.children]
+        return _dedup_sorted_cols(
+            np.concatenate([kr for kr, _, _ in kids]),
+            np.concatenate([ks for _, ks, _ in kids]),
+            np.concatenate([ke for _, _, ke in kids]),
+        )
+    if isinstance(spec, IAllOf):
+        kids = [_eval_tree_vec(c, occ) for c in spec.children]
+        if any(kr.size == 0 for kr, _, _ in kids):
+            return _EMPTY3
+        gaps = spec.max_gaps
+        r0, s0, e0 = kids[0]
+        if spec.ordered:
+            # state = (rank, start-of-first-child, running end, width sum);
+            # DFS's j=0 budget check never fires (span == width), so the
+            # first child seeds the state unfiltered.
+            st = (r0, s0, e0, e0 - s0 + 1)
+            for cr, cs, ce in kids[1:]:
+                i1, i2 = _cross_per_key(st[0], cr)
+                ok = cs[i2] > st[2][i1]  # strictly after the running end
+                i1, i2 = i1[ok], i2[ok]
+                nr, ns0 = st[0][i1], st[1][i1]
+                ne = np.maximum(st[2][i1], ce[i2])
+                nw = st[3][i1] + (ce[i2] - cs[i2] + 1)
+                if gaps is not None:
+                    ok2 = (ne - ns0 + 1) - nw <= gaps
+                    nr, ns0, ne, nw = nr[ok2], ns0[ok2], ne[ok2], nw[ok2]
+                # identical states have identical futures: dedup is safe
+                # and caps the fanout the DFS re-walked branch by branch
+                st = _dedup_sorted_cols(nr, ns0, ne, nw)
+                if st[0].size == 0:
+                    return _EMPTY3
+            return _dedup_sorted_cols(st[0], st[1], st[2])
+        # unordered: state = (rank, min start, max end, width sum), with
+        # the DFS's optimistic bound — remaining children can at best add
+        # width without growing the span — as per-rank max-width sums.
+        rem: list[tuple[np.ndarray, np.ndarray]] | None = None
+        if gaps is not None:
+            maxw = [_group_max(cr, ce - cs + 1) for cr, cs, ce in kids]
+            rem = []
+            for j in range(1, len(kids)):
+                acc_k, acc_v = maxw[j]
+                for uk, uv in maxw[j + 1:]:
+                    allk = np.union1d(acc_k, uk)
+                    acc_v = _lookup_or_zero(acc_k, acc_v, allk) + _lookup_or_zero(
+                        uk, uv, allk
+                    )
+                    acc_k = allk
+                rem.append((acc_k, acc_v))
+        st = (r0, s0, e0, e0 - s0 + 1)
+        for j, (cr, cs, ce) in enumerate(kids[1:], start=1):
+            i1, i2 = _cross_per_key(st[0], cr)
+            nr = st[0][i1]
+            nmn = np.minimum(st[1][i1], cs[i2])
+            nmx = np.maximum(st[2][i1], ce[i2])
+            nw = st[3][i1] + (ce[i2] - cs[i2] + 1)
+            if gaps is not None:
+                rem_w = (
+                    _lookup_or_zero(rem[j][0], rem[j][1], nr)
+                    if j < len(kids) - 1
+                    else np.int64(0)
+                )
+                ok = (nmx - nmn + 1) - (nw + rem_w) <= gaps
+                nr, nmn, nmx, nw = nr[ok], nmn[ok], nmx[ok], nw[ok]
+            st = _dedup_sorted_cols(nr, nmn, nmx, nw)
+            if st[0].size == 0:
+                return _EMPTY3
+        return _dedup_sorted_cols(st[0], st[1], st[2])
+    raise TypeError(f"unknown interval node {type(spec).__name__}")
+
+
+DISTRIBUTED_CUTOFF = 1 << 23
+"""Summed leaf df above which ``strategy="auto"`` serves the query from
+the distributed occurrence-join plan instead of the driver: past ~8M
+postings the driver's fetch+decode dominates and the chunks stop fitting
+one node — the same postings-volume routing the WAND/exhaustive hybrid
+uses (``search._route_query``)."""
+
+LAST_ROUTE = "driver"
+"""Which path the last ``search_intervals(strategy="auto")`` call took
+(``"driver"`` | ``"distributed"``) — observability for tests and bench."""
+
+
 def search_intervals(
     reader: IndexReader,
     spec,
     k: int = 10,
     round_digits: int | None = 6,
     where: dict | None = None,
+    strategy: str = "auto",
 ) -> list[tuple[int, float]]:
     """Top-k docs matching the interval tree, ranked by the disjunctive
     BM25 sum over the tree's distinct leaf terms (score desc, doc_id asc).
+
+    ``strategy``: ``"auto"`` (default) serves driver-side below
+    :data:`DISTRIBUTED_CUTOFF` summed leaf df and routes to
+    :func:`search_intervals_distributed` above it (collecting the k-row
+    result); ``"driver"`` / ``"distributed"`` force a path. ``where``
+    pins the driver path (the distributed plan doesn't carry metadata
+    filters).
     """
+    global LAST_ROUTE
     from miru_spark.plans.search import _with_tombstones
 
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "distributed" and where is not None:
+        raise ValueError(
+            "the distributed interval plan doesn't carry metadata filters"
+            " — drop where= or use the driver path"
+        )
     terms = leaf_terms(spec)
     if not reader.positions:
         raise ValueError(
             "interval queries need a positional index (positions=True)"
         )
+    if strategy == "distributed" or (
+        strategy == "auto"
+        and where is None
+        and sum(reader.term_dfs(terms).values()) > DISTRIBUTED_CUTOFF
+    ):
+        LAST_ROUTE = "distributed"
+        rows = search_intervals_distributed(
+            reader, spec, k=k, round_digits=round_digits
+        ).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+    LAST_ROUTE = "driver"
     tps = reader.fetch_terms(terms, with_positions=True)
     data = {}
     for t, tp in tps.items():
@@ -269,18 +499,33 @@ def search_intervals(
     if cand.size == 0:
         return []
 
-    matched = []
-    for d in cand.tolist():
-        pos_of = {}
-        for t, (ids, tfs, _, pos, off) in data.items():
-            j = int(np.searchsorted(ids, d))
-            if j < ids.size and ids[j] == d:
-                pos_of[t] = np.sort(pos[off[j]: off[j + 1]])
-        if _eval_doc(spec, pos_of):
-            matched.append(d)
-    if not matched:
+    # batched evaluation over ALL candidates at once: per-term flat
+    # (doc_rank, pos) occurrence arrays (rank = index into the sorted
+    # candidate array, so the composite (rank << 32 | pos) key packing
+    # never overflows regardless of raw doc_id magnitude)
+    occ: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t, (ids, tfs, _, pos, off) in data.items():
+        hit = np.isin(ids, cand, assume_unique=True)
+        if not hit.any():
+            continue
+        docs_rep = np.repeat(ids[hit], tfs[hit])
+        if hit.all():
+            ps = pos
+        else:  # gather the hit docs' position slices in one pass
+            idx = np.flatnonzero(hit)
+            lens = tfs[idx]
+            cum = np.concatenate([[0], np.cumsum(lens)])
+            take = np.repeat(off[idx] - cum[:-1], lens) + np.arange(cum[-1])
+            ps = pos[take]
+        if ps.size and int(ps.max()) >= _POS_LIMIT:
+            raise ValueError("token position exceeds 2^32")
+        ranks = np.searchsorted(cand, docs_rep)
+        order = np.lexsort((ps, ranks))
+        occ[t] = (ranks[order], ps[order])
+    mr, _, _ = _eval_tree_vec(spec, occ)
+    if mr.size == 0:
         return []
-    v = np.array(matched, dtype=np.int64)
+    v = cand[np.unique(mr)]
     scores = np.zeros(v.size)
     for t, (ids, tfs, dls, _, _) in data.items():
         m = np.isin(v, ids, assume_unique=True)

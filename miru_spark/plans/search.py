@@ -2319,6 +2319,14 @@ def survivor_docs(keys: np.ndarray) -> np.ndarray:
     return np.unique(keys >> np.uint64(32)).astype(np.int64)
 
 
+PHRASE_DISTRIBUTED_CUTOFF = 1 << 23
+"""Summed phrase-term df above which ``strategy="auto"`` routes
+:func:`search_phrase` to the distributed occurrence-join plan."""
+
+LAST_PHRASE_ROUTE = "driver"
+"""Path taken by the last ``search_phrase(strategy="auto")`` call."""
+
+
 def search_phrase(
     reader: IndexReader,
     phrase: str,
@@ -2326,6 +2334,7 @@ def search_phrase(
     tokenizer: str = "whitespace",
     round_digits: int | None = 6,
     where: dict | None = None,
+    strategy: str = "auto",
 ) -> list[tuple[int, float]]:
     """Exact phrase search served ENTIRELY from the positional index — no
     corpus access. Candidates come from the conjunctive docid intersection
@@ -2336,10 +2345,25 @@ def search_phrase(
     phrase's distinct terms, identical to the relational twin.
 
     Requires an index built with ``positions=True``.
+
+    ``strategy``: ``"auto"`` (default) stays driver-side below
+    :data:`PHRASE_DISTRIBUTED_CUTOFF` summed term df and routes to
+    :func:`search_phrase_distributed` above it (collecting the k-row
+    result); ``"driver"`` / ``"distributed"`` force a path. ``where``
+    pins the driver path (the distributed plan doesn't carry metadata
+    filters).
     """
+    global LAST_PHRASE_ROUTE
     from miru_spark.functions.tokenize import tokenize_py
     from miru_spark.index.format import unpack_positions
 
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "distributed" and where is not None:
+        raise ValueError(
+            "the distributed phrase plan doesn't carry metadata filters"
+            " — drop where= or use the driver path"
+        )
     seq = tokenize_py(phrase, tokenizer)
     if not seq:
         raise ValueError("empty phrase")
@@ -2347,6 +2371,19 @@ def search_phrase(
         raise ValueError(
             "phrase search needs a positional index (build_index(positions=True))"
         )
+    if strategy == "distributed" or (
+        strategy == "auto"
+        and where is None
+        and sum(reader.term_dfs(list(dict.fromkeys(seq))).values())
+        > PHRASE_DISTRIBUTED_CUTOFF
+    ):
+        LAST_PHRASE_ROUTE = "distributed"
+        rows = search_phrase_distributed(
+            reader, phrase, k=k, tokenizer=tokenizer,
+            round_digits=round_digits,
+        ).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+    LAST_PHRASE_ROUTE = "driver"
     uterms = list(dict.fromkeys(seq))
     tps = reader.fetch_terms(uterms, with_positions=True)
     if len(tps) < len(uterms):

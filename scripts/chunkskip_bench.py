@@ -41,6 +41,17 @@ def main() -> None:
         "skip chunks on it — that case is reported separately.",
     )
     ap.add_argument("--target-chunk", type=int, default=None)
+    ap.add_argument(
+        "--pad-tokens",
+        type=int,
+        default=160,
+        help="filler tokens appended per padded doc (with --pad). 160 "
+        "(~4x doc_len) keeps padded per-term scores at ~60%% of unpadded "
+        "via tf saturation — the sum of TWO padded UBs still beats a "
+        "single-term theta, so the equal-strength control stays "
+        "unprunable; ~1600 (~30x) pushes padded scores under half and "
+        "lets the windowed bound prune the control too.",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -71,7 +82,7 @@ def main() -> None:
             F.concat(
                 F.col("text"),
                 F.lit(" "),
-                F.concat_ws(" ", F.array_repeat(F.lit("pad"), 160)),
+                F.concat_ws(" ", F.array_repeat(F.lit("pad"), args.pad_tokens)),
             ),
         ).otherwise(F.col("text"))
         if args.pad
@@ -97,11 +108,20 @@ def main() -> None:
     build_s = round(time.time() - t0, 2)
     reader = IndexReader(spark, idx)
 
-    # the three disjunctive shapes: single hot term (prunable), dominant
-    # rare term + weak hot term (dominant term's chunks prunable), and
-    # equal-strength hot terms (sum-UB slack: provably unprunable — the
-    # honest control; the gate must cost ~nothing there)
+    # the disjunctive shapes: single hot term (prunable), dominant rare
+    # term + weak hot term (dominant term's chunks prunable), equal-
+    # strength hot terms (the control: on a real-tf-variance corpus the
+    # max-tf doc in every padded chunk is tf-SATURATED, so padding barely
+    # dents the chunk FRONTIER — ~0.8x — and two frontiers still beat a
+    # one-term theta; the windowed bound prunes this shape only when the
+    # padded region is uniformly weak, pinned by the skew-corpus pytest),
+    # and — with --pad — the regional-coverage shape ('pad' exists ONLY
+    # in the padded half): the windowed bound's unique win, where the
+    # un-padded half's window UB is a single weak term and the global
+    # sum-UB rule could never prune because UB('pad') is large somewhere
     queries = [["the"], ["dup", "the"], ["the", "a"]]
+    if args.pad:
+        queries.append(["pad", "a"])
     out: dict = {
         "n_docs": int(reader.n_docs),
         "build_s": build_s,

@@ -429,3 +429,22 @@ def test_random_trees_match_reference(reader, ref_ctx):
         assert got == want, q
         checked += 1
     assert checked >= 35  # the generator must mostly produce valid trees
+
+
+def test_auto_routes_to_distributed_past_cutoff(reader, monkeypatch):
+    """Hot-leaf trees fall through to search_bool_distributed without the
+    caller asking (VERDICT r4 #4), identical results, where= included."""
+    from miru_spark.plans import booltree as B
+
+    q = "(the AND data) OR dup"
+    drv = search_bool(reader, q, k=10, strategy="driver")
+    assert B.LAST_ROUTE == "driver"
+    monkeypatch.setattr(B, "DISTRIBUTED_CUTOFF", 0)
+    assert search_bool(reader, q, k=10) == drv
+    assert B.LAST_ROUTE == "distributed"
+    w = {"lang": ["en"]}
+    want = search_bool(reader, q, k=10, where=w, strategy="driver")
+    assert search_bool(reader, q, k=10, where=w) == want
+    assert B.LAST_ROUTE == "distributed"
+    with pytest.raises(ValueError):
+        search_bool(reader, q, strategy="bogus")

@@ -200,3 +200,89 @@ def test_intervals_validation(pos_reader, reader):
     with pytest.raises(ValueError):  # non-positional index
         search_intervals(reader, ITerm("the"))
     assert leaf_terms(SPECS[4]) == ["join", "hash", "tree", "node"]
+
+
+# ---------------------------------------------------------------------------
+# Round 5: the batched evaluator (_eval_tree_vec) replaced the
+# per-candidate Python DFS inside search_intervals. _eval_doc stays as the
+# semantics reference; this fuzz pins the two 1:1 — matched doc sets AND
+# the full satisfying-interval relations — across random corpora and trees.
+
+
+def _random_spec(rng, terms, depth=0):
+    roll = rng.random()
+    if depth >= 2 or roll < 0.25:
+        return ITerm(rng.choice(terms))
+    if roll < 0.40:
+        n = rng.integers(2, 4)
+        return IPhrase(tuple(rng.choice(terms) for _ in range(n)))
+    kids = tuple(
+        _random_spec(rng, terms, depth + 1)
+        for _ in range(rng.integers(1, 4))
+    )
+    if roll < 0.65:
+        return IAnyOf(kids)
+    gaps = None if rng.random() < 0.4 else int(rng.integers(0, 8))
+    return IAllOf(kids, ordered=bool(rng.integers(0, 2)), max_gaps=gaps)
+
+
+def test_vectorized_eval_fuzz_matches_dfs():
+    from miru_spark.plans.intervals import _eval_tree_vec
+
+    rng = np.random.default_rng(84)
+    terms = ["a", "b", "c", "d"]
+    for trial in range(60):
+        n_docs = int(rng.integers(1, 12))
+        pos_by_doc = []
+        for _ in range(n_docs):
+            pm = {}
+            for t in terms:
+                n = int(rng.integers(0, 6))
+                if n:
+                    pm[t] = np.sort(
+                        rng.choice(np.arange(25), size=n, replace=False)
+                    ).astype(np.int64)
+            pos_by_doc.append(pm)
+        occ = {}
+        for t in terms:
+            rs, ps = [], []
+            for d, pm in enumerate(pos_by_doc):
+                if t in pm:
+                    rs.append(np.full(pm[t].size, d, dtype=np.int64))
+                    ps.append(pm[t])
+            if rs:
+                occ[t] = (np.concatenate(rs), np.concatenate(ps))
+        spec = _random_spec(rng, terms)
+        vr, vs, ve = _eval_tree_vec(spec, occ)
+        got = {}
+        for r, s, e in zip(vr.tolist(), vs.tolist(), ve.tolist()):
+            got.setdefault(r, []).append((s, e))
+        want = {
+            d: _eval_doc(spec, pm)
+            for d, pm in enumerate(pos_by_doc)
+            if _eval_doc(spec, pm)
+        }
+        assert got == want, (trial, spec)
+
+
+def test_auto_routes_to_distributed_past_cutoff(pos_reader, monkeypatch):
+    """Hot-leaf trees must fall through to the distributed plan without
+    the caller asking (VERDICT r4 #4), with identical results."""
+    from miru_spark.plans import intervals as iv
+
+    spec = SPECS[3]
+    drv = search_intervals(pos_reader, spec, k=10, strategy="driver")
+    assert iv.LAST_ROUTE == "driver"
+    monkeypatch.setattr(iv, "DISTRIBUTED_CUTOFF", 0)
+    routed = search_intervals(pos_reader, spec, k=10)
+    assert iv.LAST_ROUTE == "distributed"
+    assert routed == drv
+    # where= pins the driver path (the distributed plan has no filters)
+    search_intervals(pos_reader, spec, k=10, where={"lang": ["en"]})
+    assert iv.LAST_ROUTE == "driver"
+    with pytest.raises(ValueError):
+        search_intervals(
+            pos_reader, spec, strategy="distributed", where={"lang": ["en"]}
+        )
+    with pytest.raises(ValueError):
+        search_intervals(pos_reader, spec, strategy="bogus")

@@ -7,7 +7,11 @@ import math
 import pytest
 
 from miru_spark.plans.relational import phrase_prefix_oracle_sql
-from miru_spark.plans.search import search_phrase_prefix, search_synonym
+from miru_spark.plans.search import (
+    search_phrase,
+    search_phrase_prefix,
+    search_synonym,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -146,3 +150,24 @@ def test_grammar_quoted_prefix_phrase(pos_reader):
     assert search(pos_reader, '"the a"', k=10) == search_phrase(
         pos_reader, "the a", k=10
     )
+
+
+def test_phrase_auto_routes_to_distributed_past_cutoff(pos_reader, monkeypatch):
+    """Hot phrases fall through to search_phrase_distributed without the
+    caller asking (VERDICT r4 #4), with identical results."""
+    from miru_spark.plans import search as S
+
+    drv = search_phrase(pos_reader, "the a", k=10, strategy="driver")
+    assert S.LAST_PHRASE_ROUTE == "driver"
+    monkeypatch.setattr(S, "PHRASE_DISTRIBUTED_CUTOFF", 0)
+    assert search_phrase(pos_reader, "the a", k=10) == drv
+    assert S.LAST_PHRASE_ROUTE == "distributed"
+    # where= pins the driver path
+    search_phrase(pos_reader, "the a", k=10, where={"lang": ["en"]})
+    assert S.LAST_PHRASE_ROUTE == "driver"
+    with pytest.raises(ValueError):
+        search_phrase(
+            pos_reader, "the a", strategy="distributed", where={"lang": ["en"]}
+        )
+    with pytest.raises(ValueError):
+        search_phrase(pos_reader, "the a", strategy="bogus")
