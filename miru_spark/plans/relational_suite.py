@@ -716,6 +716,17 @@ GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey LIMIT 200
 """
 
 
+from miru_spark.plans.geo import (  # noqa: E402  (geo family, round 5)
+    SQL_GEO_BBOX,
+    SQL_GEO_DISTANCE,
+    SQL_GEO_RINGS,
+    SQL_GEO_TILES,
+    q_geo_bbox,
+    q_geo_distance,
+    q_geo_rings,
+    q_geo_tiles,
+)
+
 QUERIES = {
     "rel_b01_projection": (q_b01_projection, SQL_B01),
     "rel_b02_filter": (q_b02_filter, SQL_B02),
@@ -744,6 +755,12 @@ QUERIES = {
     "rel_b25_map_in_arrow": (q_b25_map_in_arrow, SQL_B25),
     "rel_b26_grouped_agg_udaf": (q_b26_grouped_agg_udaf, SQL_B26),
     "rel_b27_cogroup": (q_b27_cogroup, SQL_B27),
+    # geo family (round 5, plans/geo.py): deterministic derived geo_point,
+    # ES geo_distance / geo_bounding_box / distance rings / geotile_grid
+    "geo_distance": (q_geo_distance, SQL_GEO_DISTANCE),
+    "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
+    "geo_rings": (q_geo_rings, SQL_GEO_RINGS),
+    "geo_tiles": (q_geo_tiles, SQL_GEO_TILES),
 }
 
 # per-query output columns (for the tagged-union composite oracle branches)
@@ -776,6 +793,10 @@ COLUMNS = {
     "rel_b24_apply_in_pandas": ("lang", "n_docs", "total_chars", "max_chars"),
     "rel_b25_map_in_arrow": ("doc_id", "text_len"),
     "rel_b27_cogroup": ("o_orderkey", "o_totalprice", "net_cents", "n_lines"),
+    "geo_distance": ("event_id", "dist_m"),
+    "geo_bbox": ("event_type", "n", "sum_value"),
+    "geo_rings": ("ring", "n"),
+    "geo_tiles": ("tile_x", "tile_y", "n"),
 }
 
 # operator-family composites: 27 individual cases -> 11 driver entries
@@ -791,6 +812,9 @@ GROUPS = {
     "rel_set_explode": ("rel_b15_set_ops", "rel_b16_explode"),
     "rel_scalar_funcs": (
         "rel_b17_strings", "rel_b18_sha", "rel_b19_math", "rel_b20_dates",
+        # round 5: the ES geo family rides the scalar-math composite (pure
+        # codegen trig + hash aggs over a deterministic derived geo_point)
+        "geo_distance", "geo_bbox", "geo_rings", "geo_tiles",
     ),
     "rel_nested": ("rel_b21_arrays", "rel_b22_json"),
     "rel_pandas_arrow": ("rel_b23_pandas_udf", "rel_b25_map_in_arrow"),
