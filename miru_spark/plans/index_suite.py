@@ -456,6 +456,51 @@ def _mk_ext_stats(terms, mode):
     return run
 
 
+def _mk_string_stats(terms, mode, col):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_string_stats
+
+        reader = ensure_index(spark, sf_dir)
+        return search_string_stats(reader, terms, mode=mode, col=col)
+
+    return run
+
+
+def _mk_mad(terms, mode):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_mad
+
+        reader = ensure_index(spark, sf_dir)
+        return search_mad(reader, terms, mode=mode, col="doc_len")
+
+    return run
+
+
+def _mk_boxplot(terms, mode):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_boxplot
+
+        reader = ensure_index(spark, sf_dir)
+        return search_boxplot(reader, terms, mode=mode, col="doc_len")
+
+    return run
+
+
+def _mk_t_test(terms_a, terms_b, mode):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_t_test
+
+        reader = ensure_index(spark, sf_dir)
+        return search_t_test(reader, terms_a, terms_b, mode=mode,
+                             col="doc_len")
+
+    return run
+
+
 def _mk_term_vector(doc_id):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.search import term_vector
@@ -2102,6 +2147,10 @@ def register_all(register) -> None:
         extended_stats_oracle_sql,
         facet_rollup_oracle_sql,
         field_stats_oracle_sql,
+        string_stats_oracle_sql,
+        mad_oracle_sql,
+        boxplot_oracle_sql,
+        t_test_oracle_sql,
         percentile_ranks_oracle_sql,
         histogram_oracle_sql,
         matrix_stats_oracle_sql,
@@ -2496,6 +2545,31 @@ def register_all(register) -> None:
          percentile_ranks_oracle_sql(["the", "a"], [5.0, 30.0, 55.0, 500.0],
                                      "conjunctive"),
          ("value", "pct_rank")),
+        # string_stats (ES string_stats): length stats + base-2 character
+        # entropy of the candidates' lang values, exact integer counts
+        ("bm25_index_string_stats",
+         _mk_string_stats(["the", "a"], "conjunctive", "lang"),
+         string_stats_oracle_sql(["the", "a"], "conjunctive", "lang"),
+         ("n_vals", "min_len", "max_len", "avg_len", "entropy")),
+        # median_absolute_deviation (ES MAD, exact variant): robust
+        # dispersion — median(|doc_len - median|), quantile_cont identity
+        ("bm25_index_mad",
+         _mk_mad(["the", "a"], "conjunctive"),
+         mad_oracle_sql(["the", "a"], "conjunctive"),
+         ("n_docs", "median_v", "mad")),
+        # boxplot (ES boxplot, exact variant): min/q1/q2/q3/max/IQR in one
+        # map-side-combined agg
+        ("bm25_index_boxplot",
+         _mk_boxplot(["the", "a"], "conjunctive"),
+         boxplot_oracle_sql(["the", "a"], "conjunctive"),
+         ("n_docs", "min_v", "max_v", "q1", "q2", "q3", "iqr")),
+        # t_test (ES t_test, Welch variant pinned to t_stat + dof): doc_len
+        # compared between the 'the'-AND-'a' and 'dup' candidate sets,
+        # exact integer moment sums both sides
+        ("bm25_index_t_test",
+         _mk_t_test(["the", "a"], ["dup"], "conjunctive"),
+         t_test_oracle_sql(["the", "a"], ["dup"], "conjunctive"),
+         ("n_a", "n_b", "mean_a", "mean_b", "t_stat", "welch_df")),
         # A73 matrix_stats (ES matrix_stats): exact-integer moment sums ->
         # means/variances/covariance/correlation of (doc_len, doc_id)
         ("bm25_index_matrix_stats",

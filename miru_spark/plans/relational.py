@@ -1408,6 +1408,154 @@ FROM v
 """.strip()
 
 
+def string_stats_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    col: str = "lang",
+    tok_sql: str = DEFAULT_TOK_SQL,
+) -> str:
+    """Twin of plans.search.search_string_stats (ES ``string_stats``):
+    length stats + base-2 Shannon entropy of the character distribution
+    over the candidate set's values of a documents column. Characters come
+    from the same position-explode (``range`` is exclusive-stop, so empty
+    values emit nothing — the Spark side filters them explicitly because
+    ``sequence(1, 0)`` would descend); the entropy uses the identical
+    ``log2(T) - sum(c*log2 c)/T`` derivation over exact integer counts."""
+    return f"""
+{_candidate_ctes(terms, mode, tok_sql)},
+v AS (SELECT CAST({col} AS VARCHAR) AS v
+      FROM cand JOIN documents USING(doc_id)),
+lens AS (SELECT CAST(count(*) AS BIGINT) AS n_vals,
+                CAST(min(length(v)) AS BIGINT) AS min_len,
+                CAST(max(length(v)) AS BIGINT) AS max_len,
+                CAST(sum(length(v)) AS BIGINT) AS sum_len
+         FROM v),
+ch AS (SELECT substr(v, CAST(i AS INTEGER), 1) AS ch
+       FROM v, UNNEST(range(1, length(v) + 1)) AS u(i)),
+cc AS (SELECT ch, CAST(count(*) AS BIGINT) AS cnt FROM ch GROUP BY 1),
+e AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             sum(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE))) AS sum_clog
+      FROM cc)
+SELECT n_vals, min_len, max_len,
+       round(CAST(sum_len AS DOUBLE) / n_vals, 6) AS avg_len,
+       round(CASE WHEN total > 0
+                  THEN log2(CAST(total AS DOUBLE)) - sum_clog / total
+                  ELSE 0.0 END, 6) AS entropy
+FROM lens, e
+""".strip()
+
+
+def mad_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    tok_sql: str = DEFAULT_TOK_SQL,
+) -> str:
+    """Twin of plans.search.search_mad (ES ``median_absolute_deviation``,
+    exact variant): median(|x - median|) of doc_len over the candidate
+    set, both medians via ``quantile_cont`` (== Spark's exact interpolated
+    ``percentile``, the A60 identity)."""
+    return f"""
+{_candidate_ctes(terms, mode, tok_sql)},
+v AS (SELECT CAST(doc_len AS DOUBLE) AS x FROM cand JOIN dl USING(doc_id)),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             quantile_cont(x, 0.5) AS med
+      FROM v),
+d AS (SELECT quantile_cont(abs(v.x - m.med), 0.5) AS mad_raw FROM v, m)
+SELECT m.n_docs, round(m.med, 6) AS median_v, round(d.mad_raw, 6) AS mad
+FROM m, d
+""".strip()
+
+
+def boxplot_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    tok_sql: str = DEFAULT_TOK_SQL,
+) -> str:
+    """Twin of plans.search.search_boxplot (ES ``boxplot``, exact
+    variant): min/q1/q2/q3/max/IQR of doc_len over the candidate set;
+    quartiles via ``quantile_cont``, IQR derived from the UNROUNDED
+    quartiles exactly as the Spark side does."""
+    return f"""
+{_candidate_ctes(terms, mode, tok_sql)},
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(doc_len) AS BIGINT) AS min_v,
+             CAST(max(doc_len) AS BIGINT) AS max_v,
+             quantile_cont(doc_len, 0.25) AS q1r,
+             quantile_cont(doc_len, 0.50) AS q2r,
+             quantile_cont(doc_len, 0.75) AS q3r
+      FROM cand JOIN dl USING(doc_id))
+SELECT n_docs, min_v, max_v,
+       round(q1r, 6) AS q1, round(q2r, 6) AS q2, round(q3r, 6) AS q3,
+       round(q3r - q1r, 6) AS iqr
+FROM s
+""".strip()
+
+
+def t_test_oracle_sql(
+    terms_a: list[str],
+    terms_b: list[str],
+    mode: str = "conjunctive",
+    tok_sql: str = DEFAULT_TOK_SQL,
+) -> str:
+    """Twin of plans.search.search_t_test (ES ``t_test``, Welch variant,
+    pinned to (t_stat, welch_df) — see the engine docstring for why the
+    p-value step is out of scope for both engines): two candidate sets
+    reduce to exact integer moment sums, the float derivation divides
+    identical longs on both sides."""
+    def _q(terms: list[str], qn: str, cn: str) -> tuple[str, str]:
+        ts = list(dict.fromkeys(terms))
+        if not ts:
+            raise ValueError("empty term list")
+        values = ",".join("('" + t.replace("'", "''") + "')" for t in ts)
+        having = (
+            f"HAVING count(DISTINCT term) = (SELECT count(*) FROM {qn})"
+            if mode == "conjunctive"
+            else ""
+        )
+        return (
+            f"{qn}(term) AS (VALUES {values})",
+            f"{cn} AS (SELECT doc_id FROM tf JOIN {qn} USING(term) "
+            f"GROUP BY doc_id {having})",
+        )
+
+    qa, ca = _q(terms_a, "qa", "ca")
+    qb, cb = _q(terms_b, "qb", "cb")
+    return f"""
+WITH tok AS ({tok_sql}),
+tf   AS (SELECT doc_id, term, count(*) tf FROM tok WHERE term<>'' GROUP BY 1,2),
+dl   AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY 1),
+{qa}, {ca},
+{qb}, {cb},
+sa AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+              CAST(sum(doc_len) AS BIGINT) AS sx_a,
+              CAST(sum(doc_len*doc_len) AS BIGINT) AS sq_a
+       FROM ca JOIN dl USING(doc_id)),
+sb AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+              CAST(sum(doc_len) AS BIGINT) AS sx_b,
+              CAST(sum(doc_len*doc_len) AS BIGINT) AS sq_b
+       FROM cb JOIN dl USING(doc_id)),
+v AS (SELECT n_a, n_b,
+             CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+             CAST(sx_a AS DOUBLE) AS sxa, CAST(sx_b AS DOUBLE) AS sxb,
+             (CAST(sq_a AS DOUBLE) - CAST(sx_a AS DOUBLE)*CAST(sx_a AS DOUBLE)/n_a) / (n_a - 1) AS va,
+             (CAST(sq_b AS DOUBLE) - CAST(sx_b AS DOUBLE)*CAST(sx_b AS DOUBLE)/n_b) / (n_b - 1) AS vb
+      FROM sa, sb),
+w AS (SELECT *, va/nad + vb/nbd AS se2,
+             (n_a > 1 AND n_b > 1) AS nok
+      FROM v)
+SELECT n_a, n_b,
+       round(sxa / nad, 6) AS mean_a,
+       round(sxb / nbd, 6) AS mean_b,
+       round(CASE WHEN nok AND se2 > 0
+                  THEN (sxa/nad - sxb/nbd) / sqrt(se2) END, 6) AS t_stat,
+       round(CASE WHEN nok AND se2 > 0
+                  THEN se2*se2 / ((va/nad)*(va/nad)/(nad-1)
+                                  + (vb/nbd)*(vb/nbd)/(nbd-1)) END,
+             6) AS welch_df
+FROM w
+""".strip()
+
+
 def cardinality_oracle_sql(
     terms: list[str],
     mode: str = "conjunctive",

@@ -1646,6 +1646,225 @@ def search_percentile_ranks(
     )
 
 
+def search_string_stats(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    col: str = "lang",
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """ES ``string_stats``: length statistics plus Shannon entropy (base 2,
+    the ES convention) of the CHARACTER distribution across every value of
+    a keyword docmap field over the candidate set.
+
+    Plan: candidate ids -> docmap (doc_id, col) projection join -> two
+    aggs. Lengths come from one map-side-combined hash agg of exact
+    integer sums. The character distribution explodes each value into
+    per-position chars via ``sequence + substring`` (identical semantics
+    in the DuckDB twin — no reliance on either engine's empty-separator
+    split quirks); the explosion is |values| x avg_len rows but the
+    partial agg collapses it to |alphabet| longs per partition before the
+    shuffle, so the exchanged state is bounded by the alphabet at any
+    corpus size."""
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
+    ).select("doc_id")
+    dm = reader.docmap_df().select("doc_id", col)
+    vals = cand.join(dm, "doc_id").select(F.col(col).alias("v"))
+    lens = vals.agg(
+        F.count("*").alias("n_vals"),
+        F.min(F.length("v")).cast("long").alias("min_len"),
+        F.max(F.length("v")).cast("long").alias("max_len"),
+        F.sum(F.length("v")).cast("long").alias("sum_len"),
+    )
+    # Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of emitting empty —
+    # filter zero-length values first so the twin's exclusive range agrees
+    chars = (
+        vals.where(F.length("v") > 0)
+        .select(
+            F.explode(F.expr("sequence(1, length(v))")).alias("i"), "v"
+        )
+        .select(F.substring(F.col("v"), F.col("i"), 1).alias("ch"))
+        .groupBy("ch")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # entropy from exact integer char counts: -sum(p * log2 p), p = cnt/total
+    ent = chars.agg(
+        F.sum("cnt").alias("total"),
+        F.sum(
+            F.col("cnt").cast("double")
+            * F.log2(F.col("cnt").cast("double"))
+        ).alias("sum_clog"),
+    ).select(
+        F.when(
+            F.col("total") > 0,
+            F.log2(F.col("total").cast("double"))
+            - F.col("sum_clog") / F.col("total").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("entropy_raw")
+    )
+    return lens.crossJoin(ent).select(
+        "n_vals",
+        "min_len",
+        "max_len",
+        F.round(
+            F.col("sum_len").cast("double") / F.col("n_vals").cast("double"),
+            6,
+        ).alias("avg_len"),
+        F.round("entropy_raw", 6).alias("entropy"),
+    )
+
+
+def search_mad(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    col: str = "doc_len",
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """ES ``median_absolute_deviation``: median(|x - median(x)|) of a
+    numeric docmap column over the candidate set — the robust dispersion
+    measure. Exact variant (ES's production path is t-digest): two passes
+    over the (bounded, already-joined) candidate projection — median via
+    Spark's exact interpolated ``percentile`` (== DuckDB ``quantile_cont``,
+    the A60 identity), broadcast the single-row median back, then the
+    median of absolute deviations. Each pass is one map-side-combined agg;
+    nothing corpus-sized ever reaches the driver."""
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
+    ).select("doc_id")
+    dm = reader.docmap_df().select("doc_id", col)
+    vals = cand.join(dm, "doc_id").select(
+        F.col(col).cast("double").alias("x")
+    )
+    med = vals.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("percentile(x, 0.5)").alias("median_raw"),
+    )
+    return (
+        vals.crossJoin(F.broadcast(med))
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("median_raw").alias("median_raw"),
+            F.expr("percentile(abs(x - median_raw), 0.5)").alias("mad_raw"),
+        )
+        .select(
+            "n_docs",
+            F.round("median_raw", 6).alias("median_v"),
+            F.round("mad_raw", 6).alias("mad"),
+        )
+    )
+
+
+def search_boxplot(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    col: str = "doc_len",
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """ES ``boxplot``: min / q1 / median / q3 / max / IQR of a numeric
+    docmap column over the candidate set, in ONE map-side-combined agg
+    (quartiles via the exact interpolated ``percentile`` array — the same
+    rank-``p*(n-1)`` spec as A60, == DuckDB ``quantile_cont``; ES's
+    production path is t-digest with the same single-agg plan shape)."""
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
+    ).select("doc_id")
+    dm = reader.docmap_df().select("doc_id", col)
+    row = (
+        cand.join(dm, "doc_id")
+        .select(F.col(col).cast("long").alias("x"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("x").alias("min_v"),
+            F.max("x").alias("max_v"),
+            F.expr("percentile(x, array(0.25, 0.5, 0.75))").alias("qs"),
+        )
+    )
+    q = lambda i: F.element_at("qs", i)  # noqa: E731
+    return row.select(
+        "n_docs",
+        "min_v",
+        "max_v",
+        F.round(q(1), 6).alias("q1"),
+        F.round(q(2), 6).alias("q2"),
+        F.round(q(3), 6).alias("q3"),
+        F.round(q(3) - q(1), 6).alias("iqr"),
+    )
+
+
+def search_t_test(
+    reader: IndexReader,
+    terms_a: list[str],
+    terms_b: list[str],
+    mode: str = "conjunctive",
+    col: str = "doc_len",
+    where: dict | None = None,
+) -> DataFrame:
+    """ES ``t_test`` (heteroscedastic / Welch variant, ES's default): the
+    t statistic comparing a numeric docmap column between TWO filtered
+    candidate sets, plus the Welch–Satterthwaite degrees of freedom.
+
+    Pinned spec: this engine reports (t_stat, welch_df) where ES reports
+    the p-value — the CDF step needs the regularized incomplete beta,
+    which neither Spark SQL nor the DuckDB oracle can express as built-in
+    arithmetic; the statistic and dof are the deterministic,
+    value-oracle-able core (a caller maps them through scipy driver-side
+    if a p-value is needed). Both groups reduce to exact integer moment
+    sums (the A73 discipline) in one map-side-combined agg each, so the
+    result is partition-merge-order independent; groups with n < 2 or
+    zero pooled variance yield NULL, never a division error."""
+    stats = []
+    for terms in (terms_a, terms_b):
+        m = _candidate_moments(reader, terms, mode, col, None, where)
+        stats.append(m.select("n_docs", "sum_v", "sum_sq"))
+    a = stats[0].select(
+        F.col("n_docs").alias("n_a"),
+        F.col("sum_v").alias("sx_a"),
+        F.col("sum_sq").alias("sq_a"),
+    )
+    b = stats[1].select(
+        F.col("n_docs").alias("n_b"),
+        F.col("sum_v").alias("sx_b"),
+        F.col("sum_sq").alias("sq_b"),
+    )
+    j = a.crossJoin(b)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sxa, sxb = F.col("sx_a").cast("double"), F.col("sx_b").cast("double")
+    # sample variances from the exact integer sums (double derivation —
+    # squaring the sums would overflow int64 first, same note as A73)
+    va = (F.col("sq_a").cast("double") - sxa * sxa / na) / (na - 1)
+    vb = (F.col("sq_b").cast("double") - sxb * sxb / nb) / (nb - 1)
+    mean_a, mean_b = sxa / na, sxb / nb
+    se2 = va / na + vb / nb
+    guard = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0)
+    t = F.when(guard, (mean_a - mean_b) / F.sqrt(se2))
+    dof = F.when(
+        guard,
+        (se2 * se2)
+        / (
+            (va / na) * (va / na) / (na - 1)
+            + (vb / nb) * (vb / nb) / (nb - 1)
+        ),
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_df"),
+    )
+
+
 def term_vector(
     corpus: DataFrame, doc_id: int, tokenizer: str = "whitespace"
 ) -> DataFrame:
