@@ -362,7 +362,7 @@ def doc_len_col(content: Column | str, mode: str = "whitespace") -> Column:
     the length is needed (docmap pass). The ``english`` mode drops stopwords,
     so its length needs the filtered array (stemming preserves count)."""
     col = F.col(content) if isinstance(content, str) else content
-    if mode in ("english", "edge", "shingle", "multilang"):
+    if mode in ("english", "edge", "shingle", "multilang", "porter"):
         return F.size(tokens_col(col, mode)).cast("long")
     col = _prep_col(col, mode)
     return F.regexp_count(col, F.lit(_TOKEN_PATTERNS[mode])).cast("long")
@@ -436,6 +436,10 @@ def tokens_col(content: Column | str, mode: str = "whitespace") -> Column:
                 ),
             )
         )
+    if mode == "porter":
+        # full Porter stemming is beyond CASE-rule codegen — Arrow UDF
+        # (see tokenize_porter_udf / functions.porter for the scale path)
+        return tokenize_porter_udf(col)
     pat = _PATTERNS[mode]
     if mode == "english":
         arr = F.split(F.lower(col), pat)
@@ -475,6 +479,15 @@ def tokenize_py(text: str, mode: str = "whitespace") -> list[str]:
             if len(t) > EDGE_MAX:
                 out.append(t)
         return out
+    if mode == "porter":
+        from miru_spark.functions.porter import porter_stem
+
+        stops = set(ENGLISH_STOPWORDS)
+        return [
+            porter_stem(t)
+            for t in re.split(r"\s+", text.lower())
+            if t and t not in stops
+        ]
     if mode == "english":
         stops = set(ENGLISH_STOPWORDS)
 
@@ -524,6 +537,35 @@ def tokenize_english_udf(content: pd.Series) -> pd.Series:
             if len(t) >= 4 and t.endswith("s") and t[-2] not in ("u", "s"):
                 t = t[:-1]
             out.append(t)
+        return out
+
+    return content.str.lower().str.split().map(analyze)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_porter_udf(content: pd.Series) -> pd.Series:
+    """Full Porter-stemmed English chain (Lucene PorterStemFilter / ES
+    ``porter_stem``): lowercase -> whitespace split -> default stop set ->
+    Porter 1980. The stem function is not expressible as codegen built-ins
+    (unlike the minimal/multilang CASE stemmers), so this mode is an
+    Arrow-batched pandas UDF — the honest per-row slow path. The 100-TB
+    shape is dictionary-side stemming (functions/porter.stem_corpus_dict):
+    Python cost O(|vocab|) instead of O(corpus tokens), pinned
+    token-identical to this UDF by test."""
+    from miru_spark.functions.porter import porter_stem
+
+    stops = set(ENGLISH_STOPWORDS)
+    cache: dict[str, str] = {}
+
+    def analyze(toks):
+        out = []
+        for t in toks:
+            if not t or t in stops:
+                continue
+            s = cache.get(t)
+            if s is None:
+                s = cache[t] = porter_stem(t)
+            out.append(s)
         return out
 
     return content.str.lower().str.split().map(analyze)

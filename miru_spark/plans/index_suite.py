@@ -1746,6 +1746,92 @@ def q_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+# Porter-rich constructed vocabulary: inflection families whose members
+# collapse to shared stems through different rule steps (1b dedoubling,
+# step2 ization, step3 ful/ness, step4 ion/er, step5b ll). Content is
+# REPLACED (not decorated) so the corpus vocabulary is exactly this list
+# and the oracle's generated stem CASE provably covers every token.
+_PORTER_WORDS = [
+    "running", "runs", "relational", "relations",
+    "generalization", "generalizations", "controlling", "controlled",
+    "adjustable", "adjustment", "hopefulness", "hopeful",
+    "troubles", "troubled", "oscillators", "oscillating",
+]
+_PORTER_IDX: dict[str, str] = {}
+
+
+def _porter_tok_sql() -> str:
+    """Generated DuckDB twin of the porter-mode analysis over the
+    constructed corpus: each doc's 3 tokens are WORDS[(doc_id*3+i) % N],
+    mapped through a CASE holding porter_stem's output for the known
+    vocabulary (functions/porter.porter_stem_case_sql discipline — the
+    per-token function is not SQL-expressible, the finite mapping is)."""
+    from miru_spark.functions.porter import porter_stem
+
+    n = len(_PORTER_WORDS)
+    branches = []
+    for i in range(3):
+        arms = " ".join(
+            f"WHEN {j} THEN '{porter_stem(w)}'"
+            for j, w in enumerate(_PORTER_WORDS)
+        )
+        branches.append(
+            f"SELECT doc_id, CASE (doc_id*3+{i}) % {n} {arms} END AS term "
+            "FROM documents"
+        )
+    return " UNION ALL ".join(branches)
+
+
+def q_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5 — the FULL Porter stemmer (Lucene PorterStemFilter / ES
+    porter_stem; functions/porter.py) end-to-end through build+serve:
+    every doc's content is replaced by 3 words from the Porter-rich list
+    selected by doc_id, indexed with tokenizer='porter' (the Arrow-UDF
+    analyzer; stem_corpus_dict is the pinned-identical scale path), and
+    queried with tokenize_py('running relations', 'porter') -> [run,
+    relat] conjunctive — stems that only exist because 1b dedoubling and
+    step-4 ion-stripping both fired."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from miru_spark.functions.tokenize import tokenize_py
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.plans.search import search_topk
+    from miru_spark.schema import read_corpus
+
+    if sf_dir not in _PORTER_IDX:
+        n = len(_PORTER_WORDS)
+        arr = F.array(*[F.lit(w) for w in _PORTER_WORDS])
+        corpus = read_corpus(spark, sf_dir).withColumn(
+            "content",
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(
+                        arr,
+                        ((F.col("doc_id") * 3 + F.lit(i)) % n + 1).cast(
+                            "int"
+                        ),
+                    )
+                    for i in range(3)
+                ],
+            ),
+        )
+        path = tempfile.mkdtemp(prefix="miru_porter_") + "/idx"
+        build_index(spark, corpus, path, num_partitions=8,
+                    tokenizer="porter")
+        _PORTER_IDX[sf_dir] = path
+    reader = IndexReader(spark, _PORTER_IDX[sf_dir])
+    terms = tokenize_py("running relations", "porter")  # -> [run, relat]
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_topk(reader, terms, mode="conjunctive", k=10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 def q_code_split_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A44 — the subtoken analyzer (word_delimiter) end-to-end: the
     code-decorated corpus indexed with tokenizer='code_split', so
@@ -2689,6 +2775,12 @@ def register_all(register) -> None:
         ("multilang", q_multilang,
          bm25_oracle_sql(["red", "dato"], "conjunctive",
                          tok_sql=_multilang_tok_sql_decorated()), DS),
+        # round-5 full Porter stemmer (Lucene PorterStemFilter / ES
+        # porter_stem): constructed Porter-rich corpus, query = the stems
+        # tokenize_py('running relations', 'porter') -> [run, relat]
+        ("porter", q_porter,
+         bm25_oracle_sql(["run", "relat"], "conjunctive",
+                         tok_sql=_porter_tok_sql()), DS),
         # A70 edge n-gram autocomplete: prefixes indexed as terms, the raw
         # keystrokes 'jo ha' served as an exact conjunctive lookup
         ("edge_ngram", q_edge_ngram,
