@@ -280,6 +280,208 @@ FROM g GROUP BY 1, 2 ORDER BY n DESC, tile_x, tile_y LIMIT {size}
 """.strip()
 
 
+def geo_centroid(
+    df: DataFrame, by: str = "event_type", quant: float = 1000.0
+) -> DataFrame:
+    """ES ``geo_centroid`` aggregation: per-bucket arithmetic-mean point.
+
+    Discipline: coordinates are quantized to fixed-point integers
+    (``quant=1000`` = 1e-3 degrees ~ 111 m) BEFORE summation, so the agg
+    accumulates exact longs and the centroid is partition-merge-order
+    independent — the float-sum version would drift with partitioning. ES
+    itself does the same thing: geo_points are stored as encoded int32
+    lat/lon and its centroid sums those integers."""
+    qlat = F.round(F.col("lat") * quant).cast("long")
+    qlon = F.round(F.col("lon") * quant).cast("long")
+    n = F.col("n").cast("double")
+    return (
+        df.groupBy(by)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(qlat).alias("slat"),
+            F.sum(qlon).alias("slon"),
+        )
+        .select(
+            by,
+            "n",
+            F.round(F.col("slat") / n / quant, 6).alias("c_lat"),
+            F.round(F.col("slon") / n / quant, 6).alias("c_lon"),
+        )
+        .orderBy(by)
+    )
+
+
+def geo_centroid_sql(by: str = "event_type", quant: float = 1000.0) -> str:
+    return f"""
+WITH g AS ({GEO_EVENTS_SQL}),
+s AS (SELECT {by}, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(lat * {quant!r}) AS BIGINT)) AS BIGINT) AS slat,
+             CAST(sum(CAST(round(lon * {quant!r}) AS BIGINT)) AS BIGINT) AS slon
+      FROM g GROUP BY 1)
+SELECT {by}, n,
+       round(slat / CAST(n AS DOUBLE) / {quant!r}, 6) AS c_lat,
+       round(slon / CAST(n AS DOUBLE) / {quant!r}, 6) AS c_lon
+FROM s ORDER BY {by}
+""".strip()
+
+
+def geo_bounds(df: DataFrame, by: str = "event_type") -> DataFrame:
+    """ES ``geo_bounds`` aggregation: the tightest box containing each
+    bucket's points (top_left = (max_lat, min_lon), bottom_right =
+    (min_lat, max_lon)); min/max are exact on doubles, one hash agg."""
+    return (
+        df.groupBy(by)
+        .agg(
+            F.count("*").alias("n"),
+            F.min("lat").alias("min_lat"),
+            F.max("lat").alias("max_lat"),
+            F.min("lon").alias("min_lon"),
+            F.max("lon").alias("max_lon"),
+        )
+        .orderBy(by)
+    )
+
+
+def geo_bounds_sql(by: str = "event_type") -> str:
+    return f"""
+WITH g AS ({GEO_EVENTS_SQL})
+SELECT {by}, CAST(count(*) AS BIGINT) AS n,
+       min(lat) AS min_lat, max(lat) AS max_lat,
+       min(lon) AS min_lon, max(lon) AS max_lon
+FROM g GROUP BY 1 ORDER BY {by}
+""".strip()
+
+
+# geohash base32 alphabet (the standard one — no a, i, l, o)
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_pieces(precision: int, engine: str):
+    """(lonb_sql, latb_sql, h_sql(lonb,latb), char_sqls(h)) — kept as
+    composable pieces because neither engine loves deeply nested scalar
+    subqueries in a GROUP BY key."""
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+
+    def shl(x: str, k: int) -> str:
+        if k == 0:
+            return x
+        return (
+            f"shiftleft({x}, {k})" if engine == "spark" else f"({x} << {k})"
+        )
+
+    def shr(x: str, k: int) -> str:
+        if k == 0:
+            return x
+        return (
+            f"shiftright({x}, {k})" if engine == "spark" else f"({x} >> {k})"
+        )
+
+    lonb = (
+        f"least(CAST(floor((lon + 180.0) / 360.0 * {float(1 << nlon)!r}) "
+        f"AS BIGINT), {(1 << nlon) - 1})"
+    )
+    latb = (
+        f"least(CAST(floor((lat + 90.0) / 180.0 * {float(1 << nlat)!r}) "
+        f"AS BIGINT), {(1 << nlat) - 1})"
+    )
+
+    def h_of(lonb_col: str, latb_col: str) -> str:
+        terms = []
+        for k in range(nbits):
+            if k % 2 == 0:
+                src, j = lonb_col, nlon - 1 - k // 2
+            else:
+                src, j = latb_col, nlat - 1 - (k - 1) // 2
+            terms.append(shl(f"({shr(src, j)} & 1)", nbits - 1 - k))
+        return " + ".join(terms)
+
+    def chars_of(h_col: str) -> str:
+        chars = [
+            f"substr('{_GH32}', CAST(({shr(h_col, 5 * (precision - 1 - c))}"
+            f" & 31) AS INTEGER) + 1, 1)"
+            for c in range(precision)
+        ]
+        return "concat(" + ", ".join(chars) + ")"
+
+    return lonb, latb, h_of, chars_of
+
+
+def geohash_grid(df: DataFrame, precision: int = 3, size: int = 20) -> DataFrame:
+    """ES ``geohash_grid`` aggregation: top ``size`` geohash cells by doc
+    count (ties by hash). The geohash is computed as generated integer
+    bit-interleave arithmetic + base32 substr — all codegen built-ins, no
+    UDF; the DuckDB twin is generated from the same pieces, so the
+    encoding cannot drift between engines."""
+    lonb, latb, h_of, chars_of = _geohash_pieces(precision, "spark")
+    staged = df.selectExpr(f"{lonb} AS __lonb", f"{latb} AS __latb")
+    staged = staged.selectExpr(f"({h_of('__lonb', '__latb')}) AS __h")
+    return (
+        staged.selectExpr(f"{chars_of('__h')} AS gh")
+        .groupBy("gh")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gh"))
+        .limit(size)
+    )
+
+
+def geohash_grid_sql(precision: int = 3, size: int = 20) -> str:
+    lonb, latb, h_of, chars_of = _geohash_pieces(precision, "duck")
+    return f"""
+WITH g AS ({GEO_EVENTS_SQL}),
+b AS (SELECT {lonb} AS lonb, {latb} AS latb FROM g),
+h AS (SELECT ({h_of('lonb', 'latb')}) AS h FROM b)
+SELECT {chars_of('h')} AS gh, count(*) AS n
+FROM h GROUP BY 1 ORDER BY n DESC, gh LIMIT {size}
+""".strip()
+
+
+def _polygon_crossings(vertices, y: str, x: str) -> list[str]:
+    """Ray-casting edge predicates (shared text for both engines): edge
+    (i, j) crosses the horizontal ray from (x, y) iff the edge spans y and
+    the intersection lies right of x."""
+    preds = []
+    n = len(vertices)
+    for i in range(n):
+        (yi, xi), (yj, xj) = vertices[i], vertices[(i + 1) % n]
+        preds.append(
+            f"CASE WHEN (({yi!r} > {y}) <> ({yj!r} > {y})) AND "
+            f"({x} < ({xj!r} - {xi!r}) * ({y} - {yi!r}) / ({yj!r} - {yi!r})"
+            f" + {xi!r}) THEN 1 ELSE 0 END"
+        )
+    return preds
+
+
+def geo_polygon_agg(df: DataFrame, vertices) -> DataFrame:
+    """ES ``geo_polygon`` query (aggregated per event_type to stay
+    value-checkable): point-in-polygon by ray casting — odd number of
+    edge crossings = inside. The predicate is pure generated arithmetic
+    (identical text drives the twin), evaluated once per row; on physical
+    geo columns the polygon's bounding box would be ANDed in front as a
+    pushed-down range prefilter, same pattern as geo_distance."""
+    crossings = " + ".join(_polygon_crossings(vertices, "lat", "lon"))
+    return (
+        df.where(F.expr(f"(({crossings}) % 2) = 1"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def geo_polygon_agg_sql(vertices) -> str:
+    crossings = " + ".join(_polygon_crossings(vertices, "lat", "lon"))
+    return f"""
+WITH g AS ({GEO_EVENTS_SQL})
+SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+FROM g WHERE (({crossings}) % 2) = 1
+GROUP BY event_type ORDER BY event_type
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # driver registry cases (members of the rel_scalar_funcs composite)
 
@@ -315,3 +517,40 @@ def q_geo_tiles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_GEO_TILES = geotile_grid_sql(_ZOOM)
+
+_GH_PRECISION = 3
+# pentagon roughly covering the populated lat/lon range; vertex
+# coordinates carry a .0005 offset so no data point (3-decimal grid) ever
+# lies exactly on a vertex latitude (ray-casting degeneracy guard)
+_POLY = [
+    (40.0005, -30.0005), (40.0005, 30.0005), (0.0005, 45.0005),
+    (-20.0005, 0.0005), (0.0005, -45.0005),
+]
+
+
+def q_geo_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    return geo_centroid(geo_events(spark, sf))
+
+
+SQL_GEO_CENTROID = geo_centroid_sql()
+
+
+def q_geo_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    return geo_bounds(geo_events(spark, sf))
+
+
+SQL_GEO_BOUNDS = geo_bounds_sql()
+
+
+def q_geo_geohash(spark: SparkSession, sf: str) -> DataFrame:
+    return geohash_grid(geo_events(spark, sf), _GH_PRECISION)
+
+
+SQL_GEO_GEOHASH = geohash_grid_sql(_GH_PRECISION)
+
+
+def q_geo_polygon(spark: SparkSession, sf: str) -> DataFrame:
+    return geo_polygon_agg(geo_events(spark, sf), _POLY)
+
+
+SQL_GEO_POLYGON = geo_polygon_agg_sql(_POLY)

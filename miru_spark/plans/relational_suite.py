@@ -718,11 +718,19 @@ GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey LIMIT 200
 
 from miru_spark.plans.geo import (  # noqa: E402  (geo family, round 5)
     SQL_GEO_BBOX,
+    SQL_GEO_BOUNDS,
+    SQL_GEO_CENTROID,
     SQL_GEO_DISTANCE,
+    SQL_GEO_GEOHASH,
+    SQL_GEO_POLYGON,
     SQL_GEO_RINGS,
     SQL_GEO_TILES,
     q_geo_bbox,
+    q_geo_bounds,
+    q_geo_centroid,
     q_geo_distance,
+    q_geo_geohash,
+    q_geo_polygon,
     q_geo_rings,
     q_geo_tiles,
 )
@@ -761,6 +769,13 @@ QUERIES = {
     "geo_bbox": (q_geo_bbox, SQL_GEO_BBOX),
     "geo_rings": (q_geo_rings, SQL_GEO_RINGS),
     "geo_tiles": (q_geo_tiles, SQL_GEO_TILES),
+    # round-5b geo additions: centroid (exact fixed-point integer sums),
+    # bounds, geohash_grid (generated bit-interleave + base32), polygon
+    # (ray casting)
+    "geo_centroid": (q_geo_centroid, SQL_GEO_CENTROID),
+    "geo_bounds": (q_geo_bounds, SQL_GEO_BOUNDS),
+    "geo_geohash": (q_geo_geohash, SQL_GEO_GEOHASH),
+    "geo_polygon": (q_geo_polygon, SQL_GEO_POLYGON),
 }
 
 # per-query output columns (for the tagged-union composite oracle branches)
@@ -797,6 +812,10 @@ COLUMNS = {
     "geo_bbox": ("event_type", "n", "sum_value"),
     "geo_rings": ("ring", "n"),
     "geo_tiles": ("tile_x", "tile_y", "n"),
+    "geo_centroid": ("event_type", "n", "c_lat", "c_lon"),
+    "geo_bounds": ("event_type", "n", "min_lat", "max_lat", "min_lon", "max_lon"),
+    "geo_geohash": ("gh", "n"),
+    "geo_polygon": ("event_type", "n", "sum_value"),
 }
 
 # operator-family composites: 27 individual cases -> 11 driver entries
@@ -815,6 +834,7 @@ GROUPS = {
         # round 5: the ES geo family rides the scalar-math composite (pure
         # codegen trig + hash aggs over a deterministic derived geo_point)
         "geo_distance", "geo_bbox", "geo_rings", "geo_tiles",
+        "geo_centroid", "geo_bounds", "geo_geohash", "geo_polygon",
     ),
     "rel_nested": ("rel_b21_arrays", "rel_b22_json"),
     "rel_pandas_arrow": ("rel_b23_pandas_udf", "rel_b25_map_in_arrow"),
