@@ -734,6 +734,18 @@ from miru_spark.plans.geo import (  # noqa: E402  (geo family, round 5)
     q_geo_rings,
     q_geo_tiles,
 )
+from miru_spark.plans.events_aggs import (  # noqa: E402  (round 5b)
+    SQL_AUTO_HISTOGRAM,
+    SQL_DATE_HISTOGRAM,
+    SQL_DATE_RANGE,
+    SQL_DIVERSIFIED,
+    SQL_TOP_METRICS,
+    q_auto_histogram,
+    q_date_histogram,
+    q_date_range,
+    q_diversified,
+    q_top_metrics,
+)
 
 QUERIES = {
     "rel_b01_projection": (q_b01_projection, SQL_B01),
@@ -776,6 +788,14 @@ QUERIES = {
     "geo_bounds": (q_geo_bounds, SQL_GEO_BOUNDS),
     "geo_geohash": (q_geo_geohash, SQL_GEO_GEOHASH),
     "geo_polygon": (q_geo_polygon, SQL_GEO_POLYGON),
+    # round-5b ES time-series / sampling aggs over events
+    # (plans/events_aggs.py): date_histogram, date_range,
+    # auto_date_histogram, diversified_sampler, top_metrics
+    "ev_date_histogram": (q_date_histogram, SQL_DATE_HISTOGRAM),
+    "ev_date_range": (q_date_range, SQL_DATE_RANGE),
+    "ev_auto_histogram": (q_auto_histogram, SQL_AUTO_HISTOGRAM),
+    "ev_diversified": (q_diversified, SQL_DIVERSIFIED),
+    "ev_top_metrics": (q_top_metrics, SQL_TOP_METRICS),
 }
 
 # per-query output columns (for the tagged-union composite oracle branches)
@@ -816,6 +836,11 @@ COLUMNS = {
     "geo_bounds": ("event_type", "n", "min_lat", "max_lat", "min_lon", "max_lon"),
     "geo_geohash": ("gh", "n"),
     "geo_polygon": ("event_type", "n", "sum_value"),
+    "ev_date_histogram": ("bucket_ts", "n", "sum_value"),
+    "ev_date_range": ("range_key", "n", "sum_value"),
+    "ev_auto_histogram": ("unit", "bucket_ts", "n"),
+    "ev_diversified": ("event_type", "n", "sum_value"),
+    "ev_top_metrics": ("event_type", "top_ts", "top_value"),
 }
 
 # operator-family composites: 27 individual cases -> 11 driver entries
@@ -835,6 +860,8 @@ GROUPS = {
         # codegen trig + hash aggs over a deterministic derived geo_point)
         "geo_distance", "geo_bbox", "geo_rings", "geo_tiles",
         "geo_centroid", "geo_bounds", "geo_geohash", "geo_polygon",
+        "ev_date_histogram", "ev_date_range", "ev_auto_histogram",
+        "ev_diversified", "ev_top_metrics",
     ),
     "rel_nested": ("rel_b21_arrays", "rel_b22_json"),
     "rel_pandas_arrow": ("rel_b23_pandas_udf", "rel_b25_map_in_arrow"),
