@@ -930,6 +930,25 @@ def _mk_span_not(term, excl_term, pre, post):
     return run
 
 
+def _mk_span_enclosure(ta, tb, little, slop, scored):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import (
+            search_span_containing,
+            search_span_within,
+        )
+
+        fn = search_span_within if scored == "little" else search_span_containing
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in fn(reader, ta, tb, little, slop, k=10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
 def _mk_near(ta, tb, slop, in_order=False):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -2224,6 +2243,7 @@ def register_all(register) -> None:
         bm25_term_range_oracle_sql,
         bm25_sloppy_phrase_oracle_sql,
         bm25_sorted_early_oracle_sql,
+        bm25_span_enclosure_oracle_sql,
         bm25_span_first_oracle_sql,
         bm25_span_not_oracle_sql,
         lm_dirichlet_oracle_sql,
@@ -2568,6 +2588,20 @@ def register_all(register) -> None:
         ("bm25_index_span_not",
          _mk_span_not("dup", "hash", 5, 5),
          bm25_span_not_oracle_sql("dup", "hash", 5, 5),
+         DS),
+        # A102 span_within (Lucene SpanWithinQuery): 'data' enclosed by an
+        # ordered 'the'..'a' window of width <= 6, ranked by the LITTLE
+        # clause's BM25 (Lucene's within weight convention)
+        ("bm25_index_span_within",
+         _mk_span_enclosure("the", "a", "data", 6, "little"),
+         bm25_span_enclosure_oracle_sql("the", "a", "data", 6, "little"),
+         DS),
+        # A102 span_containing (Lucene SpanContainingQuery): the dual —
+        # same enclosure predicate ('join'..'sort' window holding 'hash'),
+        # ranked by the BIG pair's conjunctive BM25
+        ("bm25_index_span_containing",
+         _mk_span_enclosure("join", "sort", "hash", 10, "big"),
+         bm25_span_enclosure_oracle_sql("join", "sort", "hash", 10, "big"),
          DS),
         # A71 sloppy n-term phrase (ES match_phrase slop, alignment-window
         # semantics) through the grammar: '"the a data"~2'

@@ -783,6 +783,49 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
+def bm25_span_enclosure_oracle_sql(
+    term_a: str,
+    term_b: str,
+    little: str,
+    slop: int,
+    scored: str,
+    k: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """Twin of plans.search.search_span_within / search_span_containing
+    (Lucene SpanWithinQuery / SpanContainingQuery): docs where some
+    ``little`` occurrence lies inside an ordered ``term_a``..``term_b``
+    window of width <= ``slop``. ``scored`` picks the Lucene weight
+    convention: ``"little"`` ranks by the little clause's BM25 (within),
+    ``"big"`` by the big pair's conjunctive BM25 (containing)."""
+    if scored == "little":
+        score_terms = [little]
+    elif scored == "big":
+        score_terms = list(dict.fromkeys([term_a, term_b]))
+    else:
+        raise ValueError("scored must be 'little' or 'big'")
+    inner = bm25_oracle_sql(
+        score_terms, "conjunctive", k=1 << 30, round_digits=round_digits
+    )
+    qa, qb, qt = _sql_quote(term_a), _sql_quote(term_b), _sql_quote(little)
+    return f"""
+WITH ranked AS ({inner}),
+toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         FROM documents),
+pos AS (SELECT doc_id, i, l[i] AS term
+        FROM toks, UNNEST(range(1, len(l)+1)) AS u(i)),
+hit AS (SELECT DISTINCT t.doc_id
+        FROM pos t
+        JOIN pos a ON a.doc_id = t.doc_id
+        JOIN pos b ON b.doc_id = t.doc_id
+        WHERE t.term = '{qt}' AND a.term = '{qa}' AND b.term = '{qb}'
+          AND a.i <= t.i AND t.i <= b.i
+          AND b.i - a.i BETWEEN 1 AND {int(slop)})
+SELECT doc_id, score FROM ranked JOIN hit USING(doc_id)
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def bm25_near_oracle_sql(
     term_a: str,
     term_b: str,

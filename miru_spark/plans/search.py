@@ -3038,6 +3038,183 @@ def search_span_not(
     return [(int(verified[i]), float(scores[i])) for i in order]
 
 
+def _span_enclosure_docs(
+    reader: IndexReader,
+    term_a: str,
+    term_b: str,
+    little: str,
+    slop: int,
+):
+    """Shared verification core for ``span_within`` / ``span_containing``
+    (Lucene SpanWithinQuery / SpanContainingQuery). The *big* span is an
+    ordered pair — an occurrence of ``term_a`` followed by ``term_b`` at
+    most ``slop`` positions later (the span covers ``[a_pos, b_pos]``,
+    Lucene span_near(inOrder=true) convention shared with
+    :func:`search_near`); the *little* span is a single ``little``
+    occurrence. A doc matches iff some little occurrence lies inside some
+    big span: ``a_pos <= t_pos <= b_pos`` with ``b_pos - a_pos <= slop``.
+
+    Vectorized exactly like :func:`search_near`: occurrences become sorted
+    ``doc*2^32 + pos`` keys, and for every little key the NEAREST enclosing
+    pair — largest a-key at/before it, smallest b-key at/after it — is the
+    b−a-minimal straddling pair, so checking only that pair is exact. Doc
+    boundaries need no explicit test (positions << 2^32, so any cross-doc
+    difference exceeds ``slop``). One searchsorted per side decides every
+    occurrence at once; no per-doc loop.
+
+    Returns ``(verified_doc_ids_asc, tps, data)`` where ``data[t]`` is the
+    concatenated ``(ids, tfs, dls)`` arrays per term, or ``None`` when any
+    leaf term is absent from the dictionary (empty result).
+    """
+    if slop < 1:
+        raise ValueError("slop must be >= 1 (the big span is an ordered pair)")
+    if term_a == term_b:
+        raise ValueError("big-span endpoints must be distinct terms")
+    if not reader.positions:
+        raise ValueError(
+            "span_within/span_containing need a positional index"
+            " (positions=True)"
+        )
+    from miru_spark.index.format import unpack_positions
+
+    terms = list(dict.fromkeys([term_a, term_b, little]))
+    tps = reader.fetch_terms(terms, with_positions=True)
+    if any(t not in tps for t in terms):
+        return None
+
+    data: dict[str, tuple] = {}
+    for t in terms:
+        ids_l, tf_l, dl_l, pos_l = [], [], [], []
+        for r in tps[t].chunks:
+            ids, tfs, dls = unpack_chunk_bm(r["blob"], r["bm"], int(r["codec"]))
+            ids_l.append(ids.astype(np.int64))
+            tf_l.append(tfs.astype(np.int64))
+            dl_l.append(dls.astype(np.int64))
+            pos_l.append(unpack_positions(r["pos_blob"], tfs).astype(np.int64))
+        data[t] = (
+            np.concatenate(ids_l),
+            np.concatenate(tf_l),
+            np.concatenate(dl_l),
+            np.concatenate(pos_l),
+        )
+
+    def occ_keys(t):
+        ids, tfs, _, pos = data[t]
+        return np.repeat(ids, tfs).astype(np.uint64) * np.uint64(
+            1 << 32
+        ) + pos.astype(np.uint64)
+
+    ka, kb, kt = occ_keys(term_a), occ_keys(term_b), occ_keys(little)
+    ia = np.searchsorted(ka, kt, side="right") - 1  # largest a-key <= t
+    ib = np.searchsorted(kb, kt, side="left")  # smallest b-key >= t
+    ok = (ia >= 0) & (ib < kb.size)
+    sel = np.flatnonzero(ok)
+    pair_ok = (kb[ib[sel]] - ka[ia[sel]]) <= np.uint64(slop)
+    # strict order a < b (equal keys impossible across distinct terms, but
+    # keep the guard so a degenerate little==endpoint case stays a SPAN)
+    pair_ok &= kb[ib[sel]] > ka[ia[sel]]
+    verified = np.unique(kt[sel[pair_ok]] >> np.uint64(32)).astype(np.int64)
+    return verified, tps, data
+
+
+def _span_enclosure_topk(
+    reader: IndexReader,
+    verified: np.ndarray,
+    score_terms: list[str],
+    tps,
+    data,
+    k: int,
+    round_digits: int | None,
+    where: dict | None,
+) -> list[tuple[int, float]]:
+    """Rank a span-verified doc set by the sum of the given terms' BM25 —
+    the Lucene convention that a span query scores through its weight's
+    clause terms (little for ``within``, the big pair for ``containing``)."""
+    if where:
+        verified = np.intersect1d(
+            verified, reader.filter_doc_ids(where), assume_unique=True
+        )
+    tomb = _with_tombstones(reader, None)
+    if tomb is not None:
+        verified = verified[~np.isin(verified, tomb, assume_unique=True)]
+    if verified.size == 0:
+        return []
+    scores = np.zeros(verified.size)
+    for t in score_terms:
+        ids, tfs, dls, _ = data[t]
+        idx = np.searchsorted(ids, verified)
+        scores += bm25.score_np(tfs[idx], tps[t].idf, dls[idx], reader.avgdl)
+    if round_digits is not None:
+        scores = np.round(scores, round_digits)
+    order = np.lexsort((verified, -scores))[:k]
+    return [(int(verified[i]), float(scores[i])) for i in order]
+
+
+def search_span_within(
+    reader: IndexReader,
+    term_a: str,
+    term_b: str,
+    little: str,
+    slop: int,
+    k: int = 10,
+    round_digits: int | None = 6,
+    where: dict | None = None,
+) -> list[tuple[int, float]]:
+    """Lucene ``SpanWithinQuery``: occurrences of ``little`` enclosed by a
+    big span — ``term_a`` then ``term_b`` within ``slop`` positions — rank
+    the doc by the LITTLE clause's BM25 (Lucene scores within through the
+    little weight). 'hash somewhere inside a join ... sort window' finds
+    the docs discussing hashing in the join-sort context, not every doc
+    that merely mentions all three.
+
+    Driver fast path over the positional index (same regime as
+    :func:`search_span_first` / :func:`search_span_not`); at cluster scale
+    the same enclosure predicate is the occurrence-join plan of
+    `plans/intervals.py` (ordered interval with a contained leaf), which
+    the df-threshold auto-route already serves distributed.
+    """
+    got = _span_enclosure_docs(reader, term_a, term_b, little, slop)
+    if got is None:
+        return []
+    verified, tps, data = got
+    return _span_enclosure_topk(
+        reader, verified, [little], tps, data, k, round_digits, where
+    )
+
+
+def search_span_containing(
+    reader: IndexReader,
+    term_a: str,
+    term_b: str,
+    little: str,
+    slop: int,
+    k: int = 10,
+    round_digits: int | None = 6,
+    where: dict | None = None,
+) -> list[tuple[int, float]]:
+    """Lucene ``SpanContainingQuery``: big spans (``term_a`` then
+    ``term_b`` within ``slop``) that CONTAIN a ``little`` occurrence, doc
+    ranked by the BIG pair's conjunctive BM25 (Lucene scores containing
+    through the big weight). Same verified doc set as
+    :func:`search_span_within` — the two queries differ only in which
+    clause carries the score, mirroring Lucene's within/containing
+    duality."""
+    got = _span_enclosure_docs(reader, term_a, term_b, little, slop)
+    if got is None:
+        return []
+    verified, tps, data = got
+    return _span_enclosure_topk(
+        reader,
+        verified,
+        list(dict.fromkeys([term_a, term_b])),
+        tps,
+        data,
+        k,
+        round_digits,
+        where,
+    )
+
+
 def search_pinned(
     reader: IndexReader,
     terms: list[str],

@@ -212,3 +212,108 @@ def test_span_not_asymmetric_window(pos_reader):
         search_span_not(pos_reader, "the", "the", 1, 1)
     with pytest.raises(ValueError):
         search_span_not(pos_reader, "the", "a", -1, 0)
+
+
+# ---- span_within / span_containing (Lucene enclosure duality) ---------------
+
+
+@pytest.mark.parametrize(
+    "ta,tb,little,slop",
+    [("the", "a", "data", 6), ("the", "a", "data", 2), ("join", "sort", "hash", 10),
+     ("the", "a", "zzz_missing", 6), ("the", "zzz_missing", "data", 6),
+     ("a", "the", "data", 6)],
+    ids=lambda x: str(x),
+)
+def test_span_within_matches_oracle(pos_reader, duck, ta, tb, little, slop):
+    from miru_spark.plans.relational import bm25_span_enclosure_oracle_sql
+    from miru_spark.plans.search import search_span_within
+
+    got = search_span_within(pos_reader, ta, tb, little, slop, k=10)
+    exp = duck.execute(
+        bm25_span_enclosure_oracle_sql(ta, tb, little, slop, "little", k=10)
+    ).fetchall()
+    assert got == [(int(d), float(s)) for d, s in exp]
+
+
+@pytest.mark.parametrize(
+    "ta,tb,little,slop",
+    [("the", "a", "data", 6), ("join", "sort", "hash", 10), ("the", "a", "dup", 8)],
+    ids=lambda x: str(x),
+)
+def test_span_containing_matches_oracle(pos_reader, duck, ta, tb, little, slop):
+    from miru_spark.plans.relational import bm25_span_enclosure_oracle_sql
+    from miru_spark.plans.search import search_span_containing
+
+    got = search_span_containing(pos_reader, ta, tb, little, slop, k=10)
+    exp = duck.execute(
+        bm25_span_enclosure_oracle_sql(ta, tb, little, slop, "big", k=10)
+    ).fetchall()
+    assert got == [(int(d), float(s)) for d, s in exp]
+
+
+def test_span_enclosure_reference_bruteforce(pos_reader, spark):
+    """Pure-Python reference over the raw corpus tokens: a doc matches iff
+    some little occurrence sits inside an ordered a..b window of width
+    <= slop. Both public functions must return exactly this doc set."""
+    from miru_spark.plans.search import (
+        search_span_containing,
+        search_span_within,
+    )
+    from miru_spark.schema import read_corpus
+    from tests.conftest import SF_DIR
+
+    ta, tb, little, slop = "the", "a", "data", 6
+    expected = set()
+    for r in read_corpus(spark, SF_DIR).select("doc_id", "content").collect():
+        toks = [t for t in r.content.split(" ") if t]
+        pa = [i for i, t in enumerate(toks) if t == ta]
+        pb = [i for i, t in enumerate(toks) if t == tb]
+        pt = [i for i, t in enumerate(toks) if t == little]
+        if any(
+            a <= t <= b and 1 <= b - a <= slop
+            for t in pt for a in pa for b in pb
+        ):
+            expected.add(int(r.doc_id))
+    within = {d for d, _ in search_span_within(pos_reader, ta, tb, little,
+                                               slop, k=10**9)}
+    containing = {d for d, _ in search_span_containing(pos_reader, ta, tb,
+                                                       little, slop, k=10**9)}
+    assert within == expected
+    assert containing == expected  # same enclosure predicate, dual scoring
+
+
+def test_span_enclosure_semantics(pos_reader):
+    """Within/containing share the doc set but score different clauses:
+    within == little's single-term BM25 on that set, containing == the big
+    pair's conjunctive BM25. Widening slop only adds docs. Validation:
+    slop < 1, identical endpoints, non-positional index all reject."""
+    from miru_spark.plans.search import (
+        search_span_containing,
+        search_span_within,
+        search_topk,
+    )
+
+    ta, tb, little, slop = "the", "a", "data", 6
+    within = dict(search_span_within(pos_reader, ta, tb, little, slop, k=10**9))
+    containing = dict(
+        search_span_containing(pos_reader, ta, tb, little, slop, k=10**9)
+    )
+    assert set(within) == set(containing) and within
+    little_scores = dict(
+        (d, round(s, 6))
+        for d, s in search_topk(pos_reader, [little], k=10**9)
+    )
+    pair_scores = dict(
+        (d, round(s, 6))
+        for d, s in search_topk(pos_reader, [ta, tb], mode="conjunctive",
+                                k=10**9)
+    )
+    assert all(within[d] == little_scores[d] for d in within)
+    assert all(containing[d] == pair_scores[d] for d in containing)
+    tight = {d for d, _ in search_span_within(pos_reader, ta, tb, little, 2,
+                                              k=10**9)}
+    assert tight <= set(within)
+    with pytest.raises(ValueError):
+        search_span_within(pos_reader, "the", "a", "data", 0)
+    with pytest.raises(ValueError):
+        search_span_containing(pos_reader, "the", "the", "data", 3)
