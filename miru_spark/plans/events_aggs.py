@@ -263,6 +263,50 @@ FROM r WHERE rn = 1 ORDER BY {by}
 """.strip()
 
 
+def weighted_avg(df: DataFrame, by: str = "event_type") -> DataFrame:
+    """ES ``weighted_avg``: per bucket, the value metric averaged under a
+    per-row weight field (here weight = char length of the ``props``
+    payload — the deterministic stand-in for a weight column, exactly the
+    value_field/weight_field shape of the ES agg). Exact-decimal inner
+    sums keep the result partition-merge-order independent (same
+    discipline as :func:`date_histogram`'s value sums): round(value, 2)
+    casts to DECIMAL(18,2), multiplies by the integer weight (still
+    exact), sums exactly, and divides ONCE at the end — one
+    map-side-combined hash agg, a handful of numbers per partition at any
+    scale."""
+    w = F.length("props").cast("long")
+    v = F.round(F.col("value"), 2).cast("decimal(18,2)")
+    return (
+        df.groupBy(by)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(w).alias("sum_w"),
+            F.sum(v * w).alias("__swv"),
+        )
+        .select(
+            by,
+            "n",
+            "sum_w",
+            F.round(
+                F.col("__swv").cast("double") / F.col("sum_w").cast("double"),
+                6,
+            ).alias("w_avg"),
+        )
+        .orderBy(by)
+    )
+
+
+def weighted_avg_sql(by: str = "event_type") -> str:
+    return f"""
+SELECT {by}, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(props)) AS BIGINT) AS sum_w,
+       round(CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)) * length(props))
+                  AS DOUBLE)
+             / CAST(sum(length(props)) AS DOUBLE), 6) AS w_avg
+FROM events GROUP BY {by} ORDER BY {by}
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # driver registry cases (members of the rel_scalar_funcs composite)
 
@@ -307,3 +351,10 @@ def q_top_metrics(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_TOP_METRICS = top_metrics_sql()
+
+
+def q_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    return weighted_avg(events_df(spark, sf))
+
+
+SQL_WEIGHTED_AVG = weighted_avg_sql()

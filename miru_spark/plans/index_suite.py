@@ -325,6 +325,19 @@ def _mk_sorted(terms, mode, ascending=False):
     return run
 
 
+def _mk_multi_terms(terms, mode, size):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_multi_terms
+
+        reader = ensure_index(spark, sf_dir)
+        return search_multi_terms(
+            reader, terms, mode=mode, fields=("lang", "repo"), size=size
+        )
+
+    return run
+
+
 def _mk_rare_terms(terms, mode, max_doc_count):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -2261,6 +2274,7 @@ def register_all(register) -> None:
         histogram_oracle_sql,
         matrix_stats_oracle_sql,
         mlt_oracle_sql,
+        multi_terms_oracle_sql,
         range_agg_oracle_sql,
         sampled_facets_oracle_sql,
         snippet_oracle_sql,
@@ -2510,7 +2524,8 @@ def register_all(register) -> None:
         ("bm25_index_histo_pipeline",
          _mk_histo_pipeline(["the", "a"], "conjunctive", 10, 3, 2),
          _histo_pipeline_oracle(["the", "a"], "conjunctive", 10, 3, 2),
-         ("bin_lo", "n_docs", "deriv", "cum_n", "mov_avg")),
+         ("bin_lo", "n_docs", "deriv", "cum_n", "mov_avg", "sdiff",
+          "pct_of_sum")),
         # A50 field collapsing (ES collapse + inner_hits): top-4 repos by
         # their best hit, 2 inner hits each (engine repo == documents source)
         ("bm25_index_collapse",
@@ -2537,6 +2552,15 @@ def register_all(register) -> None:
          ("bucket", "n_docs")),
         # A66 composite aggregation (ES composite): page 2 of (lang, repo)
         # buckets via a REAL page-1 after-key cursor
+        # A103 multi_terms (ES multi_terms agg): top (lang, repo) TUPLE
+        # buckets of the candidate set by doc count desc, tuple-asc
+        # tiebreak, size-bounded — tuple buckets compete globally, unlike
+        # a terms-in-terms nesting
+        ("bm25_index_multi_terms",
+         _mk_multi_terms(["the", "a"], "conjunctive", 6),
+         multi_terms_oracle_sql(["the", "a"], "conjunctive",
+                                ("lang", "repo"), 6),
+         ("lang", "repo", "n_docs")),
         ("bm25_index_facets_composite",
          _mk_facets_composite(["the", "a"], "conjunctive", size=4),
          _facets_composite_oracle(["the", "a"], "conjunctive", size=4),

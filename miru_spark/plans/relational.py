@@ -416,6 +416,37 @@ FROM documents JOIN m USING(doc_id) GROUP BY {facet_col} ORDER BY {facet_col}
 """.strip()
 
 
+def multi_terms_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    fields: tuple[str, str] = ("lang", "repo"),
+    size: int = 10,
+) -> str:
+    """Twin of plans.search.search_multi_terms (A103 — ES multi_terms):
+    top-``size`` (field tuple) buckets of the candidate set by doc count
+    descending, tuple ascending tiebreak; documents.source stands in for
+    the docmap's repo column."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    values = ",".join("('" + _sql_quote(t) + "')" for t in terms)
+    need = "= (SELECT count(*) FROM q)" if mode == "conjunctive" else ">= 1"
+    src = {"lang": "lang", "repo": "source"}
+    sel = ", ".join(f"{src[f]} AS {f}" for f in fields)
+    keys = ", ".join(fields)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf  AS (SELECT DISTINCT doc_id, term FROM tok WHERE term<>''),
+q(term) AS (VALUES {values}),
+m AS (SELECT doc_id FROM tf JOIN q USING(term) GROUP BY doc_id
+      HAVING count(*) {need})
+SELECT {keys}, n_docs FROM (
+  SELECT {sel}, count(*) AS n_docs
+  FROM documents JOIN m USING(doc_id) GROUP BY 1, 2)
+ORDER BY n_docs DESC, {keys} LIMIT {int(size)}
+""".strip()
+
+
 def snippet_oracle_sql(
     terms: list[str],
     mode: str = "conjunctive",
@@ -1280,12 +1311,14 @@ def histogram_pipeline_oracle_sql(
     selector_min: int | None = None,
     round_digits: int = 6,
     tok_sql: str = DEFAULT_TOK_SQL,
+    serial_lag: int = 2,
 ) -> str:
     """Twin of plans.search.search_histogram_pipeline (A90 — ES pipeline
     aggs): the A40 histogram CTE with derivative / cumulative_sum /
-    trailing moving average as window functions, bucket_selector last."""
-    if width <= 0 or moving_window <= 0:
-        raise ValueError("width and moving_window must be positive")
+    trailing moving average / serial_diff / normalize percent_of_sum as
+    window functions, bucket_selector last."""
+    if width <= 0 or moving_window <= 0 or serial_lag <= 0:
+        raise ValueError("width, moving_window and serial_lag must be positive")
     sel = f"WHERE n_docs >= {int(selector_min)}" if selector_min is not None else ""
     return f"""
 {_candidate_ctes(terms, mode, tok_sql)},
@@ -1299,7 +1332,10 @@ pipe AS (
          CAST(SUM(n_docs) OVER (ORDER BY bin_lo) AS BIGINT) AS cum_n,
          ROUND(AVG(n_docs) OVER (ORDER BY bin_lo
                ROWS BETWEEN {int(moving_window) - 1} PRECEDING AND CURRENT ROW),
-               {round_digits}) AS mov_avg
+               {round_digits}) AS mov_avg,
+         n_docs - lag(n_docs, {int(serial_lag)}) OVER (ORDER BY bin_lo) AS sdiff,
+         ROUND(n_docs * 100.0 / SUM(n_docs) OVER (), {round_digits})
+           AS pct_of_sum
   FROM buckets)
 SELECT * FROM pipe {sel} ORDER BY bin_lo
 """.strip()

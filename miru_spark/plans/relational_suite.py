@@ -740,11 +740,13 @@ from miru_spark.plans.events_aggs import (  # noqa: E402  (round 5b)
     SQL_DATE_RANGE,
     SQL_DIVERSIFIED,
     SQL_TOP_METRICS,
+    SQL_WEIGHTED_AVG,
     q_auto_histogram,
     q_date_histogram,
     q_date_range,
     q_diversified,
     q_top_metrics,
+    q_weighted_avg,
 )
 
 QUERIES = {
@@ -796,6 +798,8 @@ QUERIES = {
     "ev_auto_histogram": (q_auto_histogram, SQL_AUTO_HISTOGRAM),
     "ev_diversified": (q_diversified, SQL_DIVERSIFIED),
     "ev_top_metrics": (q_top_metrics, SQL_TOP_METRICS),
+    # ES weighted_avg: value weighted by a per-row weight field
+    "ev_weighted_avg": (q_weighted_avg, SQL_WEIGHTED_AVG),
 }
 
 # per-query output columns (for the tagged-union composite oracle branches)
@@ -841,6 +845,7 @@ COLUMNS = {
     "ev_auto_histogram": ("unit", "bucket_ts", "n"),
     "ev_diversified": ("event_type", "n", "sum_value"),
     "ev_top_metrics": ("event_type", "top_ts", "top_value"),
+    "ev_weighted_avg": ("event_type", "n", "sum_w", "w_avg"),
 }
 
 # operator-family composites: 27 individual cases -> 11 driver entries
@@ -861,7 +866,7 @@ GROUPS = {
         "geo_distance", "geo_bbox", "geo_rings", "geo_tiles",
         "geo_centroid", "geo_bounds", "geo_geohash", "geo_polygon",
         "ev_date_histogram", "ev_date_range", "ev_auto_histogram",
-        "ev_diversified", "ev_top_metrics",
+        "ev_diversified", "ev_top_metrics", "ev_weighted_avg",
     ),
     "rel_nested": ("rel_b21_arrays", "rel_b22_json"),
     "rel_pandas_arrow": ("rel_b23_pandas_udf", "rel_b25_map_in_arrow"),

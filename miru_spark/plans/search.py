@@ -881,6 +881,45 @@ def search_facets(
     )
 
 
+def search_multi_terms(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    fields: tuple[str, ...] = ("lang", "repo"),
+    size: int = 10,
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A103 — multi_terms aggregation (ES ``multi_terms``): buckets keyed
+    by a TUPLE of docmap fields over the full candidate set, ordered by
+    doc count descending (field tuple ascending as the deterministic
+    tiebreak), ``size``-bounded. The one-shot answer to "top (lang, repo)
+    combinations among the hits" — unlike a terms-in-terms nesting, tuple
+    buckets compete against each other globally, so a hot pair under a
+    cold first key still surfaces (exactly why ES added multi_terms).
+
+    Plan: candidate scan -> docmap multi-column projection join -> ONE
+    hash agg by the tuple (map-side partial combine) ->
+    TakeOrderedAndProject on (count desc, keys asc) — the shuffle carries
+    one row per distinct tuple per partition, never per doc."""
+    if len(fields) < 2:
+        raise ValueError("multi_terms needs >= 2 fields (use search_facets)")
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
+    ).select("doc_id")
+    dm = reader.docmap_df().select("doc_id", *fields)
+    return (
+        cand.join(dm, "doc_id")
+        .groupBy(*fields)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), *fields)
+        .limit(size)
+    )
+
+
 def search_adjacency_matrix(
     reader: IndexReader,
     filters: dict[str, list[str]],
@@ -1224,11 +1263,14 @@ def search_histogram_pipeline(
     round_digits: int | None = 6,
     exclude: list[str] | None = None,
     where: dict | None = None,
+    serial_lag: int = 2,
 ) -> DataFrame:
     """A90 — ES pipeline aggregations over histogram buckets: derivative,
     cumulative_sum and a trailing moving average (ES ``derivative`` /
-    ``cumulative_sum`` / ``moving_fn`` unweightedAvg), plus
-    ``bucket_selector``.
+    ``cumulative_sum`` / ``moving_fn`` unweightedAvg), plus ``serial_diff``
+    (lag-``serial_lag`` difference — the seasonal detrender), ``normalize``
+    method=percent_of_sum (each bucket as a percentage of all buckets),
+    and ``bucket_selector``.
 
     Parent agg = the A40 fixed-width histogram; every pipeline metric is a
     pure window expression over the BUCKET rows (whole-stage codegen, and
@@ -1239,6 +1281,11 @@ def search_histogram_pipeline(
     * ``cum_n``   = running total of n_docs;
     * ``mov_avg`` = mean of n_docs over the trailing ``moving_window``
       buckets (window shorter at the leading edge, like ES moving_fn);
+    * ``sdiff``   = n_docs - lag(n_docs, serial_lag) (ES ``serial_diff``;
+      null on the first ``serial_lag`` buckets);
+    * ``pct_of_sum`` = n_docs / total(n_docs) * 100 (ES ``normalize``
+      method=percent_of_sum) — the total is a window sum over the bucket
+      rows, NOT a second candidate pass;
     * ``selector_min`` drops buckets with n_docs < floor AFTER the other
       metrics are computed (ES applies bucket_selector last, so a removed
       neighbor never changes another bucket's derivative).
@@ -1247,6 +1294,8 @@ def search_histogram_pipeline(
 
     if moving_window <= 0:
         raise ValueError("moving_window must be positive")
+    if serial_lag <= 0:
+        raise ValueError("serial_lag must be positive")
     buckets = search_facets_histogram(
         reader, terms, mode=mode, col=col, width=width, exclude=exclude,
         where=where,
@@ -1254,14 +1303,21 @@ def search_histogram_pipeline(
     w = Window.orderBy("bin_lo")
     mov = Window.orderBy("bin_lo").rowsBetween(-(moving_window - 1), 0)
     mov_avg = F.avg("n_docs").over(mov)
+    total = Window.orderBy("bin_lo").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pct = F.col("n_docs") / F.sum("n_docs").over(total) * 100.0
     if round_digits is not None:
         mov_avg = F.round(mov_avg, round_digits)
+        pct = F.round(pct, round_digits)
     out = buckets.select(
         "bin_lo",
         "n_docs",
         (F.col("n_docs") - F.lag("n_docs").over(w)).alias("deriv"),
         F.sum("n_docs").over(w).alias("cum_n"),
         mov_avg.alias("mov_avg"),
+        (F.col("n_docs") - F.lag("n_docs", serial_lag).over(w)).alias("sdiff"),
+        pct.alias("pct_of_sum"),
     )
     if selector_min is not None:
         out = out.filter(F.col("n_docs") >= selector_min)

@@ -150,3 +150,61 @@ def test_adjacency_matrix_validation(reader):
 
     with pytest.raises(ValueError):
         search_adjacency_matrix(reader, {})
+
+
+# ---- A103 multi_terms (ES multi_terms: tuple-keyed terms agg) ---------------
+
+
+def test_multi_terms_matches_duck(reader, duck):
+    from miru_spark.plans.relational import multi_terms_oracle_sql
+    from miru_spark.plans.search import search_multi_terms
+
+    for terms, mode, size in [
+        (["the", "a"], "conjunctive", 5),
+        (["dup"], "disjunctive", 50),
+    ]:
+        got = [
+            (r.lang, r.repo, r.n_docs)
+            for r in search_multi_terms(
+                reader, terms, mode=mode, fields=("lang", "repo"), size=size
+            ).collect()
+        ]
+        exp = duck.execute(
+            multi_terms_oracle_sql(terms, mode, ("lang", "repo"), size)
+        ).fetchall()
+        assert got == [tuple(r) for r in exp] and got
+
+
+def test_multi_terms_is_global_tuple_competition(reader):
+    """The top-size tuple buckets equal the bruteforce top-size of the FULL
+    (lang, repo) count list under (count desc, tuple asc) — tuple buckets
+    compete globally, not within a per-lang nesting; and the counts
+    partition the candidate set when size covers every bucket."""
+    from miru_spark.plans.search import search_multi_terms, search_topk
+
+    full = [
+        (r.lang, r.repo, r.n_docs)
+        for r in search_multi_terms(
+            reader, ["the", "a"], fields=("lang", "repo"), size=10**6
+        ).collect()
+    ]
+    n_cand = len(search_topk(reader, ["the", "a"], mode="conjunctive",
+                             k=10**9))
+    assert sum(n for _, _, n in full) == n_cand
+    ranked = sorted(full, key=lambda t: (-t[2], t[0], t[1]))
+    top3 = [
+        (r.lang, r.repo, r.n_docs)
+        for r in search_multi_terms(
+            reader, ["the", "a"], fields=("lang", "repo"), size=3
+        ).collect()
+    ]
+    assert top3 == ranked[:3]
+
+
+def test_multi_terms_validation(reader):
+    from miru_spark.plans.search import search_multi_terms
+
+    with pytest.raises(ValueError, match="fields"):
+        search_multi_terms(reader, ["the"], fields=("lang",))
+    with pytest.raises(ValueError, match="size"):
+        search_multi_terms(reader, ["the"], size=0)

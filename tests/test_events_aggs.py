@@ -14,6 +14,7 @@ from miru_spark.plans.events_aggs import (
     SQL_DATE_RANGE,
     SQL_DIVERSIFIED,
     SQL_TOP_METRICS,
+    SQL_WEIGHTED_AVG,
     auto_date_histogram,
     date_range_agg,
     diversified_sampler,
@@ -23,6 +24,7 @@ from miru_spark.plans.events_aggs import (
     q_date_range,
     q_diversified,
     q_top_metrics,
+    q_weighted_avg,
     top_metrics,
 )
 
@@ -41,8 +43,10 @@ def _rows(df):
         (q_auto_histogram, SQL_AUTO_HISTOGRAM),
         (q_diversified, SQL_DIVERSIFIED),
         (q_top_metrics, SQL_TOP_METRICS),
+        (q_weighted_avg, SQL_WEIGHTED_AVG),
     ],
-    ids=["date_histogram", "date_range", "auto", "diversified", "top_metrics"],
+    ids=["date_histogram", "date_range", "auto", "diversified", "top_metrics",
+         "weighted_avg"],
 )
 def test_events_aggs_match_oracle(spark, duck, qfn, sql):
     got = _rows(qfn(spark, SF_DIR))
@@ -144,7 +148,38 @@ def test_events_aggs_plans_are_jvm_side(spark):
         q_auto_histogram(spark, SF_DIR),
         q_diversified(spark, SF_DIR),
         q_top_metrics(spark, SF_DIR),
+        q_weighted_avg(spark, SF_DIR),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
             assert marker not in plan
+
+
+def test_weighted_avg_contract(spark):
+    """w_avg is a true weighted mean: it sits inside [min, max] of the
+    bucket's rounded values, differs from the unweighted mean somewhere
+    (weights genuinely vary), and a constant weight degrades to the plain
+    mean."""
+    from miru_spark.plans.events_aggs import weighted_avg
+
+    ev = events_df(spark, SF_DIR)
+    got = {r["event_type"]: r for r in q_weighted_avg(spark, SF_DIR).collect()}
+    plain = {
+        r["event_type"]: (r["lo"], r["hi"], r["mean"])
+        for r in ev.groupBy("event_type").agg(
+            F.min(F.round("value", 2)).alias("lo"),
+            F.max(F.round("value", 2)).alias("hi"),
+            F.avg(F.round("value", 2)).alias("mean"),
+        ).collect()
+    }
+    assert set(got) == set(plain) and got
+    diff_seen = False
+    for et, r in got.items():
+        lo, hi, mean = plain[et]
+        assert float(lo) <= r["w_avg"] <= float(hi)
+        diff_seen |= abs(r["w_avg"] - mean) > 1e-9
+    assert diff_seen, "weights never changed any bucket's mean (vacuous)"
+    # constant weight == plain mean (to the shared rounding)
+    const = weighted_avg(ev.withColumn("props", F.lit("xx")))
+    for r in const.collect():
+        assert abs(r["w_avg"] - plain[r["event_type"]][2]) < 5e-7

@@ -191,33 +191,42 @@ def test_histogram_pipeline_matches_bruteforce(reader, duck):
         search_histogram_pipeline,
     )
 
-    terms, mode, width, win = ["the", "a"], "conjunctive", 10, 3
+    terms, mode, width, win, lag = ["the", "a"], "conjunctive", 10, 3, 2
     base = search_facets_histogram(reader, terms, mode=mode, width=width).collect()
     ns = [(r.bin_lo, r.n_docs) for r in base]
+    total = sum(n for _, n in ns)
     want = []
     for i, (b, n) in enumerate(ns):
         deriv = None if i == 0 else n - ns[i - 1][1]
         cum = sum(x[1] for x in ns[: i + 1])
         wvals = [x[1] for x in ns[max(0, i - win + 1) : i + 1]]
-        want.append((b, n, deriv, cum, round(sum(wvals) / len(wvals), 6)))
+        sdiff = None if i < lag else n - ns[i - lag][1]
+        want.append((b, n, deriv, cum, round(sum(wvals) / len(wvals), 6),
+                     sdiff, round(n * 100.0 / total, 6)))
     got = [
-        (r.bin_lo, r.n_docs, r.deriv, r.cum_n, r.mov_avg)
+        (r.bin_lo, r.n_docs, r.deriv, r.cum_n, r.mov_avg, r.sdiff,
+         r.pct_of_sum)
         for r in search_histogram_pipeline(
-            reader, terms, mode=mode, width=width, moving_window=win
+            reader, terms, mode=mode, width=width, moving_window=win,
+            serial_lag=lag,
         ).collect()
     ]
     assert got == want and len(got) >= 3
     exp = duck.execute(
-        histogram_pipeline_oracle_sql(terms, mode, width=width, moving_window=win)
+        histogram_pipeline_oracle_sql(terms, mode, width=width,
+                                      moving_window=win, serial_lag=lag)
     ).fetchall()
     assert got == [tuple(r) for r in exp]
+    # normalize: percentages partition 100 over the FULL bucket list
+    assert round(sum(t[6] for t in want), 4) == 100.0
     # selector: subset rows, identical surviving metrics
     floor = sorted(n for _, n in ns)[len(ns) // 2]
     sel = [
-        (r.bin_lo, r.n_docs, r.deriv, r.cum_n, r.mov_avg)
+        (r.bin_lo, r.n_docs, r.deriv, r.cum_n, r.mov_avg, r.sdiff,
+         r.pct_of_sum)
         for r in search_histogram_pipeline(
             reader, terms, mode=mode, width=width, moving_window=win,
-            selector_min=floor,
+            serial_lag=lag, selector_min=floor,
         ).collect()
     ]
     assert sel == [t for t in want if t[1] >= floor]
@@ -229,6 +238,8 @@ def test_histogram_pipeline_validation(reader):
 
     with pytest.raises(ValueError, match="moving_window"):
         search_histogram_pipeline(reader, ["the"], moving_window=0)
+    with pytest.raises(ValueError, match="serial_lag"):
+        search_histogram_pipeline(reader, ["the"], serial_lag=0)
 
 
 def test_histogram_rejects_bad_width(reader):
