@@ -626,6 +626,21 @@ def _mk_prefix(prefix):
     return run
 
 
+def _mk_match_bool_prefix(query, mode):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_match_bool_prefix
+
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search_match_bool_prefix(reader, query, mode=mode, k=10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
 def _mk_prefix_dist(prefix):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -2260,6 +2275,7 @@ def register_all(register) -> None:
         bm25_span_first_oracle_sql,
         bm25_span_not_oracle_sql,
         lm_dirichlet_oracle_sql,
+        match_bool_prefix_oracle_sql,
         classic_oracle_sql,
         collapse_oracle_sql,
         count_oracle_sql,
@@ -2467,6 +2483,18 @@ def register_all(register) -> None:
     ] + [
         (n, _mk_prefix_dist(p), bm25_prefix_oracle_sql(p), DS)
         for n, p in DIST_PREFIX_CASES.items()
+    ] + [
+        # A104 match_bool_prefix (ES search-as-you-type, boolean variant):
+        # full tokens as plain clauses, last token's expansions as ONE
+        # blended pseudo-term; clauses need not be adjacent (vs A61)
+        ("bm25_index_match_bool_prefix",
+         _mk_match_bool_prefix("the d", "conjunctive"),
+         match_bool_prefix_oracle_sql("the d", "conjunctive"),
+         DS),
+        ("bm25_index_match_bool_prefix_or",
+         _mk_match_bool_prefix("dup li", "disjunctive"),
+         match_bool_prefix_oracle_sql("dup li", "disjunctive"),
+         DS),
     ])
     register_composite(register, "bm25_index_regex", [
         (n, _mk_regex(p), bm25_regex_oracle_sql(p), DS)

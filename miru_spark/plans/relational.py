@@ -1761,6 +1761,63 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """.strip()
 
 
+def match_bool_prefix_oracle_sql(
+    query: str,
+    mode: str = "conjunctive",
+    k: int = 10,
+    round_digits: int = 6,
+    max_expansions: int = 50,
+) -> str:
+    """Twin of plans.search.search_match_bool_prefix (A104 — ES
+    match_bool_prefix): fixed tokens as singleton synonym groups, the last
+    token's prefix expansions as ONE blended group (tf = sum of member
+    tfs, df = max member df — A41's convention); conjunctive = every
+    group, disjunctive = any. The expansion group is built in SQL (LIKE
+    prefix, term order, capped) so the twin can't drift from a stale
+    hand-expanded list."""
+    toks = query.split()
+    if not toks:
+        raise ValueError("empty query")
+    fixed, prefix = toks[:-1], toks[-1]
+    fixed_terms = list(dict.fromkeys(fixed))
+    n_groups = len(fixed_terms) + 1  # + the prefix group
+    fixed_sel = (
+        "SELECT term, grp FROM (VALUES "
+        + ",".join(
+            f"('{_sql_quote(t)}', {i})" for i, t in enumerate(fixed_terms)
+        )
+        + ") v(term, grp) UNION ALL "
+        if fixed_terms
+        else ""
+    )
+    having = (
+        f"WHERE nmatch = {n_groups}" if mode == "conjunctive" else ""
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf    AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok WHERE term<>'' GROUP BY 1,2),
+dl    AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl FROM dl),
+df    AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+ex    AS (SELECT term FROM (
+             SELECT DISTINCT term FROM tf
+             WHERE term LIKE '{_sql_quote(prefix)}%'
+             ORDER BY term LIMIT {int(max_expansions)})),
+g AS ({fixed_sel}SELECT term, {len(fixed_terms)} AS grp FROM ex),
+gdf AS (SELECT grp, max(df.df) AS df FROM g JOIN df USING(term) GROUP BY 1),
+gtf AS (SELECT tf.doc_id, g.grp, sum(tf.tf) AS tf
+        FROM tf JOIN g USING(term) GROUP BY 1, 2),
+s AS (SELECT gtf.doc_id,
+        sum( ln(1+(stats.n-gdf.df+0.5)/(gdf.df+0.5))
+             * gtf.tf*(1.2+1)/(gtf.tf+1.2*(1-0.75+0.75*dl.dl/stats.avgdl)) ) raw_score,
+        count(DISTINCT gtf.grp) nmatch
+      FROM gtf JOIN gdf USING(grp) JOIN dl USING(doc_id), stats
+      GROUP BY 1)
+SELECT doc_id, round(raw_score, {round_digits}) AS score FROM s {having}
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
 def bm25_oracle_sql(
     terms: list[str],
     mode: str = "conjunctive",

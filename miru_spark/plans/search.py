@@ -1107,6 +1107,58 @@ def explain(
     }
 
 
+def search_match_bool_prefix(
+    reader: IndexReader,
+    query: str,
+    mode: str = "conjunctive",
+    k: int = 10,
+    max_expansions: int = 50,
+    tokenizer: str = "whitespace",
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> list[tuple[int, float]]:
+    """A104 — ES ``match_bool_prefix``: the search-as-you-type BOOLEAN
+    companion to ``match_phrase_prefix`` (A61). Every token but the last
+    is a plain term clause; the last token is a prefix clause that matches
+    ANY dictionary expansion — but unlike A61 the tokens need NOT be
+    adjacent or ordered, so ``'hash jo'`` finds docs mentioning hashing
+    and joins anywhere.
+
+    Pinned scoring: the prefix slot is ONE blended pseudo-term — per-doc
+    tf = SUM of the expansions' tfs, idf from the MAX expansion df —
+    exactly A41's SynonymQuery convention (Lucene blends the prefix's
+    expansions the same way in its BlendedTermQuery rewrite, so two
+    near-synonymous completions don't double-idf); fixed tokens score
+    plain BM25. ``mode='conjunctive'`` (ES operator AND) requires every
+    clause — the prefix slot counts as one clause satisfied by any
+    expansion; ``'disjunctive'`` (operator OR, the ES default) requires
+    any. Expansion order/cap mirrors A61: first ``max_expansions`` in
+    term order.
+
+    Implementation IS the synonym engine: fixed tokens become singleton
+    groups, the expansion set one blended group — no new scoring code to
+    drift."""
+    from miru_spark.functions.tokenize import tokenize_py
+
+    toks = tokenize_py(query, tokenizer)
+    if not toks:
+        raise ValueError("empty query")
+    if max_expansions <= 0:
+        raise ValueError("max_expansions must be positive")
+    fixed, prefix = toks[:-1], toks[-1]
+    expansions = sorted(reader.expand_prefix(prefix, max_terms=1 << 30))[
+        :max_expansions
+    ]
+    groups = [[t] for t in dict.fromkeys(fixed)]
+    if expansions:
+        groups.append(expansions)
+    elif mode == "conjunctive" or not groups:
+        return []  # unexpandable prefix clause: AND can't match; bare OR empty
+    return search_synonym(
+        reader, groups, mode=mode, k=k, exclude=exclude, where=where
+    )
+
+
 def search_synonym(
     reader: IndexReader,
     groups: list[list[str]],

@@ -172,3 +172,59 @@ def test_suggest_spelling_no_neighbors(reader):
     from miru_spark.plans.search import suggest_spelling
 
     assert suggest_spelling(reader, "zzzzzzz", max_edits=1, k=5) == []
+
+
+# ---- A104 match_bool_prefix (ES search-as-you-type, boolean variant) --------
+
+
+@pytest.mark.parametrize(
+    "query,mode",
+    [("the d", "conjunctive"), ("the d", "disjunctive"),
+     ("dup li", "disjunctive"), ("d", "conjunctive"),
+     ("the a d", "conjunctive"), ("the zzzz", "conjunctive"),
+     ("the zzzz", "disjunctive")],
+    ids=lambda x: str(x).replace(" ", "_"),
+)
+def test_match_bool_prefix_matches_oracle(reader, duck, query, mode):
+    from miru_spark.plans.relational import match_bool_prefix_oracle_sql
+    from miru_spark.plans.search import search_match_bool_prefix
+
+    got = [
+        (d, round(s, 6))
+        for d, s in search_match_bool_prefix(reader, query, mode=mode, k=10)
+    ]
+    exp = duck.execute(
+        match_bool_prefix_oracle_sql(query, mode, k=10)
+    ).fetchall()
+    assert got == [(int(d), float(s)) for d, s in exp]
+
+
+def test_match_bool_prefix_semantics(reader):
+    """Equals the synonym engine on the hand-expanded groups; the AND
+    variant's doc set is exactly (docs with every fixed term) ∩ (docs with
+    any expansion) — no adjacency requirement, the contrast with A61; a
+    bare prefix query degrades to the blended single group; validation
+    errors."""
+    from miru_spark.plans.search import (
+        search_match_bool_prefix,
+        search_synonym,
+        search_topk,
+    )
+
+    exps = reader.expand_prefix("d")
+    assert exps  # non-vacuous on this corpus
+    got = search_match_bool_prefix(reader, "the d", mode="conjunctive",
+                                   k=10**9)
+    via_groups = search_synonym(reader, [["the"], exps],
+                                mode="conjunctive", k=10**9)
+    assert got == via_groups
+    fixed_docs = {d for d, _ in search_topk(reader, ["the"], k=10**9)}
+    exp_docs = {d for d, _ in search_topk(reader, exps, mode="disjunctive",
+                                          k=10**9)}
+    assert {d for d, _ in got} == (fixed_docs & exp_docs)
+    bare = search_match_bool_prefix(reader, "d", k=10**9)
+    assert bare == search_synonym(reader, [exps], k=10**9)
+    with pytest.raises(ValueError, match="empty"):
+        search_match_bool_prefix(reader, "   ")
+    with pytest.raises(ValueError, match="max_expansions"):
+        search_match_bool_prefix(reader, "the d", max_expansions=0)
