@@ -66,23 +66,33 @@ def lev_dist_bounded(a: str, b: str, max_edits: int) -> int:
     return max_edits + 1
 
 
-def _lev_within(a: str, b: str, k: int) -> bool:
+def _lev_within(a: str, b: str, k: int, transpositions: bool = False) -> bool:
     """Banded Levenshtein: True iff dist(a, b) <= k; early-exits when a DP
-    row's minimum exceeds k (Ukkonen's cutoff)."""
+    row's minimum exceeds k (Ukkonen's cutoff). ``transpositions`` adds the
+    OSA (restricted Damerau) transposition edit — adjacent-swap costs 1 —
+    the distance Lucene's FuzzyQuery automata count by default."""
     if a == b:
         return True
     if abs(len(a) - len(b)) > k:
         return False
+    prev2: list[int] | None = None
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
         cur = [i]
         for j, cb in enumerate(b, 1):
-            cur.append(
-                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-            )
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            if (
+                transpositions
+                and i > 1
+                and j > 1
+                and ca == b[j - 2]
+                and a[i - 2] == cb
+            ):
+                v = min(v, prev2[j - 2] + 1)
+            cur.append(v)
         if min(cur) > k:
             return False
-        prev = cur
+        prev2, prev = prev, cur
     return prev[-1] <= k
 
 
@@ -399,10 +409,21 @@ class IndexReader:
         return terms
 
     def expand_fuzzy(
-        self, term: str, max_edits: int = 1, max_terms: int = 1024
+        self,
+        term: str,
+        max_edits: int = 1,
+        max_terms: int = 1024,
+        transpositions: bool = False,
     ) -> list[str]:
         """Vocabulary terms within ``max_edits`` Levenshtein distance of
-        ``term`` (Lucene's ``term~`` fuzzy query).
+        ``term`` (Lucene's ``term~`` fuzzy query). ``transpositions=True``
+        counts an adjacent swap as ONE edit (OSA / restricted Damerau —
+        ES's default ``fuzziness`` and Lucene's FuzzyQuery automata do the
+        same), restricted to ``max_edits=1`` where OSA, full Damerau and
+        the Lucene automaton all agree exactly (they can diverge at 2);
+        the FastSS candidate set needs no change — every distance-1 pair,
+        transpositions included, shares a deletion variant (swap xy/yx:
+        delete either swapped char from both).
 
         Fast path (max_edits=1, ``index/fuzzy`` present — see
         ``writer.build_fuzzy_dictionary``): dist(q,t)<=1 iff their deletion
@@ -421,6 +442,11 @@ class IndexReader:
             raise ValueError("empty term")
         if max_edits < 0:
             raise ValueError("max_edits must be >= 0")
+        if transpositions and max_edits > 1:
+            raise ValueError(
+                "transpositions=True supports max_edits<=1 only (OSA and "
+                "full Damerau diverge at 2 — pin one before widening)"
+            )
         import os
 
         import pyarrow.compute as pc
@@ -449,7 +475,11 @@ class IndexReader:
             cands = self._term_dict().to_table(
                 columns=["term"], filter=flt
             ).column("term").to_pylist()
-        out = sorted(t for t in cands if _lev_within(term, t, max_edits))
+        out = sorted(
+            t
+            for t in cands
+            if _lev_within(term, t, max_edits, transpositions=transpositions)
+        )
         if len(out) > max_terms:
             raise ValueError(
                 f"fuzzy {term!r} (<= {max_edits} edits) expands to "

@@ -710,6 +710,23 @@ def _mk_boost(terms, mode, boosts, distributed):
 _FASTSS_BUILT: set[str] = set()
 
 
+def _mk_fuzzy_osa(probe):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_fuzzy
+
+        reader = ensure_index(spark, sf_dir)
+        rows = [
+            (int(d), round(float(s), 6))
+            for d, s in search_fuzzy(
+                reader, probe, max_edits=1, k=10, transpositions=True
+            )
+        ]
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    return run
+
+
 def q_fuzzy_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy serving through the FastSS deletion-neighborhood dictionary
     (pruned variant seeks instead of a dictionary scan) — same oracle as
@@ -2519,6 +2536,12 @@ def register_all(register) -> None:
     ] + [
         ("bm25_index_fuzzy_fastss", q_fuzzy_fastss,
          bm25_fuzzy_oracle_sql("lin", max_edits=1), DS),
+        # A105 OSA transpositions (ES default fuzziness / Lucene automaton):
+        # 'jion' ~> 'join' is ONE edit with transpositions, two without —
+        # oracle switches to DuckDB damerau_levenshtein (== OSA at 1 edit)
+        ("bm25_index_fuzzy_osa", _mk_fuzzy_osa("jion"),
+         bm25_fuzzy_oracle_sql("jion", max_edits=1, transpositions=True),
+         DS),
     ])
     register_composite(register, "bm25_index_facets", [
         (n, _mk_facets(t, m, f), facet_oracle_sql(t, m, f), ("lang", "n_docs"))

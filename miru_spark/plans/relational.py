@@ -357,12 +357,23 @@ def bm25_regex_oracle_sql(pattern: str, k: int = 10, round_digits: int = 6) -> s
 
 
 def bm25_fuzzy_oracle_sql(
-    term: str, max_edits: int = 1, k: int = 10, round_digits: int = 6
+    term: str,
+    max_edits: int = 1,
+    k: int = 10,
+    round_digits: int = 6,
+    transpositions: bool = False,
 ) -> str:
+    """``transpositions`` switches the twin's distance to DuckDB's
+    damerau_levenshtein — identical to the engine's OSA at max_edits=1,
+    the only width the engine accepts with transpositions on (the two
+    diverge at 2)."""
     if not term:
         raise ValueError("empty term")
+    if transpositions and max_edits > 1:
+        raise ValueError("transpositions oracle pinned to max_edits<=1")
+    fn = "damerau_levenshtein" if transpositions else "levenshtein"
     return _expansion_oracle_sql(
-        f"levenshtein(term, '{_sql_quote(term)}') <= {int(max_edits)}",
+        f"{fn}(term, '{_sql_quote(term)}') <= {int(max_edits)}",
         k,
         round_digits,
     )

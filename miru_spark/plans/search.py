@@ -782,13 +782,22 @@ def search_fuzzy(
     k: int = 10,
     max_terms: int = 1024,
     strategy: str = "auto",
+    transpositions: bool = False,
 ) -> list[tuple[int, float]]:
     """Fuzzy query ``term~`` — expand to vocabulary terms within
     ``max_edits`` Levenshtein distance, then disjunctive BM25 over the
     expansions (each with its own idf). Rare misspellings get HIGHER idf
     than the intended term — the classic scoring-boolean behavior; callers
-    wanting uniform weights can rescore the expansions themselves."""
-    terms = reader.expand_fuzzy(term, max_edits=max_edits, max_terms=max_terms)
+    wanting uniform weights can rescore the expansions themselves.
+    ``transpositions=True`` counts adjacent swaps as one edit (OSA — the
+    ES default fuzziness / Lucene automaton behavior; max_edits=1 only,
+    see :meth:`IndexReader.expand_fuzzy`)."""
+    terms = reader.expand_fuzzy(
+        term,
+        max_edits=max_edits,
+        max_terms=max_terms,
+        transpositions=transpositions,
+    )
     if not terms:
         return []
     return search_topk(reader, terms, mode="disjunctive", k=k, strategy=strategy)

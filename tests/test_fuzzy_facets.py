@@ -177,3 +177,55 @@ def test_facets_topk_matches_oracle(reader, duck):
     for lang, rk, _, _ in got:
         by_facet.setdefault(lang, []).append(rk)
     assert all(rks == list(range(1, len(rks) + 1)) for rks in by_facet.values())
+
+
+# ---- A105 OSA transpositions (ES default fuzziness) -------------------------
+
+
+def test_osa_within_agrees_with_duck_damerau(duck):
+    """_lev_within(transpositions=True) at k=1 == DuckDB damerau_levenshtein
+    <= 1 over every (probe, vocab) pair — OSA and full Damerau coincide at
+    one edit, which is exactly why the engine pins the flag to max_edits=1."""
+    vocab = _vocab(duck)
+    for probe in ["jion", "osrt", "hsa", "ag", "the", "xyzzy", "atble"]:
+        for t in vocab:
+            want = duck.execute(
+                "SELECT damerau_levenshtein(?, ?) <= 1", [probe, t]
+            ).fetchone()[0]
+            got = _lev_within(probe, t, 1, transpositions=True)
+            assert got == want, (probe, t)
+
+
+def test_expand_fuzzy_transpositions(reader, fuzzy_reader, duck):
+    """'jion' reaches 'join' only with transpositions on; the FastSS
+    dictionary path and the banded scan agree with the flag set (deletion
+    neighborhoods already cover adjacent swaps at one edit)."""
+    assert reader.expand_fuzzy("jion", max_edits=1) == []
+    assert reader.expand_fuzzy("jion", max_edits=1, transpositions=True) == [
+        "join"
+    ]
+    for probe in ["jion", "osrt", "hsa", "ag"]:
+        want = sorted(
+            t for t in _vocab(duck)
+            if _lev_within(probe, t, 1, transpositions=True)
+        )
+        assert reader.expand_fuzzy(probe, transpositions=True) == want
+        assert fuzzy_reader.expand_fuzzy(probe, transpositions=True) == want
+    with pytest.raises(ValueError, match="transpositions"):
+        reader.expand_fuzzy("jion", max_edits=2, transpositions=True)
+
+
+def test_fuzzy_search_osa_matches_oracle(reader, duck):
+    got = [
+        (d, round(s, 6))
+        for d, s in search_fuzzy(reader, "jion", k=10, transpositions=True)
+    ]
+    want = [
+        (int(d), float(s))
+        for d, s in duck.execute(
+            bm25_fuzzy_oracle_sql("jion", max_edits=1, transpositions=True)
+        ).fetchall()
+    ]
+    assert got == want and got
+    # without the flag the same probe finds nothing (distance-2 everywhere)
+    assert search_fuzzy(reader, "jion", k=10) == []
