@@ -168,6 +168,17 @@ def _phrase_prefix_oracle(phrase: str) -> str:
     return phrase_prefix_oracle_sql(phrase, k=10)
 
 
+def _mk_filters_agg(filters):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_filters_agg
+
+        reader = ensure_index(spark, sf_dir)
+        return search_filters_agg(reader, filters)
+
+    return run
+
+
 def _mk_adjacency(filters):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -2299,6 +2310,7 @@ def register_all(register) -> None:
         extended_stats_oracle_sql,
         facet_rollup_oracle_sql,
         field_stats_oracle_sql,
+        filters_agg_oracle_sql,
         string_stats_oracle_sql,
         mad_oracle_sql,
         boxplot_oracle_sql,
@@ -2783,6 +2795,17 @@ def register_all(register) -> None:
          ("term", "n_docs")),
         # A67 adjacency_matrix (ES): per-filter + pairwise-intersection
         # doc counts over named conjunctive term filters
+        # A106 filters agg (ES filters + other_bucket): named conjunctive
+        # filters as independent buckets (zero-count buckets emitted — the
+        # 'nothing' filter has an out-of-vocab term) plus '_other_' docs
+        # matching no filter
+        ("bm25_index_filters_agg",
+         _mk_filters_agg({"joins": ["join", "hash"], "windows": ["window"],
+                          "nothing": ["dup", "zzz_not_in_vocab"]}),
+         filters_agg_oracle_sql({"joins": ["join", "hash"],
+                                 "windows": ["window"],
+                                 "nothing": ["dup", "zzz_not_in_vocab"]}),
+         ("bucket", "n_docs")),
         ("bm25_index_adjacency",
          _mk_adjacency({"joins": ["join", "hash"], "sorting": ["sort"],
                         "common": ["the"]}),

@@ -427,6 +427,48 @@ FROM documents JOIN m USING(doc_id) GROUP BY {facet_col} ORDER BY {facet_col}
 """.strip()
 
 
+def filters_agg_oracle_sql(
+    filters: dict[str, list[str]], other_bucket: bool = True
+) -> str:
+    """Twin of plans.search.search_filters_agg (A106 — ES filters agg):
+    per named conjunctive filter a doc count (zero-count buckets emitted),
+    plus the '_other_' bucket of docs matching no filter."""
+    names = sorted(filters)
+    fvals = ",".join(
+        f"('{_sql_quote(n)}', '{_sql_quote(t)}')"
+        for n in names
+        for t in dict.fromkeys(filters[n])
+    )
+    svals = ",".join(
+        f"('{_sql_quote(n)}', {len(dict.fromkeys(filters[n]))})" for n in names
+    )
+    other = (
+        """
+UNION ALL
+SELECT '_other_' AS bucket,
+       (SELECT count(*) FROM documents)
+       - (SELECT count(DISTINCT doc_id) FROM m) AS n_docs"""
+        if other_bucket
+        else ""
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf  AS (SELECT DISTINCT doc_id, term FROM tok WHERE term<>''),
+f(fname, term) AS (VALUES {fvals}),
+fs(fname, n_terms) AS (VALUES {svals}),
+m AS (SELECT doc_id, fname
+      FROM tf JOIN f USING(term) JOIN fs USING(fname)
+      GROUP BY doc_id, fname, n_terms
+      HAVING count(DISTINCT term) = n_terms)
+SELECT bucket, n_docs FROM (
+  SELECT fs.fname AS bucket,
+         CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_docs
+  FROM fs LEFT JOIN (SELECT fname, count(*) n FROM m GROUP BY 1) cnt
+       USING(fname){other})
+ORDER BY bucket
+""".strip()
+
+
 def multi_terms_oracle_sql(
     terms: list[str],
     mode: str = "conjunctive",

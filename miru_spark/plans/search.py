@@ -995,6 +995,87 @@ def search_adjacency_matrix(
     )
 
 
+def search_filters_agg(
+    reader: IndexReader,
+    filters: dict[str, list[str]],
+    other_bucket: bool = True,
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A106 — filters aggregation (ES ``filters`` + ``other_bucket``):
+    named conjunctive term filters as independent buckets — every named
+    bucket is emitted even at count 0 (the ES contract) — plus the
+    ``_other_`` bucket counting live docs matching NO named filter. The
+    contrast with A67 adjacency_matrix: no pairwise intersections, and the
+    other bucket makes the rows a PARTITION of the live corpus (each doc
+    lands in other iff it matches nothing; named buckets may overlap).
+
+    Plan: one pruned ids-only postings scan over the union of filter
+    terms -> per-(doc, filter) distinct-term counts (A67's match frame) ->
+    one hash agg per filter; the other bucket is live-docmap anti-join the
+    matched-doc set, aggregated to a single count — a count-only job, no
+    doc list ever reaches the driver."""
+    if not filters:
+        raise ValueError("filters agg needs at least one named filter")
+    names = sorted(filters)
+    if any(n == "_other_" for n in names):
+        raise ValueError("'_other_' is the reserved other-bucket name")
+    rows = [(n, t) for n in names for t in dict.fromkeys(filters[n])]
+    spark = reader.spark
+    fdf = spark.createDataFrame(rows, "fname string, term string")
+    sdf = spark.createDataFrame(
+        [(n, len(dict.fromkeys(filters[n]))) for n in names],
+        "fname string, n_terms int",
+    )
+    terms = sorted({t for _, t in rows})
+    chunks = reader.postings_df(terms)
+    ids = chunks.mapInArrow(_ids_term_arrow, _DOCID_TERM_SCHEMA)
+    live = reader.docmap_df().select("doc_id")
+    excl = _with_tombstones(reader, _exclusion_ids(reader, exclude or []))
+    if excl is not None and excl.size:
+        dead = spark.createDataFrame(
+            [(int(d),) for d in excl], "doc_id long"
+        )
+        ids = ids.join(dead, "doc_id", "left_anti")
+        live = live.join(dead, "doc_id", "left_anti")
+    if where:
+        from miru_spark.filters import spark_predicate
+
+        allow = reader.docmap_df()
+        for c, val in where.items():
+            allow = allow.filter(spark_predicate(c, val))
+        ids = ids.join(allow.select("doc_id"), "doc_id", "left_semi")
+        live = live.join(allow.select("doc_id"), "doc_id", "left_semi")
+    matched = (
+        ids.join(F.broadcast(fdf), "term")
+        .groupBy("doc_id", "fname")
+        .agg(F.count_distinct("term").alias("nm"))
+        .join(F.broadcast(sdf), "fname")
+        .filter(F.col("nm") == F.col("n_terms"))
+        .select("doc_id", "fname")
+    )
+    named = (
+        sdf.select("fname")
+        .join(
+            matched.groupBy("fname").agg(F.count("*").alias("n_docs")),
+            "fname",
+            "left",
+        )
+        .select(
+            F.col("fname").alias("bucket"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        )
+    )
+    if other_bucket:
+        other = (
+            live.join(matched.select("doc_id").distinct(), "doc_id", "left_anti")
+            .agg(F.count("*").alias("n_docs"))
+            .select(F.lit("_other_").alias("bucket"), "n_docs")
+        )
+        named = named.unionByName(other)
+    return named.orderBy("bucket")
+
+
 def search_facets_composite(
     reader: IndexReader,
     terms: list[str],

@@ -208,3 +208,58 @@ def test_multi_terms_validation(reader):
         search_multi_terms(reader, ["the"], fields=("lang",))
     with pytest.raises(ValueError, match="size"):
         search_multi_terms(reader, ["the"], size=0)
+
+
+# ---- A106 filters agg (ES filters + other_bucket) ----------------------------
+
+
+def test_filters_agg_matches_duck(reader, duck):
+    from miru_spark.plans.relational import filters_agg_oracle_sql
+    from miru_spark.plans.search import search_filters_agg
+
+    filters = {"joins": ["join", "hash"], "windows": ["window"],
+               "nothing": ["dup", "zzz_not_in_vocab"]}
+    got = [
+        (r.bucket, r.n_docs)
+        for r in search_filters_agg(reader, filters).collect()
+    ]
+    exp = duck.execute(filters_agg_oracle_sql(filters)).fetchall()
+    assert got == [tuple(r) for r in exp]
+    by = dict(got)
+    assert by["nothing"] == 0  # zero-count named bucket still emitted
+    assert by["joins"] > 0 and by["_other_"] >= 0
+
+
+def test_filters_agg_other_partitions_live_docs(reader, spark):
+    """other + |union of matched docs| == live doc count: the other bucket
+    completes a partition even though named buckets may overlap."""
+    from miru_spark.plans.search import search_filters_agg, search_topk
+
+    filters = {"a": ["join"], "b": ["join", "hash"]}  # b subset-of a docs
+    rows = dict(
+        (r.bucket, r.n_docs)
+        for r in search_filters_agg(reader, filters).collect()
+    )
+    a_docs = {d for d, _ in search_topk(reader, ["join"], k=10**9)}
+    b_docs = {d for d, _ in search_topk(reader, ["join", "hash"],
+                                        mode="conjunctive", k=10**9)}
+    assert rows["a"] == len(a_docs) and rows["b"] == len(b_docs)
+    n_live = reader.docmap_df().count()
+    assert rows["_other_"] == n_live - len(a_docs | b_docs)
+    # overlapping buckets: sum of named counts EXCEEDS the union
+    assert rows["a"] + rows["b"] > len(a_docs | b_docs)
+    no_other = {
+        r.bucket
+        for r in search_filters_agg(reader, filters,
+                                    other_bucket=False).collect()
+    }
+    assert no_other == {"a", "b"}
+
+
+def test_filters_agg_validation(reader):
+    from miru_spark.plans.search import search_filters_agg
+
+    with pytest.raises(ValueError, match="at least one"):
+        search_filters_agg(reader, {})
+    with pytest.raises(ValueError, match="reserved"):
+        search_filters_agg(reader, {"_other_": ["join"]})
