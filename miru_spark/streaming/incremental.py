@@ -601,6 +601,50 @@ def windowed_event_counts(
     )
 
 
+def percolate_stream(
+    docs_stream: DataFrame, queries: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Streaming percolation — ES percolate as an ALERTING stream: every
+    arriving document is matched against the registered query set and
+    (doc_id, query_id) alerts are emitted in append mode.
+
+    Each micro-batch matches STATELESSLY: the registered queries (small by
+    design — alerting is thousands of queries against an unbounded doc
+    stream) broadcast onto the batch, and the match predicate is pure
+    codegen array algebra over the doc's distinct token set —
+    ``array_intersect`` full-coverage for conjunctive, ``arrays_overlap``
+    for disjunctive, a negated overlap for NOT. So the plan is a
+    stream-static broadcast join + filter: no watermark, no state store,
+    per-batch cost O(|batch| x |queries|), and the semantics are
+    pinned to the batch percolator (plans/percolate.py) which expresses
+    the same predicate as explode + join + agg — the streaming side avoids
+    that agg because aggregation over an unbounded doc stream would need
+    state, while the array form decides every (doc, query) pair inside
+    its own row."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    )
+    q = queries.select(
+        "query_id",
+        "mode",
+        F.array_distinct("terms").alias("q_terms"),
+        F.coalesce(
+            F.col("exclude"), F.array().cast("array<string>")
+        ).alias("q_excl"),
+    )
+    joined = docs_stream.withColumn("__toks", toks).crossJoin(F.broadcast(q))
+    hit = F.when(
+        F.col("mode") == "conjunctive",
+        F.size(F.array_intersect("__toks", "q_terms")) == F.size("q_terms"),
+    ).otherwise(F.arrays_overlap("__toks", "q_terms"))
+    ok = (
+        (F.size("q_terms") > 0)  # empty-terms queries match nothing (batch twin)
+        & hit
+        & ~F.arrays_overlap("__toks", "q_excl")
+    )
+    return joined.filter(ok).select("doc_id", "query_id")
+
+
 def sessionized_user_activity(
     events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 days"
 ) -> DataFrame:

@@ -391,6 +391,48 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """.strip()
 
 
+def q_stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percolation: the corpus is split into two files streamed
+    one per trigger, so alerts for later docs are emitted by later
+    micro-batches — and the union over the finite run must equal the
+    batch percolator on the same corpus + registered queries."""
+    from miru_spark.plans.index_suite import _PERC_QUERIES
+    from miru_spark.streaming.incremental import percolate_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = tempfile.mkdtemp(prefix="miru_percstream_")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    qdf = spark.createDataFrame(
+        _PERC_QUERIES,
+        "query_id long, terms array<string>, mode string, exclude array<string>",
+    )
+    name = f"perc_{os.getpid()}"
+    q = (
+        percolate_stream(stream, qdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in 300s"
+    return spark.sql(
+        f"SELECT doc_id, query_id FROM {name} ORDER BY doc_id, query_id"
+    )
+
+
+def _stream_percolate_oracle() -> str:
+    from miru_spark.plans.index_suite import _PERC_QUERIES
+    from miru_spark.plans.percolate import percolate_oracle_sql
+
+    return percolate_oracle_sql(_PERC_QUERIES)
+
+
 def register_all(register) -> None:
     from miru_spark.plans.composite import register_composite
 
@@ -417,6 +459,12 @@ def register_all(register) -> None:
         # + watermarks
         ("stream_join", q_stream_join, STREAM_JOIN_SQL,
          ("click_id", "view_id", "user_id")),
+        # streaming percolation (alerting): docs arrive across micro-batches
+        # and match the registered query set statelessly — stream-static
+        # broadcast join, append mode, no state store; oracle = the batch
+        # percolator's SQL twin over the full corpus
+        ("stream_percolate", q_stream_percolate, _stream_percolate_oracle(),
+         ("doc_id", "query_id")),
     ])
     register("stream_stateful_source_stats", q_stream_stateful, STREAM_STATEFUL_SQL)
     register("stream_session_windows", q_session_windows, SESSION_WINDOWS_SQL)

@@ -457,3 +457,56 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert any(
         cid == cross_click and vid == cross_view for cid, vid, _ in got
     )
+
+
+def test_stream_percolate_matches_batch(spark, tmp_path):
+    """Streaming percolation == the batch percolator on the same corpus and
+    registered queries, with docs arriving across TWO micro-batches (one
+    file per trigger) — statelessness means the union over batches is
+    exact; an exclude-bearing and a disjunctive query are both in the set."""
+    from miru_spark.plans.percolate import percolate
+    from miru_spark.schema import read_corpus
+    from miru_spark.streaming.incremental import percolate_stream
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "percsrc")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+    qrows = [
+        (1, ["join", "hash"], "conjunctive", []),
+        (2, ["dup", "tree"], "disjunctive", []),
+        (3, ["the"], "conjunctive", ["dup"]),
+        (4, ["the", "the"], "conjunctive", []),  # dup terms must still match
+        (5, [], "conjunctive", []),  # empty terms match nothing
+    ]
+    qdf = spark.createDataFrame(
+        qrows,
+        "query_id long, terms array<string>, mode string, exclude array<string>",
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        percolate_stream(stream, qdf)
+        .writeStream.format("memory")
+        .queryName("percs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r.doc_id, r.query_id)
+        for r in spark.sql("SELECT * FROM percs").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.query_id)
+        for r in percolate(read_corpus(spark, SF_DIR), qdf).collect()
+    )
+    assert got == want and len(want) > 0
+    qids = {q for _, q in got}
+    assert {1, 2, 3, 4} <= qids and 5 not in qids
+    # the stateless plan never grew a state store
+    assert q.lastProgress["stateOperators"] in ([], None)
