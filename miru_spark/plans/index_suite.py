@@ -397,6 +397,19 @@ def _mk_ranges(terms, mode, ranges):
     return run
 
 
+def _mk_vw_histogram(terms, mode, buckets):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_variable_width_histogram
+
+        reader = ensure_index(spark, sf_dir)
+        return search_variable_width_histogram(
+            reader, terms, mode=mode, buckets=buckets
+        )
+
+    return run
+
+
 def _mk_histogram(terms, mode, width):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -2326,6 +2339,7 @@ def register_all(register) -> None:
         sorted_oracle_sql,
         synonym_oracle_sql,
         term_vector_oracle_sql,
+        variable_width_histogram_oracle_sql,
         terms_set_oracle_sql,
     )
 
@@ -2584,6 +2598,13 @@ def register_all(register) -> None:
          ("bin_lo", "n_docs")),
         # round-4 A90 pipeline aggregations (ES derivative/cumulative_sum/
         # moving_fn + bucket_selector): window exprs over histogram buckets
+        # A107 variable_width_histogram (ES variable_width_histogram,
+        # deterministic pinning): <= B buckets split at the B-1 largest
+        # value gaps — adaptive boundaries, layout-independent
+        ("bm25_index_vw_histogram",
+         _mk_vw_histogram(["the", "a"], "conjunctive", 5),
+         variable_width_histogram_oracle_sql(["the", "a"], "conjunctive", 5),
+         ("min_v", "max_v", "n_docs")),
         ("bm25_index_histo_pipeline",
          _mk_histo_pipeline(["the", "a"], "conjunctive", 10, 3, 2),
          _histo_pipeline_oracle(["the", "a"], "conjunctive", 10, 3, 2),

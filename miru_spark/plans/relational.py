@@ -427,6 +427,36 @@ FROM documents JOIN m USING(doc_id) GROUP BY {facet_col} ORDER BY {facet_col}
 """.strip()
 
 
+def variable_width_histogram_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    buckets: int = 5,
+    tok_sql: str | None = None,
+) -> str:
+    """Twin of plans.search.search_variable_width_histogram (A107):
+    boundaries = the buckets-1 largest gaps between sorted distinct
+    doc_len values (gap desc, value asc tiebreak); each doc's bucket =
+    count of boundaries at or below its value."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    return f"""
+{_candidate_ctes(terms, mode, tok_sql or DEFAULT_TOK_SQL)},
+vals AS (SELECT doc_len AS v FROM cand JOIN dl USING(doc_id)),
+dv AS (SELECT DISTINCT v FROM vals),
+gaps AS (SELECT v, v - lag(v) OVER (ORDER BY v) AS gap FROM dv),
+bounds AS (SELECT v FROM gaps WHERE gap IS NOT NULL
+           ORDER BY gap DESC, v LIMIT {int(buckets) - 1}),
+assigned AS (SELECT vals.v,
+                    (SELECT count(*) FROM bounds WHERE bounds.v <= vals.v)
+                      AS bucket
+             FROM vals)
+SELECT CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM assigned GROUP BY bucket ORDER BY min_v
+""".strip()
+
+
 def filters_agg_oracle_sql(
     filters: dict[str, list[str]], other_bucket: bool = True
 ) -> str:

@@ -995,6 +995,70 @@ def search_adjacency_matrix(
     )
 
 
+def search_variable_width_histogram(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    col: str = "doc_len",
+    buckets: int = 5,
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A107 — variable_width_histogram (ES ``variable_width_histogram``):
+    at most ``buckets`` buckets whose boundaries ADAPT to the data instead
+    of a fixed width — ES clusters the values approximately and
+    shard-dependently; this engine pins the DETERMINISTIC fixed point of
+    that idea: split the sorted distinct values at the ``buckets - 1``
+    LARGEST gaps (ties: wider gap first, then lower value), so the buckets
+    are exactly the natural clusters and the result is layout- and
+    shard-independent — reproducible where ES's is approximate.
+
+    Plan: candidate scan -> docmap projection join -> distinct VALUES
+    (bounded by the column's cardinality, not by docs) -> one lag window
+    over the distinct-value table for gaps (the only single-partition step,
+    same discipline as sequence packing's bucket table) -> top gaps via
+    TakeOrderedAndProject -> the <= buckets-1 boundary values return to the
+    driver (bounded by the ``buckets`` PARAMETER, never by data) and bucket
+    assignment + the final agg are pure codegen over a literal boundary
+    list."""
+    from pyspark.sql import Window
+
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
+    ).select("doc_id")
+    dm = reader.docmap_df().select("doc_id", col)
+    vals = cand.join(dm, "doc_id").select(F.col(col).cast("long").alias("v"))
+    distinct = vals.distinct()
+    w = Window.orderBy("v")
+    boundaries = [
+        int(r.v)
+        for r in distinct.select(
+            "v", (F.col("v") - F.lag("v").over(w)).alias("gap")
+        )
+        .filter(F.col("gap").isNotNull())
+        .orderBy(F.desc("gap"), "v")
+        .limit(buckets - 1)
+        .collect()
+    ]
+    bucket = F.lit(0)
+    for b in boundaries:
+        bucket = bucket + (F.col("v") >= F.lit(b)).cast("int")
+    return (
+        vals.select("v", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.count("*").alias("n_docs"),
+        )
+        .select("min_v", "max_v", "n_docs")
+        .orderBy("min_v")
+    )
+
+
 def search_filters_agg(
     reader: IndexReader,
     filters: dict[str, list[str]],

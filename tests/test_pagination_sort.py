@@ -621,3 +621,63 @@ def test_pinned_tombstoned_pin_never_resurrects(spark, duck, tmp_path_factory):
     # 400 is gone, 7 was renumbered to position 0 (the full 1e9 score)
     assert got[0] == (7, 1e9)
     assert all(d != 400 for d, _ in got)
+
+
+# ---- A107 variable_width_histogram (deterministic largest-gaps pinning) -----
+
+
+def test_vw_histogram_matches_duck_and_bruteforce(reader, duck):
+    from miru_spark.plans.relational import (
+        variable_width_histogram_oracle_sql,
+    )
+    from miru_spark.plans.search import (
+        search_sorted,
+        search_variable_width_histogram,
+    )
+
+    terms, mode = ["the", "a"], "conjunctive"
+    vals = sorted(
+        r.doc_len
+        for r in search_sorted(reader, terms, mode=mode, k=1 << 30,
+                               ascending=True).collect()
+    )
+    for buckets in (1, 3, 5):
+        got = [
+            (r.min_v, r.max_v, r.n_docs)
+            for r in search_variable_width_histogram(
+                reader, terms, mode=mode, buckets=buckets
+            ).collect()
+        ]
+        exp = duck.execute(
+            variable_width_histogram_oracle_sql(terms, mode, buckets)
+        ).fetchall()
+        assert got == [tuple(r) for r in exp]
+        # bruteforce: split sorted distinct values at the buckets-1 widest
+        # gaps (gap desc, value asc)
+        dv = sorted(set(vals))
+        gaps = sorted(
+            ((dv[i] - dv[i - 1], dv[i]) for i in range(1, len(dv))),
+            key=lambda t: (-t[0], t[1]),
+        )[: buckets - 1]
+        bounds = sorted(v for _, v in gaps)
+        import bisect
+
+        by_bucket = {}
+        for v in vals:
+            by_bucket.setdefault(bisect.bisect_right(bounds, v), []).append(v)
+        want = sorted(
+            (min(vs), max(vs), len(vs)) for vs in by_bucket.values()
+        )
+        assert got == want
+        assert len(got) == min(buckets, len(dv))
+        # buckets tile the candidate set and never overlap
+        assert sum(n for _, _, n in got) == len(vals)
+        for (a_min, a_max, _), (b_min, b_max, _) in zip(got, got[1:]):
+            assert a_max < b_min
+
+
+def test_vw_histogram_validation(reader):
+    from miru_spark.plans.search import search_variable_width_histogram
+
+    with pytest.raises(ValueError, match="buckets"):
+        search_variable_width_histogram(reader, ["the"], buckets=0)
