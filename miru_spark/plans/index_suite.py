@@ -2105,6 +2105,26 @@ def _mk_hybrid_rrf():
     return run
 
 
+def _mk_hybrid_linear():
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.hybrid import hybrid_linear
+
+        reader = ensure_index(spark, sf_dir)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = list(emb.filter("vec_id = 0").first().embedding)
+        return hybrid_linear(reader, _HY_TERMS, emb, qvec,
+                             mode="disjunctive", k=20)
+
+    return run
+
+
+def _hybrid_linear_oracle() -> str:
+    from miru_spark.plans.hybrid import hybrid_linear_oracle_sql
+
+    return hybrid_linear_oracle_sql(_HY_TERMS, mode="disjunctive", k=20)
+
+
 def _hybrid_oracle() -> str:
     from miru_spark.plans.hybrid import hybrid_rrf_oracle_sql
 
@@ -2489,6 +2509,11 @@ def register_all(register) -> None:
         # A54 hybrid RRF: BM25 top-100 fused with embedding-cosine top-100
         # (query vector = embeddings row 0) by reciprocal rank, k=60
         ("bm25_index_hybrid_rrf", _mk_hybrid_rrf(), _hybrid_oracle(), DS),
+        # A108 hybrid linear combination (ES linear retriever, minmax
+        # normalizer): per-window min-max normalization then weighted sum —
+        # the magnitude-preserving alternative to RRF's rank fusion
+        ("bm25_index_hybrid_linear", _mk_hybrid_linear(),
+         _hybrid_linear_oracle(), DS),
         # round-4: A38 keyset pagination on the DISTRIBUTED path (codegen
         # cursor filter before the TakeOrderedAndProject); oracle = rows
         # 11-20 of the full ranking, same as the driver-path after entry

@@ -97,3 +97,50 @@ def test_validation(reader, embeddings, qvec):
         hybrid_rrf(reader, TERMS, embeddings, qvec, k=0)
     with pytest.raises(ValueError, match="rrf_k"):
         hybrid_rrf(reader, TERMS, embeddings, qvec, rrf_k=-1)
+
+
+# ---- A108 hybrid linear combination (ES linear retriever, minmax) -----------
+
+
+def test_linear_matches_oracle(reader, duck, embeddings, qvec):
+    from miru_spark.plans.hybrid import hybrid_linear, hybrid_linear_oracle_sql
+
+    for kw in [dict(), dict(n_text=25, n_vec=25, k=25),
+               dict(w_text=1.0, w_vec=0.0), dict(w_text=0.2, w_vec=0.8),
+               dict(exclude=["dup"])]:
+        got = [
+            (r.doc_id, r.score)
+            for r in hybrid_linear(
+                reader, TERMS, embeddings, qvec, **kw
+            ).collect()
+        ]
+        exp = [
+            (int(d), float(s))
+            for d, s in duck.execute(
+                hybrid_linear_oracle_sql(TERMS, **kw)
+            ).fetchall()
+        ]
+        assert got == exp != [], kw
+
+
+def test_linear_semantics(reader, duck, embeddings, qvec):
+    """Normalized scores live in [0, w_text + w_vec]; the top hit of a
+    text-only weighting is the BM25 winner with score exactly w_text (its
+    own window's max normalizes to 1); magnitudes matter — linear and RRF
+    may order differently but both are dominated by the per-side winners."""
+    from miru_spark.plans.hybrid import hybrid_linear
+    from miru_spark.plans.search import search_topk
+
+    rows = hybrid_linear(reader, TERMS, embeddings, qvec, k=200).collect()
+    assert rows and all(0.0 <= r.score <= 0.7 + 0.3 + 1e-9 for r in rows)
+    text_only = hybrid_linear(
+        reader, TERMS, embeddings, qvec, w_text=1.0, w_vec=0.0, k=1
+    ).collect()[0]
+    bm25_top = search_topk(reader, TERMS, mode="disjunctive", k=1)[0][0]
+    assert text_only.doc_id == bm25_top and abs(text_only.score - 1.0) < 1e-9
+    from miru_spark.plans.hybrid import hybrid_linear as hl
+
+    with pytest.raises(ValueError, match="weights"):
+        hl(reader, TERMS, embeddings, qvec, w_text=0.0, w_vec=0.0)
+    with pytest.raises(ValueError, match="positive"):
+        hl(reader, TERMS, embeddings, qvec, k=0)
