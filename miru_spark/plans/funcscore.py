@@ -138,6 +138,43 @@ class Decay:
         return f"({v}) * {float(self.weight)!r}"
 
 
+@dataclass(frozen=True)
+class RandomScore:
+    """ES ``random_score(seed, field)``: a deterministic, uniformly
+    distributed per-doc value in [0, 1) — reproducible jitter for sampled
+    ranking / A-B bucketing. ES hashes the field value with the seed; this
+    engine pins the hash to md5(seed ':' field)'s first 32 bits / 2^32 —
+    proven bit-identical between Spark (md5/substring/conv codegen
+    built-ins) and the DuckDB twin (hex-literal cast), the same md5-draw
+    discipline as the diversified sampler."""
+
+    seed: str = "s0"
+    field: str = "doc_id"
+    weight: float = 1.0
+
+    def __post_init__(self):
+        if not self.seed.replace("_", "").isalnum():
+            raise ValueError("seed must be alphanumeric/underscore")
+
+    def column(self) -> Column:
+        key = F.md5(
+            F.concat_ws(
+                ":", F.lit(self.seed), F.col(self.field).cast("string")
+            )
+        )
+        v = F.conv(F.substring(key, 1, 8), 16, 10).cast("double") / float(
+            1 << 32
+        )
+        return v * float(self.weight)
+
+    def sql(self) -> str:
+        return (
+            f"((('0x' || substr(md5('{self.seed}:' || "
+            f"CAST({self.field} AS VARCHAR)), 1, 8))::BIGINT)::DOUBLE"
+            f" / {float(1 << 32)!r}) * {float(self.weight)!r}"
+        )
+
+
 def _combine(parts: list, score_mode: str, mul, add, mx):
     out = parts[0]
     for p in parts[1:]:
@@ -191,7 +228,7 @@ def search_function_score(
         reader, terms, mode=mode, k=None, round_digits=round_digits,
         exclude=exclude, where=where,
     )
-    fields = sorted({f.field for f in functions})
+    fields = sorted({f.field for f in functions} - {"doc_id"})
     dm = reader.docmap_df().select("doc_id", *fields)
     j = scored.join(dm, "doc_id")
     if boost_mode == "multiply":

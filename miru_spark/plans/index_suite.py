@@ -397,6 +397,19 @@ def _mk_ranges(terms, mode, ranges):
     return run
 
 
+def _mk_bucket_sort(terms, mode, width, frm, size):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_bucket_sort
+
+        reader = ensure_index(spark, sf_dir)
+        return search_bucket_sort(
+            reader, terms, mode=mode, width=width, frm=frm, size=size
+        )
+
+    return run
+
+
 def _mk_vw_histogram(terms, mode, buckets):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -2240,6 +2253,38 @@ def _rank_feature_oracle() -> str:
     )
 
 
+def _rs_functions():
+    from miru_spark.plans.funcscore import FieldValueFactor, RandomScore
+
+    return [
+        RandomScore(seed="ab1", field="doc_id", weight=3.0),
+        FieldValueFactor("doc_len", factor=0.1, modifier="sqrt"),
+    ]
+
+
+def _mk_random_score():
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.funcscore import search_function_score
+
+        reader = ensure_index(spark, sf_dir)
+        return search_function_score(
+            reader, _FS_TERMS, _rs_functions(),
+            mode="disjunctive", score_mode="sum", boost_mode="sum",
+        )
+
+    return run
+
+
+def _random_score_oracle() -> str:
+    from miru_spark.plans.funcscore import function_score_oracle_sql
+
+    return function_score_oracle_sql(
+        _FS_TERMS, _rs_functions(),
+        mode="disjunctive", score_mode="sum", boost_mode="sum",
+    )
+
+
 def _mk_funcscore():
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -2360,6 +2405,7 @@ def register_all(register) -> None:
         synonym_oracle_sql,
         term_vector_oracle_sql,
         variable_width_histogram_oracle_sql,
+        bucket_sort_oracle_sql,
         terms_set_oracle_sql,
     )
 
@@ -2457,6 +2503,11 @@ def register_all(register) -> None:
         # A52 function_score: gauss doc_len decay x log1p field-value
         # factor, summed, multiplied into BM25 (ES function_score)
         ("bm25_index_funcscore", _mk_funcscore(), _funcscore_oracle(), DS),
+        # A110 random_score (ES random_score function): deterministic
+        # md5-seeded [0,1) jitter as a scoring function, combined with a
+        # field_value_factor under score_mode=sum / boost_mode=sum
+        ("bm25_index_random_score", _mk_random_score(),
+         _random_score_oracle(), DS),
         # A79 rank_feature (ES rank_feature / Lucene FeatureQuery):
         # ADDITIVE bounded static score — the WAND-preserving counterpart
         # to function_score's full-candidate reorder
@@ -2623,6 +2674,14 @@ def register_all(register) -> None:
          ("bin_lo", "n_docs")),
         # round-4 A90 pipeline aggregations (ES derivative/cumulative_sum/
         # moving_fn + bucket_selector): window exprs over histogram buckets
+        # A109 bucket_sort (ES bucket_sort pipeline agg): buckets re-ordered
+        # by their metric, from/size page — 'the 3 busiest bands after the
+        # busiest' (frm=1 exercises the offset)
+        ("bm25_index_bucket_sort",
+         _mk_bucket_sort(["the", "a"], "conjunctive", 10, 1, 3),
+         bucket_sort_oracle_sql(["the", "a"], "conjunctive", width=10,
+                                frm=1, size=3),
+         ("bin_lo", "n_docs")),
         # A107 variable_width_histogram (ES variable_width_histogram,
         # deterministic pinning): <= B buckets split at the B-1 largest
         # value gaps — adaptive boundaries, layout-independent

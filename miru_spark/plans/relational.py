@@ -1386,6 +1386,36 @@ FROM cand JOIN dl USING(doc_id) GROUP BY 1 ORDER BY 1
 """.strip()
 
 
+def bucket_sort_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    width: int = 10,
+    by: str = "n_docs",
+    descending: bool = True,
+    frm: int = 0,
+    size: int = 3,
+    tok_sql: str | None = None,
+) -> str:
+    """Twin of plans.search.search_bucket_sort (A109 — ES bucket_sort):
+    the A40 histogram's buckets ordered by the bucket metric with a
+    bin_lo tiebreak, OFFSET/LIMIT page."""
+    if by not in ("n_docs", "bin_lo"):
+        raise ValueError("by must be 'n_docs' or 'bin_lo'")
+    if width <= 0 or frm < 0 or size < 1:
+        raise ValueError("bad width/frm/size")
+    direction = "DESC" if descending else "ASC"
+    return f"""
+{_candidate_ctes(terms, mode, tok_sql or DEFAULT_TOK_SQL)},
+buckets AS (
+  SELECT CAST(floor(doc_len/{width})*{width} AS BIGINT) AS bin_lo,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM cand JOIN dl USING(doc_id) GROUP BY 1)
+SELECT bin_lo, n_docs FROM buckets
+ORDER BY {by} {direction}, bin_lo
+LIMIT {int(size)} OFFSET {int(frm)}
+""".strip()
+
+
 def histogram_pipeline_oracle_sql(
     terms: list[str],
     mode: str = "conjunctive",

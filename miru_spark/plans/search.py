@@ -1530,6 +1530,38 @@ def search_histogram_pipeline(
     return out.orderBy("bin_lo")
 
 
+def search_bucket_sort(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    col: str = "doc_len",
+    width: int = 10,
+    by: str = "n_docs",
+    descending: bool = True,
+    frm: int = 0,
+    size: int = 3,
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A109 — bucket_sort pipeline aggregation (ES ``bucket_sort``):
+    re-order the parent histogram's buckets by a bucket metric and keep a
+    ``from``/``size`` page — "the 3 busiest doc-length bands", the bucket
+    world's top-k. Pure post-processing of the A40 bucket rows: the sort +
+    offset + limit run over |buckets| rows (TakeOrderedAndProject after
+    one hash agg), never over docs; ties break on ``bin_lo`` ascending so
+    the page is deterministic on both engines."""
+    if by not in ("n_docs", "bin_lo"):
+        raise ValueError("by must be 'n_docs' or 'bin_lo'")
+    if frm < 0 or size < 1:
+        raise ValueError("frm must be >= 0 and size >= 1")
+    buckets = search_facets_histogram(
+        reader, terms, mode=mode, col=col, width=width, exclude=exclude,
+        where=where,
+    )
+    key = F.desc(by) if descending else F.asc(by)
+    return buckets.orderBy(key, F.asc("bin_lo")).offset(frm).limit(size)
+
+
 def search_facets_ranges(
     reader: IndexReader,
     terms: list[str],

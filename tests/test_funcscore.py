@@ -112,3 +112,59 @@ def test_whole_stage_codegen_plan(reader):
     df = search_function_score(reader, TERMS, [GAUSS, FVF])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---- A110 random_score (deterministic md5-seeded jitter) ---------------------
+
+
+def test_random_score_matches_oracle(reader, duck):
+    from miru_spark.plans.funcscore import (
+        FieldValueFactor,
+        RandomScore,
+        function_score_oracle_sql,
+        search_function_score,
+    )
+
+    fns = [RandomScore(seed="ab1", weight=3.0),
+           FieldValueFactor("doc_len", factor=0.1, modifier="sqrt")]
+    got = [
+        (r.doc_id, r.score)
+        for r in search_function_score(
+            reader, ["the", "a"], fns, mode="disjunctive",
+            score_mode="sum", boost_mode="sum",
+        ).collect()
+    ]
+    exp = duck.execute(
+        function_score_oracle_sql(
+            ["the", "a"], fns, mode="disjunctive",
+            score_mode="sum", boost_mode="sum",
+        )
+    ).fetchall()
+    assert got == [(int(d), float(s)) for d, s in exp] and got
+
+
+def test_random_score_properties(reader):
+    """Deterministic across calls, uniform-ish in [0,1) scaled by weight,
+    different seeds reorder, invalid seed rejected."""
+    from miru_spark.plans.funcscore import RandomScore, search_function_score
+
+    def run(seed):
+        return [
+            (r.doc_id, r.score)
+            for r in search_function_score(
+                reader, ["the"], [RandomScore(seed=seed)],
+                mode="disjunctive", score_mode="sum", boost_mode="replace",
+                k=1000,
+            ).collect()
+        ]
+
+    a1, a2, b = run("ab1"), run("ab1"), run("zz9")
+    assert a1 == a2  # deterministic
+    assert a1 != b  # seed changes the draw
+    vals = [s for _, s in a1]
+    assert all(0.0 <= v < 1.0 for v in vals)
+    assert len(set(vals)) > len(vals) * 0.9  # essentially no collisions
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="seed"):
+        RandomScore(seed="bad seed!")

@@ -681,3 +681,46 @@ def test_vw_histogram_validation(reader):
 
     with pytest.raises(ValueError, match="buckets"):
         search_variable_width_histogram(reader, ["the"], buckets=0)
+
+
+# ---- A109 bucket_sort (metric-ordered from/size bucket pages) ----------------
+
+
+def test_bucket_sort_matches_duck_and_bruteforce(reader, duck):
+    from miru_spark.plans.relational import bucket_sort_oracle_sql
+    from miru_spark.plans.search import search_bucket_sort
+
+    terms, mode, width = ["the", "a"], "conjunctive", 10
+    base = sorted(
+        (r.bin_lo, r.n_docs)
+        for r in search_facets_histogram(
+            reader, terms, mode=mode, width=width
+        ).collect()
+    )
+    for desc, frm, size in [(True, 0, 3), (True, 1, 3), (False, 0, 2),
+                            (True, 0, 100)]:
+        got = [
+            (r.bin_lo, r.n_docs)
+            for r in search_bucket_sort(
+                reader, terms, mode=mode, width=width,
+                descending=desc, frm=frm, size=size,
+            ).collect()
+        ]
+        exp = duck.execute(
+            bucket_sort_oracle_sql(terms, mode, width=width,
+                                   descending=desc, frm=frm, size=size)
+        ).fetchall()
+        assert sorted(got) == sorted(tuple(r) for r in exp), (desc, frm, size)
+        want = sorted(
+            base, key=lambda t: ((-t[1], t[0]) if desc else (t[1], t[0]))
+        )[frm:frm + size]
+        assert got == want, (desc, frm, size)
+
+
+def test_bucket_sort_validation(reader):
+    from miru_spark.plans.search import search_bucket_sort
+
+    with pytest.raises(ValueError, match="by"):
+        search_bucket_sort(reader, ["the"], by="mov_avg")
+    with pytest.raises(ValueError, match="frm"):
+        search_bucket_sort(reader, ["the"], frm=-1)
