@@ -336,6 +336,19 @@ def _mk_sorted(terms, mode, ascending=False):
     return run
 
 
+def _mk_facets_by_metric(terms, mode, metric, size):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.plans.flagship import ensure_index
+        from miru_spark.plans.search import search_facets_by_metric
+
+        reader = ensure_index(spark, sf_dir)
+        return search_facets_by_metric(
+            reader, terms, mode=mode, metric=metric, size=size
+        )
+
+    return run
+
+
 def _mk_multi_terms(terms, mode, size):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from miru_spark.plans.flagship import ensure_index
@@ -2406,6 +2419,7 @@ def register_all(register) -> None:
         term_vector_oracle_sql,
         variable_width_histogram_oracle_sql,
         bucket_sort_oracle_sql,
+        facets_by_metric_oracle_sql,
         terms_set_oracle_sql,
     )
 
@@ -2720,6 +2734,14 @@ def register_all(register) -> None:
          ("bucket", "n_docs")),
         # A66 composite aggregation (ES composite): page 2 of (lang, repo)
         # buckets via a REAL page-1 after-key cursor
+        # A111 terms agg ordered by a sub-agg metric (ES terms with
+        # order: {metric: desc}): lang buckets ranked by avg doc_len —
+        # exact here where ES documents shard-approximation
+        ("bm25_index_facets_by_metric",
+         _mk_facets_by_metric(["the", "a"], "conjunctive", "avg", 3),
+         facets_by_metric_oracle_sql(["the", "a"], "conjunctive",
+                                     metric="avg", size=3),
+         ("lang", "n_docs", "metric")),
         # A103 multi_terms (ES multi_terms agg): top (lang, repo) TUPLE
         # buckets of the candidate set by doc count desc, tuple-asc
         # tiebreak, size-bounded — tuple buckets compete globally, unlike

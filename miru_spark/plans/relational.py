@@ -499,6 +499,47 @@ ORDER BY bucket
 """.strip()
 
 
+def facets_by_metric_oracle_sql(
+    terms: list[str],
+    mode: str = "conjunctive",
+    facet_col: str = "lang",
+    metric: str = "avg",
+    size: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """Twin of plans.search.search_facets_by_metric (A111 — terms agg
+    ordered by a sub-agg metric): buckets of the candidate set ranked by
+    the doc_len metric desc, facet asc tiebreak, top-size. doc_len is
+    recomputed from text with the engine's whitespace tokenization."""
+    if metric not in ("avg", "sum", "min", "max"):
+        raise ValueError(f"unknown metric {metric!r}")
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("empty term list")
+    values = ",".join("('" + _sql_quote(t) + "')" for t in terms)
+    need = "= (SELECT count(*) FROM q)" if mode == "conjunctive" else ">= 1"
+    mexpr = {
+        "avg": f"round(sum(doc_len)::DOUBLE / count(*), {round_digits})",
+        "sum": "sum(doc_len)::DOUBLE",
+        "min": "min(doc_len)::DOUBLE",
+        "max": "max(doc_len)::DOUBLE",
+    }[metric]
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tfd AS (SELECT DISTINCT doc_id, term FROM tok WHERE term<>''),
+q(term) AS (VALUES {values}),
+m AS (SELECT doc_id FROM tfd JOIN q USING(term) GROUP BY doc_id
+      HAVING count(*) {need}),
+dl AS (SELECT doc_id,
+              len(list_filter(string_split(text,' '), t -> t <> '')) AS doc_len
+       FROM documents)
+SELECT {facet_col}, CAST(count(*) AS BIGINT) AS n_docs, {mexpr} AS metric
+FROM documents JOIN m USING(doc_id) JOIN dl USING(doc_id)
+GROUP BY {facet_col}
+ORDER BY metric DESC, {facet_col} LIMIT {int(size)}
+""".strip()
+
+
 def multi_terms_oracle_sql(
     terms: list[str],
     mode: str = "conjunctive",

@@ -890,6 +890,66 @@ def search_facets(
     )
 
 
+def search_facets_by_metric(
+    reader: IndexReader,
+    terms: list[str],
+    mode: str = "conjunctive",
+    facet_col: str = "lang",
+    metric_col: str = "doc_len",
+    metric: str = "avg",
+    size: int = 10,
+    round_digits: int = 6,
+    exclude: list[str] | None = None,
+    where: dict | None = None,
+) -> DataFrame:
+    """A111 — terms aggregation ordered by a sub-aggregation metric (ES
+    ``terms`` with ``"order": {"metric_agg": "desc"}``): buckets ranked by
+    avg/sum/min/max of a numeric field over the candidate set instead of
+    doc count — "which language's hits run longest", the bucket ordering
+    count can't express. ES documents this ordering as approximate across
+    shards for avg-like metrics; this engine computes it EXACTLY because
+    the hash agg sees all partitions before the TakeOrderedAndProject.
+
+    One candidate scan -> docmap (facet, metric) projection join -> ONE
+    map-side-combined hash agg emitting count + the metric -> top-``size``
+    by (metric desc, facet asc). avg derives from exact integer sums
+    before rounding so the tiebreak is engine-independent."""
+    if metric not in ("avg", "sum", "min", "max"):
+        raise ValueError(f"unknown metric {metric!r}")
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    cand = search_distributed(
+        reader, terms, mode=mode, k=None, round_digits=None, exclude=exclude,
+        where=where,
+    ).select("doc_id")
+    dm = reader.docmap_df().select("doc_id", facet_col, metric_col)
+    x = F.col(metric_col).cast("long")
+    agg = (
+        cand.join(dm, "doc_id")
+        .groupBy(facet_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(x).alias("__sum"),
+            F.min(x).alias("__min"),
+            F.max(x).alias("__max"),
+        )
+    )
+    if metric == "avg":
+        m = F.round(F.col("__sum") / F.col("n_docs").cast("double"),
+                    round_digits)
+    elif metric == "sum":
+        m = F.col("__sum").cast("double")
+    elif metric == "min":
+        m = F.col("__min").cast("double")
+    else:
+        m = F.col("__max").cast("double")
+    return (
+        agg.select(facet_col, "n_docs", m.alias("metric"))
+        .orderBy(F.desc("metric"), F.asc(facet_col))
+        .limit(size)
+    )
+
+
 def search_multi_terms(
     reader: IndexReader,
     terms: list[str],

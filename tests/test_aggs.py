@@ -263,3 +263,55 @@ def test_filters_agg_validation(reader):
         search_filters_agg(reader, {})
     with pytest.raises(ValueError, match="reserved"):
         search_filters_agg(reader, {"_other_": ["join"]})
+
+
+# ---- A111 terms agg ordered by a sub-agg metric ------------------------------
+
+
+def test_facets_by_metric_matches_duck(reader, duck):
+    from miru_spark.plans.relational import facets_by_metric_oracle_sql
+    from miru_spark.plans.search import search_facets_by_metric
+
+    for metric in ("avg", "sum", "min", "max"):
+        got = [
+            (r.lang, r.n_docs, r.metric)
+            for r in search_facets_by_metric(
+                reader, ["the", "a"], metric=metric, size=3
+            ).collect()
+        ]
+        exp = duck.execute(
+            facets_by_metric_oracle_sql(["the", "a"], metric=metric, size=3)
+        ).fetchall()
+        assert got == [tuple(r) for r in exp] and got, metric
+
+
+def test_facets_by_metric_differs_from_count_order(reader):
+    """The metric ordering genuinely reorders vs count ordering somewhere
+    (else the case is vacuous), counts agree with the plain facets agg,
+    and validation rejects unknown metrics/sizes."""
+    from miru_spark.plans.search import search_facets, search_facets_by_metric
+
+    by_avg = [
+        r.lang
+        for r in search_facets_by_metric(
+            reader, ["the"], mode="disjunctive", metric="avg", size=100
+        ).collect()
+    ]
+    counts = {
+        r.lang: r.n_docs
+        for r in search_facets(reader, ["the"], mode="disjunctive").collect()
+    }
+    by_count = sorted(counts, key=lambda g: (-counts[g], g))
+    assert set(by_avg) == set(by_count)
+    assert by_avg != by_count  # ordering by the metric is non-vacuous
+    got_counts = {
+        r.lang: r.n_docs
+        for r in search_facets_by_metric(
+            reader, ["the"], mode="disjunctive", metric="avg", size=100
+        ).collect()
+    }
+    assert got_counts == counts
+    with pytest.raises(ValueError, match="metric"):
+        search_facets_by_metric(reader, ["the"], metric="median")
+    with pytest.raises(ValueError, match="size"):
+        search_facets_by_metric(reader, ["the"], size=0)
