@@ -390,6 +390,19 @@ def q_hash_sample(spark, sf):
     return hash_sample(_docs(spark, sf), rate=0.25).select("doc_id").orderBy("doc_id")
 
 
+_MIX_WEIGHTS = {"en": 0.5, "zh": 0.3, "fr": 0.2}
+
+
+def q_mixture_sample(spark, sf):
+    from miru_spark.pipeline.sampling import mixture_sample
+
+    return (
+        mixture_sample(_docs(spark, sf), _MIX_WEIGHTS, domain_col="lang")
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
 def q_stratified_sample(spark, sf):
     from miru_spark.pipeline.sampling import stratified_sample
 
@@ -441,6 +454,7 @@ def register_all(register) -> None:
     """16 pipeline driver entries (was 23): same-family cases packed into
     tagged-union composites; tags = the old entry names."""
     from miru_spark.pipeline.sampling import (
+        mixture_sample_oracle_sql,
         hash_sample_oracle_sql,
         stratified_sample_oracle_sql,
     )
@@ -572,6 +586,13 @@ def register_all(register) -> None:
         # DSIR importance resampling (Xie 2023): hashed-bigram likelihood
         # ratio vs the lang='en' target — weights for every doc, then the
         # top-k selected subset; md5 bucket hash is engine-identical
+        # domain-mixture resampling (Pile/DoReMi-style reweighting):
+        # largest subsample matching the target lang mixture, per-domain
+        # md5-threshold Bernoulli filters with rates derived from counts
+        # in BOTH engines (no inlined rate list to drift)
+        ("pipe_mixture_sample", q_mixture_sample,
+         mixture_sample_oracle_sql(_MIX_WEIGHTS),
+         ("lang", "doc_id")),
         ("pipe_dsir_weights", q_dsir_weights,
          dsir_oracle_sql("lang = 'en'", n_buckets=512),
          ("doc_id", "n_bigrams", "log_w")),

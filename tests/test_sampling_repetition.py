@@ -86,3 +86,55 @@ def test_repetition_flags_degenerate_doc(spark):
     assert out[0].top_2gram_ratio == 1.0 and out[0].dup_5gram_ratio == 1.0
     assert out[1].keep and out[1].top_2gram_ratio < 0.2
     assert out[2].keep and out[2].top_2gram_ratio == 0.0
+
+
+# ---- domain-mixture resampling (Pile/DoReMi-style reweighting) ---------------
+
+
+def test_mixture_sample_matches_oracle(duck, docs):
+    from miru_spark.pipeline.sampling import (
+        mixture_sample,
+        mixture_sample_oracle_sql,
+    )
+
+    for weights in [{"en": 0.5, "zh": 0.3, "fr": 0.2},
+                    {"en": 0.1, "de": 0.9},
+                    {"es": 1.0}]:
+        got = sorted(
+            (r.lang, r.doc_id)
+            for r in mixture_sample(docs, weights).select(
+                "lang", "doc_id"
+            ).collect()
+        )
+        want = [tuple(r) for r in duck.execute(
+            mixture_sample_oracle_sql(weights)
+        ).fetchall()]
+        assert got == want and got, weights
+
+
+def test_mixture_sample_semantics(docs):
+    """The scarcest-relative-to-target domain keeps rate exactly 1.0 (no
+    doc of it is dropped); unlisted domains are dropped entirely; the kept
+    mixture tracks the target within binomial noise; rates reject bad
+    weights."""
+    from miru_spark.pipeline.sampling import mixture_rates, mixture_sample
+
+    counts = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    weights = {"en": 0.5, "zh": 0.3, "fr": 0.2}
+    rates = mixture_rates({d: counts[d] for d in weights}, weights)
+    anchor = min(weights, key=lambda d: counts[d] / weights[d])
+    assert rates[anchor] == 1.0 and all(0 < r <= 1.0 for r in rates.values())
+    kept = mixture_sample(docs, weights).groupBy("lang").count().collect()
+    kept_counts = {r.lang: r["count"] for r in kept}
+    assert set(kept_counts) <= set(weights)  # unlisted langs dropped
+    assert kept_counts[anchor] == counts[anchor]  # rate-1.0 domain intact
+    total = sum(kept_counts.values())
+    for d, w in weights.items():
+        expect = w * total
+        assert abs(kept_counts.get(d, 0) - expect) <= 4 * (expect ** 0.5) + 4, (
+            d, kept_counts, expect,
+        )
+    with pytest.raises(ValueError, match="positive"):
+        mixture_rates({"en": 10}, {"en": 0.0})
+    with pytest.raises(ValueError, match="absent"):
+        mixture_rates({"en": 10}, {"en": 0.5, "xx": 0.5})
