@@ -6,6 +6,7 @@ A ``where`` mapping sends a docmap column to ONE of:
 * a scalar            -> equality
 * a list/tuple/set    -> IN
 * a :class:`Range`    -> range predicate (any combination of bounds)
+* a :class:`Prefix`   -> keyword-prefix predicate (starts-with)
 
 Conditions on distinct columns AND together. Both consumers — the
 pyarrow pushed-down docmap scan (`IndexReader.filter_doc_ids`) and the
@@ -57,6 +58,44 @@ class Range:
         return hash((self.gte, self.gt, self.lte, self.lt))
 
 
+class Prefix:
+    """A keyword-prefix predicate (Lucene PrefixQuery in filter context /
+    ES ``prefix`` query on a keyword field): keeps docs whose string
+    column starts with ``value``. ``where={"path": Prefix("src/core/")}``
+    is the directory-subtree filter every code-search user reaches for.
+
+    Driver-side the predicate compiles to ``value <= col < next(value)``
+    plus the exact starts-with — the half-open range lets parquet column
+    statistics prune row groups exactly like :class:`Range` (the same
+    bound trick the sorted term dictionary uses); Spark-side it is
+    ``startswith`` (whole-stage codegen ``StartsWith``)."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value: str):
+        if not isinstance(value, str) or not value:
+            raise ValueError("Prefix needs a non-empty string")
+        self.value = value
+
+    def __repr__(self) -> str:
+        return f"Prefix({self.value!r})"
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Prefix) and self.value == other.value
+
+    def __hash__(self):
+        return hash(("Prefix", self.value))
+
+    def upper_bound(self) -> str | None:
+        """Smallest string > every string with this prefix, or None when
+        no such bound exists (every char already at the max code point)."""
+        v = self.value
+        for i in range(len(v) - 1, -1, -1):
+            if ord(v[i]) < 0x10FFFF:
+                return v[:i] + chr(ord(v[i]) + 1)
+        return None
+
+
 def arrow_predicate(col: str, spec):
     """The pyarrow.compute expression for one (column, spec) condition."""
     import pyarrow.compute as pc
@@ -75,6 +114,14 @@ def arrow_predicate(col: str, spec):
         out = conds[0]
         for c in conds[1:]:
             out = out & c
+        return out
+    if isinstance(spec, Prefix):
+        # range bounds first (statistics-prunable), starts_with for
+        # exactness — redundant on the lower side, load-bearing pruning
+        out = (f >= spec.value) & pc.starts_with(f, spec.value)
+        hi = spec.upper_bound()
+        if hi is not None:
+            out = out & (f < hi)
         return out
     if isinstance(spec, (list, tuple, set)):
         return f.isin(list(spec))
@@ -101,6 +148,8 @@ def spark_predicate(col: str, spec):
         for cc in conds[1:]:
             out = out & cc
         return out
+    if isinstance(spec, Prefix):
+        return c.startswith(spec.value)
     if isinstance(spec, (list, tuple, set)):
         return c.isin(list(spec))
     return c == F.lit(spec)

@@ -286,6 +286,17 @@ def _mk_topk(terms, mode, exclude=None, where=None, min_match=None):
     return run
 
 
+def _mk_filter_prefix(terms, mode, col, prefix):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.filters import Prefix
+
+        return _mk_topk(terms, mode, where={col: Prefix(prefix)})(
+            spark, sf_dir
+        )
+
+    return run
+
+
 def _mk_after(terms, mode):
     """A38 search_after: page 2 driven by a REAL page-1 cursor (the last
     hit's raw score + doc_id), so the driver row proves the keyset
@@ -2443,6 +2454,17 @@ def register_all(register) -> None:
          DS),
         # range-filtered search (A35): Lucene range syntax through the full
         # grammar -> docmap doc_len range pushed to the pyarrow scan
+        # A34b Prefix metadata filter (Lucene PrefixQuery in filter
+        # context / ES prefix on a keyword field): the directory-subtree
+        # filter — path starts-with, statistics-prunable range bounds on
+        # the driver scan, codegen StartsWith on the semi-join
+        ("bm25_index_filter_prefix",
+         _mk_filter_prefix(["the", "a"], "conjunctive", "path", "doc_001"),
+         bm25_oracle_sql(
+             ["the", "a"], "conjunctive",
+             meta_where="printf('doc_%05d.txt', doc_id) LIKE 'doc_001%'",
+         ),
+         DS),
         ("bm25_index_filter_range",
          _mk_grammar("the AND a doc_len:[40 TO 60]"),
          bm25_oracle_sql(["the", "a"], "conjunctive",

@@ -291,3 +291,51 @@ def test_field_value_grammar(reader):
     # filters alone are not a query
     with pytest.raises(ValueError, match="positive term"):
         search(reader, "lang:en")
+
+
+# ---- A34b Prefix metadata filter ---------------------------------------------
+
+
+def test_prefix_filter_matches_postfilter(reader):
+    """where={col: Prefix(p)} == filtering the unfiltered ranking's docs by
+    startswith on the docmap, on BOTH strategies and the distributed path;
+    the pyarrow and Spark predicates agree doc-for-doc."""
+    from miru_spark.filters import Prefix
+    from miru_spark.plans.search import search_distributed, search_topk
+
+    spec = {"path": Prefix("doc_0001")}
+    full = search_topk(reader, ["the"], mode="disjunctive", k=10**9)
+    paths = {
+        r.doc_id: r.path
+        for r in reader.docmap_df().select("doc_id", "path").collect()
+    }
+    want = [(d, round(s, 6)) for d, s in full
+            if paths[d].startswith("doc_0001")][:10]
+    for strategy in ("wand", "exhaustive"):
+        got = [
+            (d, round(s, 6))
+            for d, s in search_topk(reader, ["the"], mode="disjunctive",
+                                    k=10, where=spec, strategy=strategy)
+        ]
+        assert got == want and got, strategy
+    dist = [
+        (int(r.doc_id), float(r.score))
+        for r in search_distributed(reader, ["the"], mode="disjunctive",
+                                    k=10, where=spec).collect()
+    ]
+    assert dist == want
+    ids = reader.filter_doc_ids(spec)
+    assert sorted(int(i) for i in ids) == sorted(
+        d for d, p in paths.items() if p.startswith("doc_0001")
+    )
+
+
+def test_prefix_upper_bound_and_validation():
+    from miru_spark.filters import Prefix
+
+    assert Prefix("abc").upper_bound() == "abd"
+    assert Prefix("ab" + chr(0x10FFFF)).upper_bound() == "ac"
+    assert Prefix(chr(0x10FFFF)).upper_bound() is None
+    assert Prefix("a") == Prefix("a") and Prefix("a") != Prefix("b")
+    with pytest.raises(ValueError):
+        Prefix("")
