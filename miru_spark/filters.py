@@ -96,11 +96,42 @@ class Prefix:
         return None
 
 
+class Not:
+    """Negation wrapper (Lucene BooleanQuery MUST_NOT in filter context /
+    ES bool.must_not): keeps docs where the wrapped spec does NOT hold —
+    ``where={"path": Not(Prefix("vendor/"))}`` excludes a subtree,
+    ``where={"lang": Not(["zh", "fr"])}`` is NOT-IN. Wraps any other spec
+    (scalar, list, Range, Prefix); double negation is rejected rather
+    than silently collapsed. NULL semantics: both engines' negation drops
+    NULL-valued rows (pyarrow's invert and Spark's ~ are both
+    three-valued), which matches Lucene — a doc without the field never
+    matches a filter clause, negated or not."""
+
+    __slots__ = ("spec",)
+
+    def __init__(self, spec):
+        if isinstance(spec, Not):
+            raise ValueError("Not(Not(...)) — unwrap instead")
+        self.spec = spec
+
+    def __repr__(self) -> str:
+        return f"Not({self.spec!r})"
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Not) and self.spec == other.spec
+
+    def __hash__(self):
+        return hash(("Not", self.spec if not isinstance(self.spec, list)
+                      else tuple(self.spec)))
+
+
 def arrow_predicate(col: str, spec):
     """The pyarrow.compute expression for one (column, spec) condition."""
     import pyarrow.compute as pc
 
     f = pc.field(col)
+    if isinstance(spec, Not):
+        return ~arrow_predicate(col, spec.spec)
     if isinstance(spec, Range):
         conds = []
         if spec.gte is not None:
@@ -134,6 +165,8 @@ def spark_predicate(col: str, spec):
     from pyspark.sql import functions as F
 
     c = F.col(col)
+    if isinstance(spec, Not):
+        return ~spark_predicate(col, spec.spec)
     if isinstance(spec, Range):
         conds = []
         if spec.gte is not None:

@@ -297,6 +297,19 @@ def _mk_filter_prefix(terms, mode, col, prefix):
     return run
 
 
+def _mk_filter_not(terms, mode):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from miru_spark.filters import Not, Prefix
+
+        return _mk_topk(
+            terms, mode,
+            where={"lang": Not(["zh", "fr"]),
+                   "path": Not(Prefix("doc_000"))},
+        )(spark, sf_dir)
+
+    return run
+
+
 def _mk_after(terms, mode):
     """A38 search_after: page 2 driven by a REAL page-1 cursor (the last
     hit's raw score + doc_id), so the driver row proves the keyset
@@ -2577,6 +2590,18 @@ def register_all(register) -> None:
     register_composite(register, "bm25_index_not", [
         (n, _mk_topk(t, m, x), bm25_oracle_sql(t, m, exclude=x), DS)
         for n, (t, m, x) in NOT_CASES.items()
+    ] + [
+        # A34c Not() metadata filter (ES bool.must_not in filter context):
+        # NOT-IN on lang plus a negated Prefix excluding a path subtree,
+        # composed in one where= — the exclusion algebra over metadata
+        ("bm25_index_filter_not",
+         _mk_filter_not(["the"], "disjunctive"),
+         bm25_oracle_sql(
+             ["the"], "disjunctive",
+             meta_where="lang NOT IN ('zh', 'fr') AND NOT "
+                        "(printf('doc_%05d.txt', doc_id) LIKE 'doc_000%')",
+         ),
+         DS),
     ])
     register_composite(register, "bm25_index_dist", [
         (n, _mk_dist(t, m), bm25_oracle_sql(t, m), DS)

@@ -339,3 +339,41 @@ def test_prefix_upper_bound_and_validation():
     assert Prefix("a") == Prefix("a") and Prefix("a") != Prefix("b")
     with pytest.raises(ValueError):
         Prefix("")
+
+
+def test_not_filter_matches_postfilter(reader):
+    """Not() over scalar / IN / Prefix equals the complement postfilter on
+    driver and distributed paths; Not composes with positive specs in one
+    where=; Not(Not(...)) rejected."""
+    from miru_spark.filters import Not, Prefix
+    from miru_spark.plans.search import search_distributed, search_topk
+
+    meta = {
+        r.doc_id: (r.lang, r.path)
+        for r in reader.docmap_df().select("doc_id", "lang", "path").collect()
+    }
+    full = search_topk(reader, ["the"], mode="disjunctive", k=10**9)
+    cases = [
+        ({"lang": Not("en")}, lambda m: m[0] != "en"),
+        ({"lang": Not(["zh", "fr"])}, lambda m: m[0] not in ("zh", "fr")),
+        ({"path": Not(Prefix("doc_000"))},
+         lambda m: not m[1].startswith("doc_000")),
+        ({"lang": Not(["zh", "fr"]), "path": Not(Prefix("doc_000"))},
+         lambda m: m[0] not in ("zh", "fr") and not m[1].startswith("doc_000")),
+    ]
+    for where, pred in cases:
+        want = [(d, round(s, 6)) for d, s in full if pred(meta[d])][:10]
+        got = [
+            (d, round(s, 6))
+            for d, s in search_topk(reader, ["the"], mode="disjunctive",
+                                    k=10, where=where)
+        ]
+        assert got == want and got, where
+        dist = [
+            (int(r.doc_id), float(r.score))
+            for r in search_distributed(reader, ["the"], mode="disjunctive",
+                                        k=10, where=where).collect()
+        ]
+        assert dist == want, where
+    with pytest.raises(ValueError, match="unwrap"):
+        Not(Not("en"))
