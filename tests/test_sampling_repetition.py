@@ -138,3 +138,35 @@ def test_mixture_sample_semantics(docs):
         mixture_rates({"en": 10}, {"en": 0.0})
     with pytest.raises(ValueError, match="absent"):
         mixture_rates({"en": 10}, {"en": 0.5, "xx": 0.5})
+
+
+def test_threshold_hex_sqlround_matches_duck(duck):
+    """The Python hex-threshold arithmetic behind mixture_sample equals
+    DuckDB's printf/floor expression for a spread of rates including the
+    rounding-sensitive neighborhoods — the cross-engine bit-identity the
+    oracle relies on."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from miru_spark.pipeline.sampling import _threshold_hex_sqlround
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.floats(min_value=0.0, max_value=0.999999999,
+                     allow_nan=False, allow_infinity=False))
+    def check(rate):
+        py = _threshold_hex_sqlround(rate)
+        sql = duck.execute(
+            "SELECT printf('%08x', CAST(floor(? * 4294967296.0 + 0.5) "
+            "AS BIGINT))", [rate],
+        ).fetchone()[0]
+        assert py == sql, rate
+
+    check()
+    assert _threshold_hex_sqlround(1.0) == "g"
+    # the knife-edge: a rate within one ulp of an integer threshold
+    edge = 12345678 / 4294967296.0
+    assert _threshold_hex_sqlround(edge) == format(
+        int(math.floor(edge * 4294967296.0 + 0.5)), "08x"
+    )
