@@ -39,7 +39,22 @@ _TOKEN_PATTERNS = {
     "code": r"[a-z0-9_]+",
     "code_split": r"[a-z0-9]+",
     "ascii": r"\S+",  # folding never changes the token count
+    "synonyms": r"\S+",  # collapse maps tokens 1:1, count unchanged
 }
+
+# A112 index-time synonym collapse (Lucene SynonymGraphFilter at index
+# time, the keep-one-form strategy the ES docs recommend for index-time
+# synonyms): every member of a synonym class maps to ONE canonical term
+# during tokenization, so tf adds and df merges across the class and the
+# idf the scorer sees is the CLASS's document frequency — the semantics
+# query-time expansion (A41) approximates with max-df blending. One-way
+# collapse only (no multi-token emission): token count — and therefore
+# doc_len/norms — is unchanged, which keeps the fast regexp_count docmap
+# path valid. The pinned table collapses a real vocabulary pair
+# (sort -> order: merged stats are observable) and an out-of-vocab
+# canonical (fast -> quick: the indexed term need not occur raw).
+SYNONYM_COLLAPSE = {"sort": "order", "fast": "quick"}
+
 
 # edge n-gram bounds (Lucene EdgeNGramTokenFilter / ES edge_ngram):
 # each token emits its prefixes of length EDGE_MIN..min(len, EDGE_MAX);
@@ -364,7 +379,10 @@ def doc_len_col(content: Column | str, mode: str = "whitespace") -> Column:
     col = F.col(content) if isinstance(content, str) else content
     if mode in ("english", "edge", "shingle", "multilang", "porter"):
         return F.size(tokens_col(col, mode)).cast("long")
-    col = _prep_col(col, mode)
+    if mode == "synonyms":
+        col = F.lower(col)
+    else:
+        col = _prep_col(col, mode)
     return F.regexp_count(col, F.lit(_TOKEN_PATTERNS[mode])).cast("long")
 
 
@@ -440,6 +458,20 @@ def tokens_col(content: Column | str, mode: str = "whitespace") -> Column:
         # full Porter stemming is beyond CASE-rule codegen — Arrow UDF
         # (see tokenize_porter_udf / functions.porter for the scale path)
         return tokenize_porter_udf(col)
+    if mode == "synonyms":
+        # lowercase -> whitespace split -> pinned canonical collapse; the
+        # map is a codegen CASE chain (same discipline as multilang)
+        arr = F.filter(
+            F.split(F.lower(col), r"\s+"), lambda t: t != F.lit("")
+        )
+
+        def _collapse(t):
+            out = t
+            for k, v in sorted(SYNONYM_COLLAPSE.items()):
+                out = F.when(t == F.lit(k), F.lit(v)).otherwise(out)
+            return out
+
+        return F.transform(arr, _collapse)
     pat = _PATTERNS[mode]
     if mode == "english":
         arr = F.split(F.lower(col), pat)
@@ -469,6 +501,12 @@ def tokenize_py(text: str, mode: str = "whitespace") -> list[str]:
         toks = [t for t in re.split(r"\s+", text.lower()) if t]
         return toks + [
             f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+    if mode == "synonyms":
+        return [
+            SYNONYM_COLLAPSE.get(t, t)
+            for t in re.split(r"\s+", text.lower())
+            if t
         ]
     if mode == "edge":
         out: list[str] = []

@@ -1701,6 +1701,56 @@ ENGLISH_TOK_SQL = (
 )
 
 
+_SYN_IDX: dict[str, str] = {}
+
+
+def q_synonym_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A112 — index-time synonym collapse (Lucene SynonymGraphFilter at
+    index time, keep-one-form): the pinned class {sort -> order} merges a
+    real vocabulary pair, so searching the canonical 'order' must hit
+    docs that contain only 'sort', with tf SUMMED and idf computed from
+    the MERGED class df — the semantics only index-time collapse gives
+    (A41's query-time expansion approximates it with max-df blending).
+    End-to-end through build+serve against a SQL twin carrying the same
+    CASE collapse."""
+    import tempfile
+
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.writer import build_index
+    from miru_spark.plans.search import search_topk
+    from miru_spark.schema import read_corpus
+
+    if sf_dir not in _SYN_IDX:
+        path = tempfile.mkdtemp(prefix="miru_syn_") + "/idx"
+        build_index(
+            spark, read_corpus(spark, sf_dir), path, num_partitions=8,
+            tokenizer="synonyms",
+        )
+        _SYN_IDX[sf_dir] = path
+    reader = IndexReader(spark, _SYN_IDX[sf_dir])
+    from miru_spark.functions.tokenize import tokenize_py
+
+    terms = tokenize_py("Sort", "synonyms")  # -> [order]
+    rows = [
+        (int(d), round(float(s), 6))
+        for d, s in search_topk(reader, terms, mode="conjunctive", k=10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+def _synonym_tok_sql() -> str:
+    from miru_spark.functions.tokenize import SYNONYM_COLLAPSE
+
+    cases = " ".join(
+        f"WHEN t = '{k}' THEN '{v}'"
+        for k, v in sorted(SYNONYM_COLLAPSE.items())
+    )
+    return (
+        "SELECT doc_id, CASE " + cases + " ELSE t END AS term FROM ("
+        "SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)"
+    )
+
+
 def _english_tok_sql() -> str:
     from miru_spark.functions.tokenize import ENGLISH_STOPWORDS
 
@@ -3072,6 +3122,12 @@ def register_all(register) -> None:
                          tok_sql=CODE_SPLIT_TOK_SQL), DS),
         # A62 english analysis chain: stopwords + minimal plural stemming
         # round-trip build+serve (query 'Nodes and Trees' -> [node, tree])
+        # A112 index-time synonym collapse: canonical 'order' query must
+        # hit sort-only docs with class-merged tf/df round-tripped
+        # through the index
+        ("synonyms", q_synonym_analyzer,
+         bm25_oracle_sql(["order"], "conjunctive",
+                         tok_sql=_synonym_tok_sql()), DS),
         ("english", q_english_analyzer,
          bm25_oracle_sql(["node", "tree"], "conjunctive",
                          tok_sql=_english_tok_sql()), DS),
