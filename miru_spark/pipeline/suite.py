@@ -330,6 +330,44 @@ def q_contamination_bloom(spark, sf):
     return contamination_flags_bloom(docs, ids, bits, n=8)
 
 
+_HTML_PRE = ('<html><head><style>p{color:red}</style></head><body>'
+             '<h1>Doc</h1><p class="c">')
+_HTML_POST = ('</p><!-- crawler note --><script type="t">if (a<b) {x}'
+              '</script>&amp;amp; &lt;tag&gt;&nbsp;</body></html>')
+
+
+def q_html_extract(spark, sf):
+    """HTML text extraction (pipeline/extract.py): every doc wrapped in a
+    deterministic HTML shell exercising script-body removal (a raw '<'
+    inside code), comments, attributes, double-escaped entities and
+    nbsp — the extracted text must round back to 'Doc ' + text + the
+    unescaped tail, bit-identical to the SQL twin."""
+    from miru_spark.pipeline.extract import strip_html
+
+    decorated = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)).alias(
+            "text"
+        ),
+    )
+    return (
+        strip_html(decorated)
+        .select("doc_id", "clean_text")
+        .orderBy("doc_id")
+    )
+
+
+def _html_extract_sql() -> str:
+    from miru_spark.pipeline.extract import strip_html_sql
+
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    inner = strip_html_sql(f"'{pre}' || text || '{post}'")
+    return (
+        f"SELECT doc_id, {inner} AS clean_text FROM documents ORDER BY doc_id"
+    )
+
+
 def q_redact(spark, sf):
     # PII-shaped redaction plumbing over the JSON-bearing events table:
     # digit runs -> '#'. The pattern is chosen to behave identically in
@@ -549,6 +587,11 @@ def register_all(register) -> None:
         # dup-augmented (every 25th doc cloned) so the dedup stage is
         # non-vacuous
         ("pipe_clean", q_clean, sql_clean(), ("doc_id", "stage")),
+        # HTML text extraction (the C4/CCNet step everything downstream
+        # runs on): script/style/comment/tag strip + pinned entity
+        # unescape, bit-identical Java-regex vs RE2 twin
+        ("pipe_html_extract", q_html_extract, _html_extract_sql(),
+         ("doc_id", "clean_text")),
     ])
     register_composite(register, "pipe_tokens", [
         ("pipe_token_stats", q_token_stats, TOKEN_STATS_SQL,
