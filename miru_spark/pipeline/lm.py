@@ -119,3 +119,62 @@ s AS (SELECT doc_id, count(*) n_bigrams, -avg(ln(p)) nll
 SELECT doc_id, n_bigrams, round(nll, 6) AS avg_nll, round(exp(nll), 6) AS ppl
 FROM s ORDER BY doc_id
 """.strip()
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    vocab_size: int,
+    k: float = 0.5,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet's head/middle/tail quality bucketing (Wenzek et al. 2020
+    §4.3): PER LANGUAGE, rank docs by LM perplexity ascending and split
+    into terciles — ``head`` is the best-reading third, the slice CCNet
+    feeds to pretraining first. Per-language is load-bearing: perplexity
+    scales differ across languages, so a global cut would silently drop
+    whole languages.
+
+    (doc_id, lang, ppl, bucket) — docs with < 2 tokens (no bigrams) are
+    absent, as in :func:`perplexity`. Ranking uses the ROUNDED ppl with a
+    doc_id tiebreak so the tercile boundary is engine-independent; NTILE
+    follows the SQL-standard larger-buckets-first fill both engines share.
+    Plan: the perplexity hash-agg/join plan unchanged + ONE window shuffle
+    keyed on the language — at corpus scale each language's ranking is an
+    independent partition, no global sort."""
+    from pyspark.sql import Window
+
+    ppl = perplexity(docs, bigrams, unigrams, vocab_size, k, text_col)
+    j = ppl.join(docs.select("doc_id", lang_col), "doc_id")
+    w = Window.partitionBy(lang_col).orderBy("ppl", "doc_id")
+    tile = F.ntile(3).over(w)
+    bucket = (
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    # named ppl_bucket (not 'bucket') so composite unions never collide
+    # with numeric bucket columns from sibling aggregation members
+    return j.select(
+        "doc_id", F.col(lang_col).alias("lang"), "ppl",
+        bucket.alias("ppl_bucket"),
+    ).orderBy("doc_id")
+
+
+def ccnet_buckets_oracle_sql(k: float = 0.5) -> str:
+    """DuckDB twin: the perplexity CTE chain + the same per-lang NTILE(3)
+    over (rounded ppl, doc_id)."""
+    inner = perplexity_oracle_sql(k)
+    return f"""
+WITH px AS ({inner}),
+t AS (SELECT px.doc_id, documents.lang, px.ppl,
+             ntile(3) OVER (PARTITION BY documents.lang
+                            ORDER BY px.ppl, px.doc_id) AS tile
+      FROM px JOIN documents USING(doc_id))
+SELECT doc_id, lang, ppl,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM t ORDER BY doc_id
+""".strip()

@@ -259,6 +259,14 @@ def sql_clean():
     )
 
 
+def q_ccnet_buckets(spark, sf):
+    from miru_spark.pipeline.lm import ccnet_buckets, train_bigram_lm
+
+    docs = _docs(spark, sf)
+    bg, uni, v = train_bigram_lm(docs)
+    return ccnet_buckets(docs, bg, uni, v)
+
+
 def q_perplexity(spark, sf):
     from miru_spark.pipeline.lm import perplexity, train_bigram_lm
 
@@ -509,7 +517,10 @@ def register_all(register) -> None:
         text_quality_oracle_sql,
         token_counts_oracle_sql,
     )
-    from miru_spark.pipeline.lm import perplexity_oracle_sql
+    from miru_spark.pipeline.lm import (
+        ccnet_buckets_oracle_sql,
+        perplexity_oracle_sql,
+    )
     from miru_spark.pipeline.packing import pack_sequences_oracle_sql
     from miru_spark.pipeline.dsir import dsir_oracle_sql
     from miru_spark.plans.composite import register_composite
@@ -602,6 +613,11 @@ def register_all(register) -> None:
         # add-k model, train + score are pure hash-agg/join plans
         ("pipe_perplexity", q_perplexity, perplexity_oracle_sql(),
          ("doc_id", "n_bigrams", "avg_nll", "ppl")),
+        # CCNet head/middle/tail bucketing: PER-LANGUAGE perplexity
+        # terciles (a global cut would drop whole languages); one window
+        # shuffle keyed on lang on top of the perplexity plan
+        ("pipe_ccnet_buckets", q_ccnet_buckets, ccnet_buckets_oracle_sql(),
+         ("doc_id", "lang", "ppl", "ppl_bucket")),
         # sequence packing (concat-and-chunk pretraining layout): per-doc
         # placement map via a two-level exclusive prefix sum — no global
         # single-partition window at scale

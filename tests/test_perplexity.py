@@ -71,3 +71,50 @@ def test_perplexity_short_docs_absent_and_validation(spark):
     assert [r.doc_id for r in out] == [2]  # 1-token doc has no bigrams
     with pytest.raises(ValueError):
         perplexity(df, bg, uni, v, k=0.0)
+
+
+# ---- CCNet head/middle/tail bucketing ----------------------------------------
+
+
+def test_ccnet_buckets_match_duck(spark, duck, docs):
+    from miru_spark.pipeline.lm import (
+        ccnet_buckets,
+        ccnet_buckets_oracle_sql,
+        train_bigram_lm,
+    )
+
+    bg, uni, v = train_bigram_lm(docs)
+    got = sorted(
+        (r.doc_id, r.lang, r.ppl, r.ppl_bucket)
+        for r in ccnet_buckets(docs, bg, uni, v).collect()
+    )
+    want = sorted(
+        tuple(r) for r in duck.execute(ccnet_buckets_oracle_sql()).fetchall()
+    )
+    assert got == want and got
+
+
+def test_ccnet_buckets_are_per_lang_ppl_terciles(spark, docs):
+    """Within every language: bucket sizes differ by at most one with
+    head >= middle >= tail (NTILE fill), and max(ppl in head) <=
+    min(ppl in middle) <= ... under the (ppl, doc_id) tie order —
+    i.e. the split really is the per-language perplexity ranking, not a
+    global cut."""
+    from miru_spark.pipeline.lm import ccnet_buckets, train_bigram_lm
+
+    bg, uni, v = train_bigram_lm(docs)
+    rows = ccnet_buckets(docs, bg, uni, v).collect()
+    by_lang: dict[str, dict[str, list]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {}).setdefault(r.ppl_bucket, []).append(
+            (r.ppl, r.doc_id)
+        )
+    assert len(by_lang) > 1
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}, lang
+        sizes = [len(buckets[b]) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1 and sizes == sorted(
+            sizes, reverse=True
+        ), (lang, sizes)
+        assert max(buckets["head"]) <= min(buckets["middle"]), lang
+        assert max(buckets["middle"]) <= min(buckets["tail"]), lang
